@@ -1,0 +1,445 @@
+"""Public API & dispatch (reference: sageattention/core.py).
+
+``sageattn(q, k, v, ...)`` is a drop-in scaled-dot-product-attention
+replacement (reference: core.py:80-158).  Where the reference dispatches on
+GPU SM arch to one of four compiled backends, here there is a single Pallas
+kernel family plus an XLA fallback:
+
+* ``impl="pallas"`` — the fused TPU kernel (ops/attention_pallas.py).
+* ``impl="xla"``    — unfused jnp ops (materializes scores); used for CPU
+  execution, additive attention-bias support, and as a cross-check.
+* ``impl="auto"``   — pallas on TPU (interpret-mode pallas on CPU), xla when
+  an additive bias is present.
+
+All entry points accept HND ([b, h, s, d]) or NHD ([b, s, h, d]) layouts
+(reference: core.py tensor_layout), GQA (h_q a multiple of h_kv), causal
+masking, and ``return_lse`` (natural-log logsumexp, the ring-attention merge
+contract, reference: core.py:122-124).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from sageattention_tpu import quant as quant_mod
+from sageattention_tpu.ops import attention_pallas, reference
+
+LOG2E = 1.4426950408889634
+
+Layout = Literal["HND", "NHD"]
+
+
+def _on_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _to_hnd(x: jax.Array, layout: Layout) -> jax.Array:
+    if layout == "HND":
+        return x
+    if layout == "NHD":
+        return jnp.swapaxes(x, 1, 2)
+    raise ValueError(f"tensor_layout must be 'HND' or 'NHD', got {layout!r}")
+
+
+def _from_hnd(x: jax.Array, layout: Layout) -> jax.Array:
+    return x if layout == "HND" else jnp.swapaxes(x, 1, 2)
+
+
+def _auto_block(seq: int, *thresholds) -> int:
+    """Pick a kernel block size for a sequence length.
+
+    The kernel is per-grid-step-overhead and VPU bound on TPU, so large
+    tiles win for long sequences; short sequences prefer small tiles to
+    bound padding waste (the seq is padded up to a block multiple).
+    ``thresholds``: (min_seq, block) pairs checked in order, then the
+    final int fallback.
+    """
+    *pairs, fallback = thresholds
+    for min_seq, block in pairs:
+        if seq >= min_seq:
+            return block
+    return fallback
+
+
+def _pad_head_dim(d: int) -> int:
+    """Pad head_dim to a TPU-friendly size (reference pads to 64/128,
+    core.py:772-786; TPU lanes are 128-wide, so 64 / multiples of 128)."""
+    if d <= 64:
+        return 64
+    return -(-d // 128) * 128
+
+
+def _pad_axis(x: jax.Array, axis: int, to: int) -> jax.Array:
+    pad = to - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "is_causal",
+        "sm_scale",
+        "qk_quant_gran",
+        "pv_dtype",
+        "smooth_k",
+        "smooth_v",
+        "return_lse",
+        "block_q",
+        "block_k",
+        "impl",
+        "qk_bits",
+    ),
+)
+def _sageattn_hnd(
+    q,
+    k,
+    v,
+    q_segment_ids,
+    kv_segment_ids,
+    attn_bias,
+    *,
+    is_causal: bool,
+    sm_scale: float | None,
+    qk_quant_gran: str,
+    pv_dtype: str,
+    smooth_k: bool,
+    smooth_v: bool,
+    return_lse: bool,
+    block_q: int,
+    block_k: int,
+    impl: str,
+    qk_bits: int = 8,
+):
+    """Quantize-then-attend pipeline on HND tensors (the call sequence of
+    reference core.py:655-905, collapsed to quant(Q,K,V) + one fused kernel)."""
+    out_dtype = q.dtype
+    b, hq, sq, d_og = q.shape
+    hkv, sk = k.shape[1], k.shape[2]
+    if sm_scale is None:
+        sm_scale = d_og**-0.5
+
+    if impl == "auto":
+        impl = "xla" if attn_bias is not None else "pallas"
+    if attn_bias is not None and impl != "xla":
+        raise NotImplementedError("additive attn_bias requires impl='xla'")
+
+    # --- Q/K quantization (+ K smoothing) ------------------------------
+    q_i8, q_scale, k_i8, k_scale, km = quant_mod.quantize_qk(
+        q,
+        k,
+        sm_scale=sm_scale,
+        granularity=qk_quant_gran,
+        smooth_k=smooth_k,
+        bits=qk_bits,
+    )
+    if return_lse and smooth_k:
+        # LSE correction: smoothing shifts every logit of row i by q_i.km
+        # (reference: core.py:281-285, 795-799).
+        lse_corr = jnp.einsum(
+            "bhqd,bhd->bhq",
+            q.astype(jnp.float32),
+            jnp.repeat(km, hq // hkv, axis=1),
+        )
+    else:
+        lse_corr = None
+
+    # --- V quantization -------------------------------------------------
+    v_mean = None
+    v_scale = None
+    if pv_dtype == "int8":
+        v_q, v_scale, v_mean = quant_mod.per_channel_quant(
+            v, dtype=jnp.int8, smooth=smooth_v
+        )
+    elif pv_dtype == "fp8":
+        v_q, v_scale, v_mean = quant_mod.per_channel_quant(
+            v, dtype=jnp.float8_e4m3fn, smooth=smooth_v
+        )
+    elif pv_dtype == "bf16":
+        if smooth_v:
+            v_c, v_mean = quant_mod.sub_mean(v)
+            v_q = v_c.astype(jnp.bfloat16)
+        else:
+            v_q = v.astype(jnp.bfloat16)
+    else:
+        raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
+
+    if impl == "xla":
+        out = reference.quantized_attention_reference(
+            q_i8,
+            q_scale,
+            k_i8,
+            k_scale,
+            v_q,
+            v_scale,
+            v_mean,
+            is_causal=is_causal,
+            q_segment_ids=q_segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            return_lse=return_lse,
+            out_dtype=out_dtype,
+        )
+        if attn_bias is not None:
+            # Bias path: dequantized XLA attention with additive bias
+            # (reference triton path attn_mask, core.py:306-316).
+            out = reference.attention_reference(
+                q,
+                k,
+                v,
+                is_causal=is_causal,
+                sm_scale=sm_scale,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids,
+                attn_bias=attn_bias,
+                return_lse=return_lse,
+            )
+            if return_lse:
+                return out[0], out[1]
+            return out
+        if return_lse:
+            o, lse2 = out
+            lse = lse2 / LOG2E
+            if lse_corr is not None:
+                lse = lse + lse_corr * sm_scale
+            return o, lse
+        return out
+
+    # --- padding to kernel tile multiples --------------------------------
+    d_pad = _pad_head_dim(d_og)
+    sq_pad = -(-sq // block_q) * block_q
+    sk_pad = -(-sk // block_k) * block_k
+    need_kv_mask = sk_pad != sk
+    if need_kv_mask and q_segment_ids is None:
+        q_segment_ids = jnp.zeros((b, sq), jnp.int32)
+        kv_segment_ids = jnp.zeros((b, sk), jnp.int32)
+    if q_segment_ids is not None:
+        q_segment_ids = _pad_axis(q_segment_ids + 2, 1, sq_pad)
+        kv_segment_ids = _pad_axis(kv_segment_ids + 2, 1, sk_pad)
+        # pads are 0 on kv / 0 on q; q-pad rows attend kv-pad rows (both
+        # id 0) so their softmax is well-defined garbage that gets cropped;
+        # real rows (ids >= 2) never match pads.
+
+    q_i8 = _pad_axis(_pad_axis(q_i8, 3, d_pad), 2, sq_pad)
+    k_i8 = _pad_axis(_pad_axis(k_i8, 3, d_pad), 2, sk_pad)
+    v_q = _pad_axis(_pad_axis(v_q, 3, d_pad), 2, sk_pad)
+    q_scale = _pad_axis(q_scale, 2, sq_pad)
+    k_scale = _pad_axis(k_scale, 2, sk_pad)
+    if v_scale is not None:
+        v_scale = _pad_axis(v_scale, 2, d_pad)
+    if v_mean is not None:
+        v_mean = _pad_axis(v_mean, 2, d_pad)
+
+    out = attention_pallas.sage_attention_fused(
+        q_i8,
+        q_scale,
+        k_i8,
+        k_scale,
+        v_q,
+        v_scale,
+        v_mean,
+        q_segment_ids,
+        kv_segment_ids,
+        is_causal=is_causal,
+        pv_dtype=pv_dtype,
+        return_lse=return_lse,
+        block_q=block_q,
+        block_k=block_k,
+        out_dtype=out_dtype,
+        interpret=_on_cpu(),
+    )
+    if return_lse:
+        o, lse2 = out
+    else:
+        o, lse2 = out, None
+    o = o[:, :, :sq, :d_og]
+    if return_lse:
+        lse = lse2[:, :, :sq] / LOG2E
+        if lse_corr is not None:
+            lse = lse + lse_corr * sm_scale
+        return o, lse
+    return o
+
+
+def _entry(
+    q,
+    k,
+    v,
+    tensor_layout: Layout = "HND",
+    is_causal: bool = False,
+    sm_scale: float | None = None,
+    return_lse: bool = False,
+    *,
+    qk_quant_gran: str = "per_token",
+    pv_dtype: str = "int8",
+    smooth_k: bool = True,
+    smooth_v: bool = False,
+    q_segment_ids=None,
+    kv_segment_ids=None,
+    attn_bias=None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    impl: str = "auto",
+    qk_bits: int = 8,
+):
+    q = _to_hnd(q, tensor_layout)
+    k = _to_hnd(k, tensor_layout)
+    v = _to_hnd(v, tensor_layout)
+    if block_q is None:
+        block_q = _auto_block(q.shape[2], (3072, 512), (1024, 256), 128)
+    if block_k is None:
+        block_k = _auto_block(
+            k.shape[2], (4096, 1024), (2048, 512), (512, 256), 128
+        )
+    out = _sageattn_hnd(
+        q,
+        k,
+        v,
+        q_segment_ids,
+        kv_segment_ids,
+        attn_bias,
+        is_causal=is_causal,
+        sm_scale=sm_scale,
+        qk_quant_gran=qk_quant_gran,
+        pv_dtype=pv_dtype,
+        smooth_k=smooth_k,
+        smooth_v=smooth_v,
+        return_lse=return_lse,
+        block_q=block_q,
+        block_k=block_k,
+        impl=impl,
+        qk_bits=qk_bits,
+    )
+    if return_lse:
+        o, lse = out
+        return _from_hnd(o, tensor_layout), lse
+    return _from_hnd(out, tensor_layout)
+
+
+def sageattn(
+    q,
+    k,
+    v,
+    tensor_layout: Layout = "HND",
+    is_causal: bool = False,
+    sm_scale: float | None = None,
+    return_lse: bool = False,
+    **kwargs,
+):
+    """Auto-dispatch entry point (reference: core.py:80-158 ``sageattn``).
+
+    Drop-in replacement for scaled-dot-product attention.  On TPU this
+    always selects the fused Pallas kernel with int8 QK^T and int8 PV
+    (per-token Q/K granularity — finer than any granularity the reference
+    can express — with K mean-smoothing); there is no per-arch table.
+    """
+    return _entry(
+        q,
+        k,
+        v,
+        tensor_layout,
+        is_causal,
+        sm_scale,
+        return_lse,
+        **kwargs,
+    )
+
+
+def sageattn_qk_int8_pv_int8(q, k, v, tensor_layout="HND", is_causal=False,
+                             sm_scale=None, return_lse=False, **kw):
+    """INT8 QK^T + INT8 PV with per-channel V scales and two-level (int32 ->
+    fp32) accumulation — the TPU-native analogue of the reference FP8 path
+    ``sageattn_qk_int8_pv_fp8_cuda`` (reference: core.py:655-905)."""
+    kw.setdefault("pv_dtype", "int8")
+    return _entry(q, k, v, tensor_layout, is_causal, sm_scale, return_lse, **kw)
+
+
+def sageattn_qk_int8_pv_bf16(q, k, v, tensor_layout="HND", is_causal=False,
+                             sm_scale=None, return_lse=False, **kw):
+    """INT8 QK^T + bf16 PV (fp32 accum) — the accuracy-fallback analogue of
+    ``sageattn_qk_int8_pv_fp16_cuda/_triton`` (reference: core.py:160-360,
+    479-653).  Supports smooth_v (reference: core.py:636-638)."""
+    kw.setdefault("pv_dtype", "bf16")
+    return _entry(q, k, v, tensor_layout, is_causal, sm_scale, return_lse, **kw)
+
+
+def sageattn_qk_int8_pv_fp8(q, k, v, tensor_layout="HND", is_causal=False,
+                            sm_scale=None, return_lse=False, **kw):
+    """INT8 QK^T + FP8(e4m3) PV for TPU generations with native fp8 matmul
+    (reference: core.py:655-905).  Falls back to upcast matmul elsewhere."""
+    kw.setdefault("pv_dtype", "fp8")
+    return _entry(q, k, v, tensor_layout, is_causal, sm_scale, return_lse, **kw)
+
+
+def sageattn_varlen(
+    q,
+    k,
+    v,
+    cu_seqlens_q,
+    cu_seqlens_k,
+    max_seqlen_q: int | None = None,
+    max_seqlen_k: int | None = None,
+    is_causal: bool = False,
+    sm_scale: float | None = None,
+    return_lse: bool = False,
+    **kwargs,
+):
+    """Ragged-batch attention over FlashAttention-style packed tensors
+    (reference: core.py:362-477 ``sageattn_varlen``).
+
+    q/k/v: [total_tokens, heads, head_dim]; cu_seqlens_*: [batch+1] int32
+    cumulative sequence starts.  Internally this is segment-id masking in
+    the fused kernel (the splash-attention idiom) rather than cu_seqlens
+    pointer arithmetic — same semantics, TPU-native mechanism.
+
+    Note: like the reference, K-smoothing uses a *global* mean over all
+    packed tokens (reference: core.py:462 and its caveat comment).
+    """
+    if is_causal:
+        # Causal varlen requires identical packing of q and k so absolute
+        # positions order correctly within each segment.
+        if q.shape[0] != k.shape[0]:
+            raise ValueError("causal varlen requires matching q/k packing")
+    total_q, h, d = q.shape
+    total_k = k.shape[0]
+    positions_q = jnp.arange(total_q, dtype=jnp.int32)
+    positions_k = jnp.arange(total_k, dtype=jnp.int32)
+    seg_q = jnp.searchsorted(cu_seqlens_q, positions_q, side="right").astype(
+        jnp.int32
+    )
+    seg_k = jnp.searchsorted(cu_seqlens_k, positions_k, side="right").astype(
+        jnp.int32
+    )
+    qh = jnp.swapaxes(q, 0, 1)[None]  # [1, h, total_q, d]
+    kh = jnp.swapaxes(k, 0, 1)[None]
+    vh = jnp.swapaxes(v, 0, 1)[None]
+    out = _sageattn_hnd(
+        qh,
+        kh,
+        vh,
+        seg_q[None],
+        seg_k[None],
+        None,
+        is_causal=is_causal,
+        sm_scale=sm_scale,
+        qk_quant_gran=kwargs.pop("qk_quant_gran", "per_token"),
+        pv_dtype=kwargs.pop("pv_dtype", "int8"),
+        smooth_k=kwargs.pop("smooth_k", True),
+        smooth_v=kwargs.pop("smooth_v", False),
+        return_lse=return_lse,
+        block_q=kwargs.pop("block_q", None)
+        or _auto_block(total_q, (3072, 512), (1024, 256), 128),
+        block_k=kwargs.pop("block_k", None)
+        or _auto_block(total_k, (4096, 1024), (2048, 512), (512, 256), 128),
+        impl=kwargs.pop("impl", "auto"),
+    )
+    if return_lse:
+        o, lse = out
+        return jnp.swapaxes(o[0], 0, 1), lse[0]
+    return jnp.swapaxes(out[0], 0, 1)

@@ -1,0 +1,181 @@
+"""Quantization host API (reference: sageattention/quant.py, csrc/fused/fused.cu).
+
+TPU-native scale layout
+-----------------------
+The reference emits scale tensors whose shapes encode the CUDA MMA lane
+mapping (per-thread: ``ceil(L/BLKQ)*(BLKQ/WARPQ)*8`` scales per head,
+reference: triton/quant_per_thread.py:184-185; per-warp / per-block
+analogues in quant.py:23-181).  On TPU the dequantization is a VPU
+broadcast-multiply, so *every* granularity here expands to a simple
+**per-row scale vector** ``[b, h, s]`` consumed uniformly by the kernels:
+
+* ``per_token``   — one scale per row (finest; free on TPU, impossible on
+  CUDA tensor cores — strictly more accurate than the reference's finest
+  per-thread granularity).
+* ``per_subtile`` — one scale per SUB (default 32) rows, expanded.  The
+  accuracy analogue of the reference's per-warp/per-thread modes.
+* ``per_block``   — one scale per BLK (default 128) rows, expanded
+  (reference: triton/quant_per_block.py).
+
+``sm_scale * log2(e)`` is folded into the Q scales (reference: quant.py:95)
+so the in-kernel softmax is base-2.
+
+These pure-JAX functions are the *numerical spec*; `ops/quant_pallas.py`
+provides fused single-pass Pallas versions used on the hot path, which must
+match these exactly (tests/test_quant.py enforces it).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+LOG2E = 1.4426950408889634
+
+# Max representable magnitudes per quantized dtype.
+_QMAX = {
+    jnp.int8.dtype: 127.0,
+    jnp.float8_e4m3fn.dtype: 448.0,
+    jnp.float8_e5m2.dtype: 57344.0,
+}
+_INT4_QMAX = 7.0
+
+
+def round_half_away(x: jax.Array) -> jax.Array:
+    """Round half away from zero (reference: triton/quant_per_block.py:43-45,
+    csrc/numeric_conversion.cuh:144 ``float_to_int8_rn`` uses round-to-nearest;
+    the Triton kernels use +0.5*sign then truncate — we match the Triton/fused
+    behavior which the quant preprocessing actually uses)."""
+    return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
+
+
+def _group_amax(x: jax.Array, group: int) -> jax.Array:
+    """amax over [group-rows x head_dim] groups -> per-row expanded [.., s]."""
+    b, h, s, d = x.shape
+    if group <= 1:
+        return jnp.max(jnp.abs(x), axis=-1)
+    pad = (-s) % group
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    g = x.reshape(b, h, (s + pad) // group, group, d)
+    amax = jnp.max(jnp.abs(g), axis=(-1, -2))  # [b, h, n_groups]
+    per_row = jnp.repeat(amax, group, axis=-1)
+    return per_row[..., :s]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("granularity", "block_size", "bits")
+)
+def quant_int8(
+    x: jax.Array,
+    *,
+    granularity: str = "per_token",
+    block_size: int = 32,
+    scale_fold: float = 1.0,
+    bits: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantize [b, h, s, d] to int8 with per-row scales [b, h, s] (fp32).
+
+    ``scale_fold`` is multiplied into the returned scales (used to fold
+    ``sm_scale * log2e`` into Q's scales, reference: quant.py:95).
+    ``bits=4`` quantizes into the int4 range (values stored as int8; the
+    MXU consumes int8 natively — reference INT4 variants:
+    triton/quant_per_thread.py:104-156).
+    """
+    x = x.astype(jnp.float32)
+    if granularity == "per_token":
+        amax = _group_amax(x, 1)
+    elif granularity == "per_subtile":
+        amax = _group_amax(x, block_size)
+    elif granularity == "per_block":
+        amax = _group_amax(x, max(block_size, 128))
+    else:
+        raise ValueError(f"unknown granularity {granularity!r}")
+    qmax = _INT4_QMAX if bits == 4 else 127.0
+    scale = jnp.maximum(amax, 1e-30) / qmax
+    q = round_half_away(x / scale[..., None])
+    q = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+    return q, scale * scale_fold
+
+
+@jax.jit
+def sub_mean(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Subtract the per-(b,h,d) mean over the sequence axis.
+
+    The K-smoothing / V-smoothing primitive (reference: quant.py:183-223
+    ``sub_mean``; core.py:793-799 ``km = k.mean(seq_dim)``).  Softmax is
+    invariant to subtracting ``q . km`` (a per-row constant) from every
+    logit, which centers K and shrinks the INT8 quantization range.
+    """
+    mean = jnp.mean(x.astype(jnp.float32), axis=-2)
+    return (x.astype(jnp.float32) - mean[..., None, :]), mean
+
+
+@functools.partial(jax.jit, static_argnames=("dtype", "smooth"))
+def per_channel_quant(
+    v: jax.Array,
+    *,
+    dtype=jnp.int8,
+    smooth: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array | None]:
+    """Per-(b,h,d)-channel quantization of V (reference: quant.py:225-322
+    ``per_channel_fp8`` / csrc/fused/fused.cu:316-427 ``MeanScaleKernel``).
+
+    Returns (v_q, v_scale [b,h,d] fp32, v_mean [b,h,d] or None).
+    ``dtype`` may be jnp.int8 (TPU-native fast path — the MXU's low-bit
+    throughput lives in int8) or a float8 dtype (for TPU generations with
+    native fp8 matmul).  No transpose/permute is needed: the reference's
+    16-token FP8-MMA permutation (fused.cu:289-291) is an ldmatrix artifact
+    with no TPU analogue (SURVEY.md §7).
+    """
+    v = v.astype(jnp.float32)
+    if smooth:
+        v, v_mean = sub_mean(v)
+    else:
+        v_mean = None
+    amax = jnp.max(jnp.abs(v), axis=-2)  # [b, h, d]
+    qmax = _QMAX[jnp.dtype(dtype)]
+    scale = jnp.maximum(amax, 1e-30) / qmax
+    scaled = v / scale[..., None, :]
+    if jnp.dtype(dtype) == jnp.int8.dtype:
+        v_q = jnp.clip(round_half_away(scaled), -127, 127).astype(jnp.int8)
+    else:
+        v_q = scaled.astype(dtype)
+    return v_q, scale, v_mean
+
+
+def quantize_qk(
+    q: jax.Array,
+    k: jax.Array,
+    *,
+    sm_scale: float,
+    granularity: str = "per_token",
+    block_size: int = 32,
+    smooth_k: bool = True,
+    bits: int = 8,
+):
+    """Full Q/K quantization preprocessing for the fused attention kernel.
+
+    Mirrors the reference call sequence (core.py:793-806): compute ``km``,
+    smooth K, quantize Q with ``sm_scale*log2e`` folded into its scales,
+    quantize smoothed K.  Returns (q_i8, q_scale, k_i8, k_scale, km).
+    ``km`` is needed for the LSE correction when ``return_lse=True``
+    (reference: core.py:281-285).
+    """
+    if smooth_k:
+        k_s, km = sub_mean(k)
+    else:
+        k_s, km = k, None
+    q_i8, q_scale = quant_int8(
+        q,
+        granularity=granularity,
+        block_size=block_size,
+        scale_fold=sm_scale * LOG2E,
+        bits=bits,
+    )
+    k_i8, k_scale = quant_int8(
+        k_s, granularity=granularity, block_size=block_size, bits=bits
+    )
+    return q_i8, q_scale, k_i8, k_scale, km

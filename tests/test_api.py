@@ -1,0 +1,141 @@
+"""Public API tests: sageattn / sageattn_varlen drop-in semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sageattention_tpu as sa
+from sageattention_tpu.ops import reference
+
+
+def rand(key, shape, scale=1.0, dtype=jnp.float32):
+    return (jax.random.normal(jax.random.PRNGKey(key), shape) * scale).astype(dtype)
+
+
+def cosine(a, b):
+    a = jnp.asarray(a, jnp.float32).ravel()
+    b = jnp.asarray(b, jnp.float32).ravel()
+    return float(jnp.dot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+
+
+class TestSageattn:
+    def test_matches_sdpa_reference(self):
+        q, k, v = (rand(i, (2, 4, 256, 64)) for i in range(3))
+        o = sa.sageattn(q, k, v)
+        o_ref = reference.attention_reference(q, k, v)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_nhd_layout(self):
+        q, k, v = (rand(i + 3, (1, 128, 4, 64)) for i in range(3))
+        o = sa.sageattn(q, k, v, tensor_layout="NHD")
+        assert o.shape == q.shape
+        o_hnd = sa.sageattn(
+            *(jnp.swapaxes(x, 1, 2) for x in (q, k, v)), tensor_layout="HND"
+        )
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(o, 1, 2)), np.asarray(o_hnd), atol=1e-5
+        )
+
+    def test_unpadded_lengths(self):
+        """Non-multiple-of-128 seq lens go through the pad+mask path
+        (reference pads kv to x128, core.py:822-828)."""
+        q, k, v = (rand(i + 6, (1, 2, 200, 48)) for i in range(3))
+        o = sa.sageattn(q, k, v, pv_dtype="bf16")
+        assert o.shape == (1, 2, 200, 48)
+        o_ref = reference.attention_reference(q, k, v)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_causal_unpadded(self):
+        q, k, v = (rand(i + 9, (1, 2, 200, 64)) for i in range(3))
+        o = sa.sageattn(q, k, v, is_causal=True)
+        o_ref = reference.attention_reference(q, k, v, is_causal=True)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_return_lse_with_smoothing_correction(self):
+        """Natural-log LSE must be exact under K-smoothing (the ring
+        contract, reference: core.py:281-285, 358)."""
+        q = rand(12, (1, 2, 256, 64))
+        k = rand(13, (1, 2, 256, 64)) + 1.5
+        v = rand(14, (1, 2, 256, 64))
+        o, lse = sa.sageattn(q, k, v, return_lse=True, pv_dtype="bf16")
+        _, lse_ref = reference.attention_reference(q, k, v, return_lse=True)
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(lse_ref), atol=0.05, rtol=0.01
+        )
+
+    def test_bf16_inputs(self):
+        q, k, v = (rand(i + 15, (1, 2, 128, 64), dtype=jnp.bfloat16) for i in range(3))
+        o = sa.sageattn(q, k, v)
+        assert o.dtype == jnp.bfloat16
+
+    def test_gqa(self):
+        q = rand(18, (1, 8, 128, 64))
+        k, v = rand(19, (1, 2, 128, 64)), rand(20, (1, 2, 128, 64))
+        o = sa.sageattn(q, k, v, pv_dtype="bf16")
+        o_ref = reference.attention_reference(q, k, v)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_sm_scale_override(self):
+        q, k, v = (rand(i + 21, (1, 2, 128, 64)) for i in range(3))
+        o = sa.sageattn(q, k, v, sm_scale=0.05, pv_dtype="bf16")
+        o_ref = reference.attention_reference(q, k, v, sm_scale=0.05)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_xla_impl_parity(self):
+        q, k, v = (rand(i + 24, (1, 2, 128, 64)) for i in range(3))
+        o_p = sa.sageattn(q, k, v, impl="pallas", pv_dtype="bf16")
+        o_x = sa.sageattn(q, k, v, impl="xla", pv_dtype="bf16")
+        np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x), atol=2e-2)
+
+    def test_attn_bias(self):
+        q, k, v = (rand(i + 27, (1, 2, 64, 32)) for i in range(3))
+        bias = rand(30, (1, 2, 64, 64), scale=2.0)
+        o = sa.sageattn(q, k, v, attn_bias=bias)
+        o_ref = reference.attention_reference(q, k, v, attn_bias=bias)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=1e-4)
+
+
+class TestVarlen:
+    def test_matches_per_sequence(self):
+        """Packed varlen == looping over the individual sequences
+        (reference: core.py:362-477)."""
+        lens = [60, 100, 96]
+        total = sum(lens)
+        h, d = 2, 64
+        q = rand(40, (total, h, d))
+        k = rand(41, (total, h, d))
+        v = rand(42, (total, h, d))
+        cu = jnp.array([0, 60, 160, 256], jnp.int32)
+        o = sa.sageattn_varlen(q, k, v, cu, cu, pv_dtype="bf16", smooth_k=False)
+        assert o.shape == (total, h, d)
+        start = 0
+        for n in lens:
+            sl = slice(start, start + n)
+            o_ref = reference.attention_reference(
+                jnp.swapaxes(q[sl], 0, 1)[None],
+                jnp.swapaxes(k[sl], 0, 1)[None],
+                jnp.swapaxes(v[sl], 0, 1)[None],
+            )[0]
+            got = jnp.swapaxes(o[sl], 0, 1)
+            assert cosine(got, o_ref) > 0.999, f"seq at {start}"
+            start += n
+
+    def test_causal_varlen(self):
+        lens = [128, 128]
+        total = sum(lens)
+        q, k, v = (rand(i + 50, (total, 2, 32)) for i in range(3))
+        cu = jnp.array([0, 128, 256], jnp.int32)
+        o = sa.sageattn_varlen(
+            q, k, v, cu, cu, is_causal=True, pv_dtype="bf16", smooth_k=False
+        )
+        start = 0
+        for n in lens:
+            sl = slice(start, start + n)
+            o_ref = reference.attention_reference(
+                jnp.swapaxes(q[sl], 0, 1)[None],
+                jnp.swapaxes(k[sl], 0, 1)[None],
+                jnp.swapaxes(v[sl], 0, 1)[None],
+                is_causal=True,
+            )[0]
+            assert cosine(jnp.swapaxes(o[sl], 0, 1), o_ref) > 0.999
+            start += n

@@ -1,0 +1,123 @@
+"""Quantizer unit tests (spec: reference quant.py / csrc/fused/fused.cu)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sageattention_tpu import quant
+
+LOG2E = 1.4426950408889634
+
+
+def rand(key, shape, scale=3.0):
+    return jax.random.normal(jax.random.PRNGKey(key), shape) * scale
+
+
+class TestRoundHalfAway:
+    def test_halves(self):
+        x = jnp.array([0.5, -0.5, 1.5, -1.5, 2.4, -2.4, 0.0])
+        np.testing.assert_array_equal(
+            np.asarray(quant.round_half_away(x)),
+            [1.0, -1.0, 2.0, -2.0, 2.0, -2.0, 0.0],
+        )
+
+
+class TestQuantInt8:
+    @pytest.mark.parametrize("gran", ["per_token", "per_subtile", "per_block"])
+    def test_roundtrip_error_bound(self, gran):
+        x = rand(0, (2, 3, 160, 64))
+        q, s = quant.quant_int8(x, granularity=gran)
+        deq = q.astype(jnp.float32) * s[..., None]
+        # max error is half a quantization step per group
+        err = jnp.abs(deq - x)
+        step = s[..., None]
+        assert jnp.all(err <= 0.5 * step + 1e-6)
+
+    def test_scale_shapes_are_per_row(self):
+        x = rand(1, (2, 3, 160, 64))
+        for gran in ["per_token", "per_subtile", "per_block"]:
+            _, s = quant.quant_int8(x, granularity=gran)
+            assert s.shape == (2, 3, 160)
+
+    def test_per_token_at_least_as_accurate(self):
+        x = rand(2, (1, 2, 256, 64))
+        errs = {}
+        for gran in ["per_token", "per_subtile", "per_block"]:
+            q, s = quant.quant_int8(x, granularity=gran)
+            deq = q.astype(jnp.float32) * s[..., None]
+            errs[gran] = float(jnp.mean((deq - x) ** 2))
+        assert errs["per_token"] <= errs["per_subtile"] <= errs["per_block"]
+
+    def test_range(self):
+        x = rand(3, (1, 1, 64, 32), scale=100.0)
+        q, _ = quant.quant_int8(x)
+        assert int(jnp.max(jnp.abs(q.astype(jnp.int32)))) <= 127
+
+    def test_int4_range(self):
+        x = rand(4, (1, 1, 64, 32))
+        q, _ = quant.quant_int8(x, bits=4)
+        assert int(jnp.max(jnp.abs(q.astype(jnp.int32)))) <= 7
+
+    def test_scale_fold(self):
+        x = rand(5, (1, 1, 32, 32))
+        _, s1 = quant.quant_int8(x)
+        _, s2 = quant.quant_int8(x, scale_fold=2.5)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1) * 2.5, rtol=1e-6)
+
+
+class TestSubMean:
+    def test_centers(self):
+        x = rand(6, (2, 2, 100, 16))
+        c, m = quant.sub_mean(x)
+        np.testing.assert_allclose(
+            np.asarray(jnp.mean(c, axis=-2)), 0.0, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(m), np.asarray(jnp.mean(x, axis=-2)), rtol=1e-5
+        )
+
+
+class TestPerChannel:
+    def test_int8_roundtrip(self):
+        v = rand(7, (2, 2, 96, 32))
+        vq, vs, vm = quant.per_channel_quant(v, dtype=jnp.int8)
+        assert vm is None
+        deq = vq.astype(jnp.float32) * vs[..., None, :]
+        err = jnp.abs(deq - v)
+        assert jnp.all(err <= 0.5 * vs[..., None, :] + 1e-6)
+
+    def test_smooth(self):
+        v = rand(8, (1, 2, 64, 16)) + 5.0  # big mean -> smoothing helps
+        vq, vs, vm = quant.per_channel_quant(v, dtype=jnp.int8, smooth=True)
+        deq = vq.astype(jnp.float32) * vs[..., None, :] + vm[..., None, :]
+        vq2, vs2, _ = quant.per_channel_quant(v, dtype=jnp.int8, smooth=False)
+        deq2 = vq2.astype(jnp.float32) * vs2[..., None, :]
+        assert float(jnp.mean((deq - v) ** 2)) < float(jnp.mean((deq2 - v) ** 2))
+
+    def test_fp8(self):
+        v = rand(9, (1, 1, 64, 16))
+        vq, vs, _ = quant.per_channel_quant(v, dtype=jnp.float8_e4m3fn)
+        assert vq.dtype == jnp.float8_e4m3fn
+        deq = vq.astype(jnp.float32) * vs[..., None, :]
+        # e4m3 relative precision ~2^-3 worst case near max
+        assert float(jnp.max(jnp.abs(deq - v))) < 0.1 * float(jnp.max(jnp.abs(v)))
+
+
+class TestQuantizeQK:
+    def test_fold_and_smoothing(self):
+        q = rand(10, (1, 2, 128, 64))
+        k = rand(11, (1, 2, 128, 64)) + 2.0
+        sm = 64**-0.5
+        q_i8, q_s, k_i8, k_s, km = quant.quantize_qk(q, k, sm_scale=sm)
+        np.testing.assert_allclose(
+            np.asarray(km), np.asarray(jnp.mean(k, axis=-2)), rtol=1e-5
+        )
+        # unfold: q roundtrips through q_scale / (sm*log2e)
+        deq = q_i8.astype(jnp.float32) * (q_s / (sm * LOG2E))[..., None]
+        assert float(jnp.max(jnp.abs(deq - q))) < 0.1
+        # k quantizes the smoothed k
+        deq_k = k_i8.astype(jnp.float32) * k_s[..., None]
+        np.testing.assert_allclose(
+            np.asarray(deq_k), np.asarray(k - km[..., None, :]), atol=0.1
+        )
