@@ -132,14 +132,36 @@ def _sageattn_hnd(
         raise NotImplementedError("additive attn_bias requires impl='xla'")
 
     # --- Q/K quantization (+ K smoothing) ------------------------------
-    q_i8, q_scale, k_i8, k_scale, km = quant_mod.quantize_qk(
-        q,
-        k,
-        sm_scale=sm_scale,
-        granularity=qk_quant_gran,
-        smooth_k=smooth_k,
-        bits=qk_bits,
-    )
+    # "auto" is the TPU-recommended config: per-token Q scales + one K
+    # scale per kernel KV block (SMEM scalar -> single-FMA dequant in the
+    # kernel).  The reference ships per-GPU recommended configs the same
+    # way (reference: bench/README.md:22-27).
+    if qk_quant_gran == "auto":
+        if smooth_k:
+            k_sm, km = quant_mod.sub_mean(k)
+        else:
+            k_sm, km = k, None
+        q_i8, q_scale = quant_mod.quant_int8(
+            q,
+            granularity="per_token",
+            scale_fold=sm_scale * LOG2E,
+            bits=qk_bits,
+        )
+        k_i8, k_scale = quant_mod.quant_int8_block_scales(
+            k_sm, group=block_k, bits=qk_bits
+        )
+        if impl == "xla":
+            # the oracle consumes per-row scales
+            k_scale = jnp.repeat(k_scale, block_k, axis=-1)[..., :sk]
+    else:
+        q_i8, q_scale, k_i8, k_scale, km = quant_mod.quantize_qk(
+            q,
+            k,
+            sm_scale=sm_scale,
+            granularity=qk_quant_gran,
+            smooth_k=smooth_k,
+            bits=qk_bits,
+        )
     if return_lse and smooth_k:
         # LSE correction: smoothing shifts every logit of row i by q_i.km
         # (reference: core.py:281-285, 795-799).
@@ -230,7 +252,9 @@ def _sageattn_hnd(
     k_i8 = _pad_axis(_pad_axis(k_i8, 3, d_pad), 2, sk_pad)
     v_q = _pad_axis(_pad_axis(v_q, 3, d_pad), 2, sk_pad)
     q_scale = _pad_axis(q_scale, 2, sq_pad)
-    k_scale = _pad_axis(k_scale, 2, sk_pad)
+    if k_scale.shape[-1] == sk:
+        k_scale = _pad_axis(k_scale, 2, sk_pad)
+    # else: blocked K scales [b,hkv,ceil(sk/block_k)] already cover sk_pad
     if v_scale is not None:
         v_scale = _pad_axis(v_scale, 2, d_pad)
     if v_mean is not None:
@@ -276,7 +300,7 @@ def _entry(
     sm_scale: float | None = None,
     return_lse: bool = False,
     *,
-    qk_quant_gran: str = "per_token",
+    qk_quant_gran: str = "auto",
     pv_dtype: str = "int8",
     smooth_k: bool = True,
     smooth_v: bool = False,
@@ -295,8 +319,11 @@ def _entry(
         block_q = _auto_block(q.shape[2], (3072, 512), (1024, 256), 128)
     if block_k is None:
         block_k = _auto_block(
-            k.shape[2], (4096, 1024), (2048, 512), (512, 256), 128
+            k.shape[2], (4096, 2048), (2048, 1024), (512, 256), 128
         )
+        if q.shape[-1] > 128:
+            # bound VMEM for wide heads (scores tile is block_q*block_k f32)
+            block_k = min(block_k, 1024)
     out = _sageattn_hnd(
         q,
         k,
@@ -428,7 +455,7 @@ def sageattn_varlen(
         None,
         is_causal=is_causal,
         sm_scale=sm_scale,
-        qk_quant_gran=kwargs.pop("qk_quant_gran", "per_token"),
+        qk_quant_gran=kwargs.pop("qk_quant_gran", "auto"),
         pv_dtype=kwargs.pop("pv_dtype", "int8"),
         smooth_k=kwargs.pop("smooth_k", True),
         smooth_v=kwargs.pop("smooth_v", False),

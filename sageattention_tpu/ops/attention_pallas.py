@@ -64,6 +64,9 @@ P_FP8_SCALE = 448.0
 LOG2_P_INT8 = float(jnp.log2(P_INT8_SCALE))
 LOG2_P_FP8 = float(jnp.log2(P_FP8_SCALE))
 MIN_LANES = 128
+# int32-domain mask value used on raw QK^T scores in the fast path; scaled
+# by the (positive) dequant scale it stays hugely negative.
+MASK_I32 = -(2**30)
 
 
 def _kernel(
@@ -84,6 +87,7 @@ def _kernel(
     *,
     causal: bool,
     pv_dtype: str,
+    k_scale_blocked: bool,
     has_v_scale: bool,
     has_v_mean: bool,
     has_segments: bool,
@@ -120,23 +124,6 @@ def _kernel(
             preferred_element_type=jnp.int32,
         )  # [block_q, block_k]
         qs = qs_ref[0, 0]  # [block_q, 1] f32 (sm_scale*log2e folded)
-        ks = ks_ref[0, 0]  # [1, block_k] f32
-        s = s_i32.astype(jnp.float32) * qs * ks
-
-        mask = None
-        if has_segments:
-            mask = qseg_ref[0] == kseg_ref[0]  # [block_q,1] == [1,block_k]
-            s = jnp.where(mask, s, MASK_VALUE)
-        if causal:
-            # Mask applied on every computed tile: a lax.cond guarding the
-            # diagonal-only tiles measured *slower* on TPU (Mosaic evaluates
-            # both branches), so unlike the reference's two-phase structure
-            # (triton/attn_qk_int8_per_block_causal.py:28-46) the mask is
-            # unconditional here.
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            cm = (col + kv_idx * block_k) <= (row + q_idx * block_q)
-            s = jnp.where(cm, s, MASK_VALUE)
 
         # p is computed directly in the "xP_SCALE domain": the P
         # requantization factor (127 for int8 / 448 for fp8 / 1 for bf16)
@@ -151,13 +138,60 @@ def _kernel(
             log2_p_scale = LOG2_P_FP8
         else:
             log2_p_scale = 0.0
-        m_prev = m_scr[...]  # [block_q, MIN_LANES]
-        l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1)[:, None]  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_curr)  # [block_q, MIN_LANES]
-        alpha = jnp.exp2(m_prev - m_next)
-        bias = m_next[:, :1] - log2_p_scale  # [block_q, 1]
-        p = jnp.exp2(s - bias)  # [block_q, block_k], values in [0, P_SCALE]
+
+        mask = None
+        if k_scale_blocked:
+            # FAST PATH (the TPU-recommended config): one K scale per kernel
+            # block, read from SMEM.  All masking happens in the int32
+            # domain, the row max is an integer reduction (it commutes with
+            # the positive per-row scale), and dequantization reaches the
+            # VPU as a single fused multiply-subtract feeding exp2 — the hot
+            # loop is convert+FMA+exp2+max+sum per score element.
+            # whole row of per-block scales is resident in SMEM; pick this
+            # block's scalar (kv_idx <= diagonal limit inside _body).
+            ksc = ks_ref[0, 0, 0, kv_idx]
+            rowscale = qs * ksc  # [block_q, 1]
+            if has_segments:
+                mask = qseg_ref[0] == kseg_ref[0]
+                s_i32 = jnp.where(mask, s_i32, MASK_I32)
+            if causal:
+                # Unconditional on computed tiles: a lax.cond guarding
+                # diagonal-only tiles measured slower (Mosaic evaluates
+                # both branches), unlike the reference's two-phase split
+                # (triton/attn_qk_int8_per_block_causal.py:28-46).
+                row = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
+                cm = (col + kv_idx * block_k) <= (row + q_idx * block_q)
+                s_i32 = jnp.where(cm, s_i32, MASK_I32)
+            imax = jnp.max(s_i32, axis=1)[:, None]  # int32 [block_q, 1]
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = imax.astype(jnp.float32) * rowscale
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            bias = m_next[:, :1] - log2_p_scale
+            p = jnp.exp2(s_i32.astype(jnp.float32) * rowscale - bias)
+        else:
+            # Per-row K scales (reference-parity accuracy modes): one extra
+            # broadcast multiply per element.
+            ks = ks_ref[0, 0]  # [1, block_k] f32
+            s = s_i32.astype(jnp.float32) * qs * ks
+            if has_segments:
+                mask = qseg_ref[0] == kseg_ref[0]
+                s = jnp.where(mask, s, MASK_VALUE)
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                cm = (col + kv_idx * block_k) <= (row + q_idx * block_q)
+                s = jnp.where(cm, s, MASK_VALUE)
+            m_prev = m_scr[...]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            bias = m_next[:, :1] - log2_p_scale
+            p = jnp.exp2(s - bias)  # values in [0, P_SCALE]
+
         if has_segments:
             # A fully-masked tile would otherwise yield p == P_SCALE
             # everywhere (s - m == 0 when every entry is MASK_VALUE).
@@ -277,6 +311,14 @@ def sage_attention_fused(
     group = hq // hkv
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
     n_q, n_kv = sq // block_q, sk // block_k
+    # k_scale layout: per-row vector [b, hkv, sk] (reference-parity modes)
+    # or one scalar per kernel KV block [b, hkv, n_kv] (fast path).
+    k_scale_blocked = k_scale.shape[-1] == n_kv and n_kv != sk
+    if k_scale.shape[-1] not in (sk, n_kv):
+        raise ValueError(
+            f"k_scale last dim {k_scale.shape[-1]} must be kv_len {sk} "
+            f"(per-row) or n_kv_blocks {n_kv} (per-block)"
+        )
 
     has_v_scale = v_scale is not None
     has_v_mean = v_mean is not None
@@ -302,6 +344,9 @@ def sage_attention_fused(
         def ksm(ib, ih, iq, ik):
             return (ib, ih // group, 0, _clamp(iq, ik))
 
+        def ksm_blk(ib, ih, iq, ik):
+            return (ib, ih // group, 0, 0)
+
         def kvsegm(ib, ih, iq, ik):
             return (ib, 0, _clamp(iq, ik))
     else:
@@ -311,26 +356,37 @@ def sage_attention_fused(
         def ksm(ib, ih, iq, ik):
             return (ib, ih // group, 0, ik)
 
+        def ksm_blk(ib, ih, iq, ik):
+            return (ib, ih // group, 0, 0)
+
         def kvsegm(ib, ih, iq, ik):
             return (ib, 0, ik)
 
     # Scale/segment operands are reshaped so their trailing two dims satisfy
     # Mosaic's tile rules AND land in the kernel in broadcast-ready form:
     # Q-side vectors as columns [s, 1], KV-side vectors as rows [1, s].
+    if k_scale_blocked:
+        ks_spec = pl.BlockSpec(
+            (1, 1, 1, n_kv), ksm_blk, memory_space=pltpu.SMEM
+        )
+        ks_in = k_scale.astype(jnp.float32)[:, :, None, :]  # [b,hkv,1,n_kv]
+    else:
+        ks_spec = pl.BlockSpec((1, 1, 1, block_k), ksm)
+        ks_in = k_scale.astype(jnp.float32)[:, :, None, :]  # [b,hkv,1,sk]
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), qm),
         pl.BlockSpec(
             (1, 1, block_q, 1), lambda ib, ih, iq, ik: (ib, ih, iq, 0)
         ),
         pl.BlockSpec((1, 1, block_k, d), km),
-        pl.BlockSpec((1, 1, 1, block_k), ksm),
+        ks_spec,
         pl.BlockSpec((1, 1, block_k, d), km),
     ]
     inputs = [
         q_i8,
         q_scale.astype(jnp.float32)[..., None],          # [b,hq,sq,1]
         k_i8,
-        k_scale.astype(jnp.float32)[:, :, None, :],      # [b,hkv,1,sk]
+        ks_in,
         v_q,
     ]
     vchan_spec = pl.BlockSpec(
@@ -364,6 +420,7 @@ def sage_attention_fused(
         _kernel,
         causal=is_causal,
         pv_dtype=pv_dtype,
+        k_scale_blocked=k_scale_blocked,
         has_v_scale=has_v_scale,
         has_v_mean=has_v_mean,
         has_segments=has_segments,

@@ -100,6 +100,35 @@ def quant_int8(
     return q, scale * scale_fold
 
 
+@functools.partial(jax.jit, static_argnames=("group", "bits"))
+def quant_int8_block_scales(
+    x: jax.Array, *, group: int, bits: int = 8
+) -> tuple[jax.Array, jax.Array]:
+    """Quantize [b,h,s,d] with one scale per ``group`` rows, returning the
+    scales UNEXPANDED as [b, h, ceil(s/group)] fp32.
+
+    This is the fused kernel's fast-path K layout: the group equals the
+    kernel's KV block, so the kernel reads one SMEM scalar per tile and
+    dequantization collapses to a single FMA per score element.  Accuracy
+    is within noise of per-token K scaling once K is mean-smoothed
+    (measured; see tests/test_quant.py), because smoothing removes the
+    channel-mean outliers that coarse scales would otherwise absorb
+    (reference's coarsest mode: triton/quant_per_block.py).
+    """
+    x = x.astype(jnp.float32)
+    b, h, s, d = x.shape
+    pad = (-s) % group
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    g = xp.reshape(b, h, -1, group, d)
+    qmax = _INT4_QMAX if bits == 4 else 127.0
+    amax = jnp.max(jnp.abs(g), axis=(-1, -2))  # [b, h, n_groups]
+    scale = jnp.maximum(amax, 1e-30) / qmax
+    q = round_half_away(g / scale[..., None, None])
+    q = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+    q = q.reshape(b, h, s + pad, d)[:, :, :s]
+    return q, scale
+
+
 @jax.jit
 def sub_mean(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Subtract the per-(b,h,d) mean over the sequence axis.
