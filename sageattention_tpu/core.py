@@ -104,6 +104,8 @@ def _sageattn_hnd(
     v,
     q_segment_ids,
     kv_segment_ids,
+    q_positions,
+    kv_positions,
     attn_bias,
     *,
     is_causal: bool,
@@ -205,6 +207,8 @@ def _sageattn_hnd(
             is_causal=is_causal,
             q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids,
+            q_positions=q_positions,
+            kv_positions=kv_positions,
             return_lse=return_lse,
             out_dtype=out_dtype,
         )
@@ -248,6 +252,17 @@ def _sageattn_hnd(
         # id 0) so their softmax is well-defined garbage that gets cropped;
         # real rows (ids >= 2) never match pads.
 
+    if q_positions is not None:
+        q_positions = _pad_axis(q_positions.astype(jnp.int32), 1, sq_pad)
+        kv_pad = sk_pad - kv_positions.shape[1]
+        if kv_pad:
+            kv_positions = jnp.concatenate(
+                [
+                    kv_positions.astype(jnp.int32),
+                    jnp.full((b, kv_pad), 2**30, jnp.int32),
+                ],
+                axis=1,
+            )
     q_i8 = _pad_axis(_pad_axis(q_i8, 3, d_pad), 2, sq_pad)
     k_i8 = _pad_axis(_pad_axis(k_i8, 3, d_pad), 2, sk_pad)
     v_q = _pad_axis(_pad_axis(v_q, 3, d_pad), 2, sk_pad)
@@ -270,6 +285,8 @@ def _sageattn_hnd(
         v_mean,
         q_segment_ids,
         kv_segment_ids,
+        q_positions,
+        kv_positions,
         is_causal=is_causal,
         pv_dtype=pv_dtype,
         return_lse=return_lse,
@@ -306,6 +323,8 @@ def _entry(
     smooth_v: bool = False,
     q_segment_ids=None,
     kv_segment_ids=None,
+    q_positions=None,
+    kv_positions=None,
     attn_bias=None,
     block_q: int | None = None,
     block_k: int | None = None,
@@ -330,6 +349,8 @@ def _entry(
         v,
         q_segment_ids,
         kv_segment_ids,
+        q_positions,
+        kv_positions,
         attn_bias,
         is_causal=is_causal,
         sm_scale=sm_scale,
@@ -452,6 +473,8 @@ def sageattn_varlen(
         vh,
         seg_q[None],
         seg_k[None],
+        None,
+        None,
         None,
         is_causal=is_causal,
         sm_scale=sm_scale,

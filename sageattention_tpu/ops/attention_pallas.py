@@ -79,6 +79,8 @@ def _kernel(
     vm_ref,
     qseg_ref,
     kseg_ref,
+    qpos_ref,
+    kpos_ref,
     o_ref,
     lse_ref,
     m_scr,
@@ -91,6 +93,7 @@ def _kernel(
     has_v_scale: bool,
     has_v_mean: bool,
     has_segments: bool,
+    has_positions: bool,
     return_lse: bool,
     block_q: int,
     block_k: int,
@@ -154,6 +157,12 @@ def _kernel(
             if has_segments:
                 mask = qseg_ref[0] == kseg_ref[0]
                 s_i32 = jnp.where(mask, s_i32, MASK_I32)
+            if has_positions:
+                # explicit-position causal masking (dynamic offsets: ring
+                # attention KV rotation, packed caches)
+                pmask = kpos_ref[0] <= qpos_ref[0]
+                mask = pmask if mask is None else jnp.logical_and(mask, pmask)
+                s_i32 = jnp.where(pmask, s_i32, MASK_I32)
             if causal:
                 # Unconditional on computed tiles: a lax.cond guarding
                 # diagonal-only tiles measured slower (Mosaic evaluates
@@ -179,6 +188,10 @@ def _kernel(
             if has_segments:
                 mask = qseg_ref[0] == kseg_ref[0]
                 s = jnp.where(mask, s, MASK_VALUE)
+            if has_positions:
+                pmask = kpos_ref[0] <= qpos_ref[0]
+                mask = pmask if mask is None else jnp.logical_and(mask, pmask)
+                s = jnp.where(pmask, s, MASK_VALUE)
             if causal:
                 row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                 col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -192,7 +205,7 @@ def _kernel(
             bias = m_next[:, :1] - log2_p_scale
             p = jnp.exp2(s - bias)  # values in [0, P_SCALE]
 
-        if has_segments:
+        if has_segments or has_positions:
             # A fully-masked tile would otherwise yield p == P_SCALE
             # everywhere (s - m == 0 when every entry is MASK_VALUE).
             p = jnp.where(mask, p, 0.0)
@@ -284,6 +297,8 @@ def sage_attention_fused(
     v_mean: jax.Array | None = None,
     q_segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
+    q_positions: jax.Array | None = None,
+    kv_positions: jax.Array | None = None,
     *,
     is_causal: bool = False,
     pv_dtype: str = "int8",
@@ -323,6 +338,7 @@ def sage_attention_fused(
     has_v_scale = v_scale is not None
     has_v_mean = v_mean is not None
     has_segments = q_segment_ids is not None
+    has_positions = q_positions is not None
 
     grid = (b, hq, n_q, n_kv)
 
@@ -405,6 +421,13 @@ def sage_attention_fused(
         in_specs.append(pl.BlockSpec((1, 1, block_k), kvsegm))
         inputs.append(q_segment_ids.astype(jnp.int32)[..., None])   # [b,sq,1]
         inputs.append(kv_segment_ids.astype(jnp.int32)[:, None, :])  # [b,1,sk]
+    if has_positions:
+        in_specs.append(
+            pl.BlockSpec((1, block_q, 1), lambda ib, ih, iq, ik: (ib, iq, 0))
+        )
+        in_specs.append(pl.BlockSpec((1, 1, block_k), kvsegm))
+        inputs.append(q_positions.astype(jnp.int32)[..., None])     # [b,sq,1]
+        inputs.append(kv_positions.astype(jnp.int32)[:, None, :])   # [b,1,sk]
 
     out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype)]
     out_specs = [pl.BlockSpec((1, 1, block_q, d), qm)]
@@ -424,6 +447,7 @@ def sage_attention_fused(
         has_v_scale=has_v_scale,
         has_v_mean=has_v_mean,
         has_segments=has_segments,
+        has_positions=has_positions,
         return_lse=return_lse,
         block_q=block_q,
         block_k=block_k,
@@ -442,12 +466,16 @@ def sage_attention_fused(
         qseg_ref = refs[pos] if has_segments else None
         kseg_ref = refs[pos + 1] if has_segments else None
         pos += 2 * has_segments
+        qpos_ref = refs[pos] if has_positions else None
+        kpos_ref = refs[pos + 1] if has_positions else None
+        pos += 2 * has_positions
         o_ref = refs[pos]
         lse_ref = refs[pos + 1] if return_lse else None
         m_scr, l_scr, acc_scr = refs[-3:]
         inner(
             q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, vm_ref,
-            qseg_ref, kseg_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+            qseg_ref, kseg_ref, qpos_ref, kpos_ref, o_ref, lse_ref,
+            m_scr, l_scr, acc_scr,
         )
 
     # FLOPs: 2*sq*sk*d (QK) + 2*sq*sk*d (PV) per (b, h); halved by causal.

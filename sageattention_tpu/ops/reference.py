@@ -37,13 +37,19 @@ def _build_mask(
     q_segment_ids: jax.Array | None,
     kv_segment_ids: jax.Array | None,
     attn_mask: jax.Array | None,
+    q_positions: jax.Array | None = None,
+    kv_positions: jax.Array | None = None,
 ) -> jax.Array | None:
-    """Combine causal / segment-id / boolean masks into one [.., sq, sk] bool."""
+    """Combine causal / segment-id / position / boolean masks into one
+    [.., sq, sk] bool."""
     mask = None
     if is_causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
         mask = col <= row
+    if q_positions is not None:
+        pm = kv_positions[..., None, :] <= q_positions[..., :, None]
+        mask = pm if mask is None else jnp.logical_and(mask, pm)
     if q_segment_ids is not None:
         # [.., sq] x [.., sk] -> [.., sq, sk]
         seg = q_segment_ids[..., :, None] == kv_segment_ids[..., None, :]
@@ -126,6 +132,8 @@ def quantized_attention_reference(
     is_causal: bool = False,
     q_segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
+    q_positions: jax.Array | None = None,
+    kv_positions: jax.Array | None = None,
     return_lse: bool = False,
     out_dtype=jnp.bfloat16,
 ):
@@ -182,6 +190,8 @@ def quantized_attention_reference(
         q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids,
         attn_mask=None,
+        q_positions=q_positions,
+        kv_positions=kv_positions,
     )
     if mask is not None:
         s = jnp.where(mask, s, MASK_VALUE)

@@ -1,0 +1,16 @@
+from sageattention_tpu.parallel.mesh import make_mesh
+from sageattention_tpu.parallel.ring import ring_sageattn, make_ring_attention
+from sageattention_tpu.parallel.ulysses import (
+    ulysses_sageattn,
+    make_ulysses_attention,
+)
+from sageattention_tpu.parallel.api import make_parallel_sageattn
+
+__all__ = [
+    "make_mesh",
+    "ring_sageattn",
+    "make_ring_attention",
+    "ulysses_sageattn",
+    "make_ulysses_attention",
+    "make_parallel_sageattn",
+]

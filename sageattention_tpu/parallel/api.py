@@ -1,0 +1,103 @@
+"""Composed parallel attention: DP/CFG x ring x Ulysses on one mesh.
+
+The TPU-native equivalent of the xDiT launch matrix (reference:
+example/parallel_sageattn_cogvideo.py:89-95, run_parallel.sh:37-42):
+--use_cfg_parallel -> the "data" mesh axis, --ring_degree -> the "seq"
+axis (KV rotation), --ulysses_degree -> the "heads" axis (head
+all-to-all).  Input activations are sequence-sharded over seq x heads and
+batch-sharded over data, exactly like xDiT shards DiT activations.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from sageattention_tpu import core
+from sageattention_tpu.parallel.ring import ring_sageattn
+from sageattention_tpu.parallel.ulysses import ulysses_sageattn
+
+
+def make_parallel_sageattn(
+    mesh,
+    *,
+    data_axis: str | None = "data",
+    ring_axis: str | None = "seq",
+    ulysses_axis: str | None = "heads",
+    is_causal: bool = False,
+    tensor_layout: str = "HND",
+    **attn_kwargs,
+):
+    """Build a jitted, shard_mapped drop-in attention over ``mesh``.
+
+    Global tensors (HND [b, h, S, d] or NHD) enter batch-sharded on
+    ``data_axis`` and sequence-sharded over (ring_axis, ulysses_axis);
+    the output is sharded the same way.  Axes with size 1 (or None)
+    compose away.
+    """
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    ring_n = axis_sizes.get(ring_axis, 1) if ring_axis else 1
+    uly_n = axis_sizes.get(ulysses_axis, 1) if ulysses_axis else 1
+
+    seq_axes = tuple(
+        a for a, n in ((ring_axis, ring_n), (ulysses_axis, uly_n)) if n > 1
+    )
+    seq_spec = seq_axes if seq_axes else None
+    if tensor_layout == "HND":
+        spec = P(data_axis, None, seq_spec, None)
+    elif tensor_layout == "NHD":
+        spec = P(data_axis, seq_spec, None, None)
+    else:
+        raise ValueError(f"bad tensor_layout {tensor_layout!r}")
+
+    def local_fn(q, k, v):
+        if tensor_layout == "NHD":
+            q, k, v = (jax.numpy.swapaxes(x, 1, 2) for x in (q, k, v))
+        if uly_n > 1:
+            # Ulysses gathers the sequence over its axis (head swap); the
+            # inner attention is then ring over ring_axis (or local).
+            def inner(qg, kg, vg):
+                if ring_n > 1:
+                    return ring_sageattn(
+                        qg, kg, vg, ring_axis,
+                        is_causal=is_causal, **attn_kwargs,
+                    )
+                return core._entry(
+                    qg, kg, vg, "HND", is_causal, None, False, **attn_kwargs
+                )
+
+            n = uly_n
+            qg = jax.lax.all_to_all(
+                q, ulysses_axis, split_axis=1, concat_axis=2, tiled=True
+            )
+            kg = jax.lax.all_to_all(
+                k, ulysses_axis, split_axis=1, concat_axis=2, tiled=True
+            )
+            vg = jax.lax.all_to_all(
+                v, ulysses_axis, split_axis=1, concat_axis=2, tiled=True
+            )
+            og = inner(qg, kg, vg)
+            o = jax.lax.all_to_all(
+                og, ulysses_axis, split_axis=2, concat_axis=1, tiled=True
+            )
+        elif ring_n > 1:
+            o = ring_sageattn(
+                q, k, v, ring_axis, is_causal=is_causal, **attn_kwargs
+            )
+        else:
+            o = core._entry(
+                q, k, v, "HND", is_causal, None, False, **attn_kwargs
+            )
+        if tensor_layout == "NHD":
+            o = jax.numpy.swapaxes(o, 1, 2)
+        return o
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
+    )
