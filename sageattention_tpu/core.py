@@ -384,9 +384,34 @@ def sageattn(
 
     Drop-in replacement for scaled-dot-product attention.  On TPU this
     always selects the fused Pallas kernel with int8 QK^T and int8 PV
-    (per-token Q/K granularity — finer than any granularity the reference
-    can express — with K mean-smoothing); there is no per-arch table.
+    (per-token Q scales + per-block K scales, with K mean-smoothing);
+    there is no per-arch table.
+
+    Differentiable w.r.t. q/k/v (quantized forward, exact recomputed
+    backward — see ops/autodiff.py) whenever no segment/position/bias
+    tensors are passed; the reference is forward-only.
     """
+    tensor_args = ("q_segment_ids", "kv_segment_ids", "q_positions",
+                   "kv_positions", "attn_bias")
+    if all(kwargs.get(a) is None for a in tensor_args):
+        from sageattention_tpu.ops import autodiff
+
+        kwargs = {k_: v_ for k_, v_ in kwargs.items() if v_ is not None}
+        qh = _to_hnd(q, tensor_layout)
+        kh = _to_hnd(k, tensor_layout)
+        vh = _to_hnd(v, tensor_layout)
+        out = autodiff.differentiable_sageattn(
+            qh,
+            kh,
+            vh,
+            is_causal=is_causal,
+            sm_scale=sm_scale,
+            return_lse=return_lse,
+            **kwargs,
+        )
+        if return_lse:
+            return _from_hnd(out[0], tensor_layout), out[1]
+        return _from_hnd(out, tensor_layout)
     return _entry(
         q,
         k,

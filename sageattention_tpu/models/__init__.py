@@ -1,0 +1,22 @@
+from sageattention_tpu.models.attention import (
+    attention,
+    set_attention_backend,
+    get_attention_backend,
+    set_mesh,
+    SageAttnProcessor,
+)
+from sageattention_tpu.models.configs import MODEL_CONFIGS, DiTConfig, LLMConfig
+from sageattention_tpu.models.dit import VideoDiT
+from sageattention_tpu.models.llm import CausalLM
+
+__all__ = [
+    "attention",
+    "set_attention_backend",
+    "get_attention_backend",
+    "SageAttnProcessor",
+    "MODEL_CONFIGS",
+    "DiTConfig",
+    "LLMConfig",
+    "VideoDiT",
+    "CausalLM",
+]

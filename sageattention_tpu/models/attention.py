@@ -1,0 +1,179 @@
+"""Pluggable attention backend — the drop-in integration point.
+
+The reference integrates with models two ways (reference: example/README.md
+:8-13):
+
+1. globally replacing ``F.scaled_dot_product_attention = sageattn``
+   (reference: example/cogvideox-2b.py:16-23) — here,
+   :func:`set_attention_backend` switches every model in this package;
+2. injecting a per-layer attention processor (reference:
+   example/modify_model/modify_wan.py:9-40, example/mochi.py:11-50) —
+   here, :class:`SageAttnProcessor` instances passed to a module.
+
+Backends:
+  "sage"       — fused int8-QK/int8-PV kernel (the default, the analogue
+                 of the reference FP8 path)
+  "sage_bf16"  — int8-QK / bf16-PV (accuracy fallback)
+  "sage_fp8"   — int8-QK / fp8-PV (TPU gens with native fp8 matmul)
+  "sdpa"       — XLA dot-product attention (the FA2-style baseline)
+  "reference"  — exact fp32 oracle (tests)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+import sageattention_tpu as sa
+from sageattention_tpu.ops import reference as ref_mod
+
+_BACKENDS: dict[str, Callable] = {}
+_CURRENT = "sage"
+
+
+def register_backend(name: str, fn: Callable) -> None:
+    _BACKENDS[name] = fn
+
+
+def set_attention_backend(name: str) -> None:
+    """Globally select the attention implementation (the TPU analogue of
+    monkey-patching F.scaled_dot_product_attention)."""
+    global _CURRENT
+    if name not in _BACKENDS:
+        raise ValueError(f"unknown backend {name!r}; have {sorted(_BACKENDS)}")
+    _CURRENT = name
+
+
+def get_attention_backend() -> str:
+    return _CURRENT
+
+
+def attention(q, k, v, *, is_causal=False, sm_scale=None, backend=None, **kw):
+    """Scaled-dot-product attention on HND [b, h, s, d] tensors through the
+    selected backend."""
+    fn = _BACKENDS[backend or _CURRENT]
+    return fn(q, k, v, is_causal=is_causal, sm_scale=sm_scale, **kw)
+
+
+def _sdpa(q, k, v, *, is_causal, sm_scale, **kw):
+    qn, kn, vn = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    o = jax.nn.dot_product_attention(
+        qn, kn, vn, is_causal=is_causal, scale=sm_scale, implementation="xla"
+    )
+    return jnp.swapaxes(o, 1, 2)
+
+
+register_backend(
+    "sage",
+    lambda q, k, v, *, is_causal, sm_scale, **kw: sa.sageattn(
+        q, k, v, is_causal=is_causal, sm_scale=sm_scale, **kw
+    ),
+)
+register_backend(
+    "sage_bf16",
+    lambda q, k, v, *, is_causal, sm_scale, **kw: sa.sageattn_qk_int8_pv_bf16(
+        q, k, v, is_causal=is_causal, sm_scale=sm_scale, **kw
+    ),
+)
+register_backend(
+    "sage_fp8",
+    lambda q, k, v, *, is_causal, sm_scale, **kw: sa.sageattn_qk_int8_pv_fp8(
+        q, k, v, is_causal=is_causal, sm_scale=sm_scale, **kw
+    ),
+)
+register_backend("sdpa", _sdpa)
+
+# --- mesh-aware parallel backend -------------------------------------
+_MESH = None
+_MESH_AXES = ("data", "seq", "heads")
+_PARALLEL_CACHE: dict = {}
+
+
+def set_mesh(mesh, data_axis="data", ring_axis="seq", ulysses_axis="heads"):
+    """Bind a device mesh; the "sage_parallel" backend then runs every
+    attention as DP x ring x Ulysses over it (the in-model analogue of
+    running the whole pipeline under xDiT, reference:
+    example/parallel_sageattn_cogvideo.py)."""
+    global _MESH, _MESH_AXES
+    _MESH = mesh
+    _MESH_AXES = (data_axis, ring_axis, ulysses_axis)
+    _PARALLEL_CACHE.clear()
+
+
+def _sage_parallel(q, k, v, *, is_causal, sm_scale, **kw):
+    if _MESH is None:
+        raise RuntimeError("call models.set_mesh(mesh) before using the "
+                           "'sage_parallel' backend")
+    from sageattention_tpu.parallel.api import make_parallel_sageattn
+
+    key = (is_causal, sm_scale, tuple(sorted(kw.items())))
+    if key not in _PARALLEL_CACHE:
+        data_axis, ring_axis, ulysses_axis = _MESH_AXES
+        inner = make_parallel_sageattn(
+            _MESH,
+            data_axis=data_axis,
+            ring_axis=ring_axis,
+            ulysses_axis=ulysses_axis,
+            is_causal=is_causal,
+            sm_scale=sm_scale,
+            **kw,
+        )
+
+        # quantized parallel forward, exact recomputed backward (the same
+        # straight-through rule as ops/autodiff.py, on global tensors)
+        @jax.custom_vjp
+        def f(q, k, v):
+            return inner(q, k, v)
+
+        def fwd(q, k, v):
+            return f(q, k, v), (q, k, v)
+
+        def bwd(res, ct):
+            q, k, v = res
+            _, vjp = jax.vjp(
+                lambda q, k, v: ref_mod.attention_reference(
+                    q, k, v, is_causal=is_causal, sm_scale=sm_scale
+                ),
+                q,
+                k,
+                v,
+            )
+            return vjp(ct)
+
+        f.defvjp(fwd, bwd)
+        _PARALLEL_CACHE[key] = f
+    return _PARALLEL_CACHE[key](q, k, v)
+
+
+register_backend("sage_parallel", _sage_parallel)
+register_backend(
+    "reference",
+    lambda q, k, v, *, is_causal, sm_scale, **kw: ref_mod.attention_reference(
+        q, k, v, is_causal=is_causal, sm_scale=sm_scale, **kw
+    ),
+)
+
+
+@dataclasses.dataclass
+class SageAttnProcessor:
+    """Per-layer attention processor (the analogue of the reference's
+    WanAttnProcessor2_0 / MochiAttnProcessor2_0 injection, reference:
+    example/modify_model/modify_wan.py:9-40)."""
+
+    backend: str = "sage"
+    is_causal: bool = False
+    kwargs: dict = dataclasses.field(default_factory=dict)
+
+    def __call__(self, q, k, v, sm_scale=None):
+        return attention(
+            q,
+            k,
+            v,
+            is_causal=self.is_causal,
+            sm_scale=sm_scale,
+            backend=self.backend,
+            **self.kwargs,
+        )

@@ -25,6 +25,7 @@ def make_parallel_sageattn(
     ring_axis: str | None = "seq",
     ulysses_axis: str | None = "heads",
     is_causal: bool = False,
+    sm_scale: float | None = None,
     tensor_layout: str = "HND",
     **attn_kwargs,
 ):
@@ -60,10 +61,11 @@ def make_parallel_sageattn(
                 if ring_n > 1:
                     return ring_sageattn(
                         qg, kg, vg, ring_axis,
-                        is_causal=is_causal, **attn_kwargs,
+                        is_causal=is_causal, sm_scale=sm_scale, **attn_kwargs,
                     )
                 return core._entry(
-                    qg, kg, vg, "HND", is_causal, None, False, **attn_kwargs
+                    qg, kg, vg, "HND", is_causal, sm_scale, False,
+                    **attn_kwargs,
                 )
 
             n = uly_n
@@ -82,11 +84,12 @@ def make_parallel_sageattn(
             )
         elif ring_n > 1:
             o = ring_sageattn(
-                q, k, v, ring_axis, is_causal=is_causal, **attn_kwargs
+                q, k, v, ring_axis,
+                is_causal=is_causal, sm_scale=sm_scale, **attn_kwargs,
             )
         else:
             o = core._entry(
-                q, k, v, "HND", is_causal, None, False, **attn_kwargs
+                q, k, v, "HND", is_causal, sm_scale, False, **attn_kwargs
             )
         if tensor_layout == "NHD":
             o = jax.numpy.swapaxes(o, 1, 2)

@@ -1,0 +1,67 @@
+"""Gradient support (quantized forward / exact recomputed backward)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sageattention_tpu as sa
+from sageattention_tpu.ops import reference
+
+
+def rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape)
+
+
+class TestGrad:
+    def test_grad_matches_exact_attention_grad(self):
+        q, k, v = (rand(i, (1, 2, 128, 64)) for i in range(3))
+
+        def loss_sage(q, k, v):
+            return jnp.sum(sa.sageattn(q, k, v, pv_dtype="bf16") ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                reference.attention_reference(q, k, v) ** 2
+            )
+
+        g_sage = jax.grad(loss_sage, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        # the cotangent entering the bwd comes from the quantized output,
+        # so gradients match to quantization error, not exactly
+        for gs, gr in zip(g_sage, g_ref):
+            cos = float(
+                jnp.sum(gs * gr)
+                / (jnp.linalg.norm(gs) * jnp.linalg.norm(gr))
+            )
+            assert cos > 0.99
+
+    def test_grad_causal(self):
+        q, k, v = (rand(i + 5, (1, 2, 128, 32)) for i in range(3))
+        g = jax.grad(
+            lambda q: jnp.sum(sa.sageattn(q, k, v, is_causal=True))
+        )(q)
+        assert g.shape == q.shape
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_value_and_grad_through_model_step(self):
+        """The dryrun training-step contract in miniature."""
+        from sageattention_tpu import models
+        from sageattention_tpu.models.configs import MODEL_CONFIGS
+
+        cfg = MODEL_CONFIGS["llm-7b"].scaled(
+            depth=1, hidden=128, heads=4, kv_heads=4, head_dim=32,
+            vocab=256, mlp_hidden=256,
+        )
+        model = models.CausalLM(cfg)
+        toks = jax.random.randint(jax.random.PRNGKey(0), (1, 128), 0, 256)
+        params = model.init(jax.random.PRNGKey(1), toks)
+
+        def loss_fn(p):
+            logits = model.apply(p, toks)
+            return jnp.mean(logits**2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        assert jnp.isfinite(loss)
+        flat = jax.tree.leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
+        assert any(float(jnp.max(jnp.abs(g))) > 0 for g in flat)
