@@ -30,9 +30,12 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def device_time(fn_one, args, n=10):
+def device_time(fn_one, args, n=10, reps=3):
     """Per-iteration device time via a jitted scan chain (the tunneled TPU
-    backend here doesn't honor block_until_ready for wall timing)."""
+    backend here doesn't honor block_until_ready for wall timing).  The
+    chain must thread the carry into each iteration's *inputs* (via a small
+    tensor) or XLA hoists the launch out of the loop.  min-of-reps guards
+    against the shared chip's load variance."""
 
     @jax.jit
     def many(*a):
@@ -45,10 +48,13 @@ def device_time(fn_one, args, n=10):
 
     r = many(*args)
     _ = np.asarray(r)  # warm + sync
-    t0 = time.time()
-    r = many(*args)
-    _ = np.asarray(r)
-    return (time.time() - t0) / n
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        r = many(*args)
+        _ = np.asarray(r)
+        best = min(best, (time.time() - t0) / n)
+    return best
 
 
 def main():
@@ -56,7 +62,7 @@ def main():
     from sageattention_tpu.ops.attention_pallas import sage_attention_fused
 
     b, h, s, d = 4, 32, 4096, 128
-    bq, bk = 512, 2048
+    bq, bk = 512, 4096
     flops = 4 * b * h * d * s * s
 
     key = jax.random.PRNGKey(0)
@@ -64,10 +70,12 @@ def main():
     k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), dtype=jnp.bfloat16)
     v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), dtype=jnp.bfloat16)
 
+    from sageattention_tpu.ops.attention_pallas import effective_chunk_k
+
     q_i8, qs = quant.quant_int8(
         q, granularity="per_token", scale_fold=d**-0.5 * 1.4426950408889634
     )
-    k_i8, ksb = quant.quant_int8_block_scales(k, group=bk)
+    k_i8, ksb = quant.quant_int8_block_scales(k, group=effective_chunk_k(bk))
     v_q, vs, _ = quant.per_channel_quant(v, dtype=jnp.int8)
 
     fo = functools.partial(
@@ -75,7 +83,9 @@ def main():
     )
 
     def one(i, c, qi, qss, ki, kss, vq, vsc):
-        return fo(qi ^ i.astype(jnp.int8), qss, ki, kss, vq, vsc)
+        # perturb the small scale tensor (not the 64MB q) to keep the scan
+        # iterations dependent without measurable overhead
+        return fo(qi, qss + c * 1e-30, ki, kss, vq, vsc)
 
     t_sage = device_time(one, (q_i8, qs, k_i8, ksb, v_q, vs), n=10)
     tops_sage = flops / t_sage / 1e12

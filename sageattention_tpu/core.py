@@ -135,9 +135,10 @@ def _sageattn_hnd(
 
     # --- Q/K quantization (+ K smoothing) ------------------------------
     # "auto" is the TPU-recommended config: per-token Q scales + one K
-    # scale per kernel KV block (SMEM scalar -> single-FMA dequant in the
-    # kernel).  The reference ships per-GPU recommended configs the same
-    # way (reference: bench/README.md:22-27).
+    # scale per kernel KV *chunk* (SMEM scalar -> single-FMA dequant in
+    # the kernel).  The reference ships per-GPU recommended configs the
+    # same way (reference: bench/README.md:22-27).
+    chunk_k = attention_pallas.effective_chunk_k(block_k)
     if qk_quant_gran == "auto":
         if smooth_k:
             k_sm, km = quant_mod.sub_mean(k)
@@ -150,11 +151,11 @@ def _sageattn_hnd(
             bits=qk_bits,
         )
         k_i8, k_scale = quant_mod.quant_int8_block_scales(
-            k_sm, group=block_k, bits=qk_bits
+            k_sm, group=chunk_k, bits=qk_bits
         )
         if impl == "xla":
             # the oracle consumes per-row scales
-            k_scale = jnp.repeat(k_scale, block_k, axis=-1)[..., :sk]
+            k_scale = jnp.repeat(k_scale, chunk_k, axis=-1)[..., :sk]
     else:
         q_i8, q_scale, k_i8, k_scale, km = quant_mod.quantize_qk(
             q,
@@ -269,7 +270,11 @@ def _sageattn_hnd(
     q_scale = _pad_axis(q_scale, 2, sq_pad)
     if k_scale.shape[-1] == sk:
         k_scale = _pad_axis(k_scale, 2, sk_pad)
-    # else: blocked K scales [b,hkv,ceil(sk/block_k)] already cover sk_pad
+    else:
+        # chunked K scales [b,hkv,ceil(sk/chunk_k)]: extend to the padded
+        # chunk count (pad chunks are masked out via the segment ids added
+        # above, so the value is irrelevant).
+        k_scale = _pad_axis(k_scale, 2, sk_pad // chunk_k)
     if v_scale is not None:
         v_scale = _pad_axis(v_scale, 2, d_pad)
     if v_mean is not None:
@@ -335,14 +340,21 @@ def _entry(
     k = _to_hnd(k, tensor_layout)
     v = _to_hnd(v, tensor_layout)
     if block_q is None:
-        block_q = _auto_block(q.shape[2], (3072, 512), (1024, 256), 128)
+        block_q = _auto_block(q.shape[2], (512, 512), (256, 256), 128)
     if block_k is None:
+        # Non-causal: the largest KV block the VMEM pipeline tolerates wins
+        # (fewer scratch merges, deeper chunk pipeline).  Causal: smaller
+        # blocks sharpen the diagonal early-exit (reference:
+        # sm89.cuh:225-229); the kernel's chunk width stays >= 1024 where
+        # possible (narrow chunks are VPU-inefficient, measured).
+        top = (2048, 2048) if is_causal else (4096, 4096)
         block_k = _auto_block(
-            k.shape[2], (4096, 2048), (2048, 1024), (512, 256), 128
+            k.shape[2], top, (2048, 2048), (1024, 1024), (512, 512),
+            (256, 256), 128
         )
         if q.shape[-1] > 128:
             # bound VMEM for wide heads (scores tile is block_q*block_k f32)
-            block_k = min(block_k, 1024)
+            block_k = min(block_k, 2048)
     out = _sageattn_hnd(
         q,
         k,
@@ -509,9 +521,11 @@ def sageattn_varlen(
         smooth_v=kwargs.pop("smooth_v", False),
         return_lse=return_lse,
         block_q=kwargs.pop("block_q", None)
-        or _auto_block(total_q, (3072, 512), (1024, 256), 128),
+        or _auto_block(total_q, (512, 512), (256, 256), 128),
         block_k=kwargs.pop("block_k", None)
-        or _auto_block(total_k, (4096, 1024), (2048, 512), (512, 256), 128),
+        or _auto_block(
+            total_k, (2048, 2048), (1024, 1024), (512, 512), (256, 256), 128
+        ),
         impl=kwargs.pop("impl", "auto"),
     )
     if return_lse:

@@ -3,46 +3,64 @@
 One parameterized kernel family replaces the reference's per-arch CUDA/HIP/
 Triton kernel zoo (reference: csrc/qattn/qk_int_sv_f8_cuda_sm89.cuh:46-706,
 qk_int_sv_f16_cuda_sm80.cu, triton/attn_qk_int8_*.py).  Static configuration
-(head_dim, causal, PV dtype/accum policy, LSE, GQA group, segments) is
-resolved at trace time; Mosaic targets every TPU generation, so there is no
-arch dispatch matrix (reference: csrc/dispatch_utils.h).
+(head_dim, causal, V storage dtype, LSE, GQA group, segments) is resolved at
+trace time; Mosaic targets every TPU generation, so there is no arch dispatch
+matrix (reference: csrc/dispatch_utils.h).
 
-Algorithm (the reference's fused form, SURVEY.md §3.2), mapped to TPU:
+Architecture — measured-on-TPU redesign of the reference's fused form
+(SURVEY.md §3.2), shaped by three facts of this hardware that differ from
+CUDA tensor cores:
+
+1. int8 MXU matmul is only marginally faster than bf16 (measured ~1.1x, not
+   the 2-4x of GPU int8/fp8 tensor cores), so INT8's value here is halved
+   HBM/VMEM traffic for Q/K/V plus the accuracy machinery (smoothing, scale
+   granularity) — not raw MMA rate.
+2. The kernel is jointly MXU- and VPU-bound: the online-softmax VPU work is
+   comparable to the matmul time, so the win comes from *overlapping* them.
+3. Cross-lane reductions and elementwise passes over the score tile dominate
+   VPU time; transcendentals (exp2) fuse into the dequant chain nearly free.
+
+Hence the kernel structure (measured +55% over the naive fused loop, +30%
+over jax's flash_attention on the reference's headline shape):
 
 * grid = (batch, q_heads, q_blocks, kv_blocks); the kv dimension is the
-  online-softmax reduction ("arbitrary"), the rest are parallel.  The Pallas
-  grid pipeline double-buffers the K/V block DMAs automatically (the TPU
-  analogue of cp.async group staging, reference: csrc/cp_async.cuh).
-* Q.K^T is an int8 x int8 -> int32 ``dot_general`` on the MXU (the analogue
-  of mma.cuh s8s8s32, reference: csrc/mma.cuh:329-427).
-* Dequantization is an outer-product broadcast of **per-row** fp32 scales
-  (q_scale has sm_scale*log2e folded in), so softmax runs in base 2 —
-  exactly the reference's folded-dequant ``update_mdo`` online softmax
-  (reference: csrc/qattn/attn_utils.cuh:353-458) minus the warp shuffles,
-  which the VPU's native cross-lane reductions subsume.
-* P.V runs in one of three policies (``pv_dtype``):
-    - "int8": P is requantized in-register to int8 with the static scale
-      127 (P in (0,1]); V is per-channel int8.  The int32 block product is
-      rescaled and added to the fp32 long-term accumulator — the TPU-native
-      analogue of the reference's FP8 PV with two-level accumulation
-      ("fp32+fp32" inst_buf, reference: attn_utils.cuh:777-992) *and* of its
-      S_FP8_OFFSET=8.807 exponent trick (2^8.807=448 maps P to full e4m3
-      range; x127 maps P to full int8 range the same way,
-      reference: attn_utils.cuh:30-32).  On TPU the fast low-bit MXU path
-      is int8, which is why this (not fp8) is the default quantized PV.
-    - "fp8": P -> float8_e4m3 (x448), V per-channel fp8; for TPU
-      generations with native fp8 matmul.
-    - "bf16": P in bf16, V in bf16, fp32 accumulation — the accuracy
-      fallback (the analogue of qk_int8_sv_f16, reference:
-      csrc/qattn/qk_int_sv_f16_cuda_sm80.cu).
-* Causal block skip: KV blocks strictly above the diagonal are skipped
-  (reference early-exit: sm89.cuh:225-229).
-* Epilogue: 1/d normalization, fused per-channel v_scale multiply and
-  v_mean add (reference: sm89.cuh:578-624), optional base-2 LSE store
-  (reference: sm89.cuh:694-706).
-* Varlen is expressed as segment-id masking (splash-attention idiom) rather
-  than cu_seqlens pointer chasing (reference: triton/attn_qk_int8_block_
+  online-softmax reduction ("arbitrary"); the Pallas grid pipeline
+  double-buffers the K/V block DMAs (the TPU analogue of cp.async staging,
+  reference: csrc/cp_async.cuh).
+* Each Q block is split into independent **sub-tile chains** (default 128
+  rows) and each KV block into **chunks** (default 2048 columns).  The
+  (sub-tile x chunk) work items are software-pipelined: the INT8 QK^T MXU
+  op of item t+1 is issued before the softmax VPU work of item t, and the
+  items' dependency chains are mutually independent, giving Mosaic's
+  scheduler the slack to keep the MXU and VPU busy simultaneously — the
+  TPU version of warp specialization.
+* Q.K^T is int8 x int8 -> int32 on the MXU (reference: csrc/mma.cuh:329-427
+  s8s8s32).  Per-chunk dequant scale = q_scale (per row, sm_scale*log2e
+  folded, reference: quant.py:95) x k_scale (one SMEM scalar per chunk), so
+  the row max commutes to the int32 domain and dequantization reaches the
+  VPU as a single fused multiply feeding exp2 — the reference's folded-
+  dequant ``update_mdo`` online softmax (reference: attn_utils.cuh:353-458)
+  with the lane shuffles replaced by VPU cross-lane reductions.
+* **Split softmax**: each work item computes an independent (m_c, l_c,
+  p_c.V_c) triple; exact LSE-weighted merging happens once per sub-tile at
+  the end of the KV block, then once more into the running (m, l, acc)
+  scratch carried across KV blocks.  Removing the serial rescale-per-chunk
+  dependency of the classic online loop is what unlocks the MXU/VPU overlap.
+* P stays **bf16** for the P.V MXU op (no requantization): on TPU the bf16
+  MXU path is the fastest available, so quantizing P to int8/fp8 (the
+  reference's S_FP8_OFFSET trick, attn_utils.cuh:30-32) would cost a VPU
+  relayout pass and *lose* both speed and accuracy.  V may be stored int8 /
+  fp8 (per-channel scales, converted to bf16 in-register) or bf16; the
+  per-channel v_scale multiply and v_mean add stay fused in the epilogue
+  (reference: sm89.cuh:578-624).
+* Causal: KV blocks strictly above the diagonal are skipped via clamped
+  index maps — no DMA and no compute (reference early-exit:
+  sm89.cuh:225-229); diagonal blocks mask per-chunk in the int32 domain.
+* Varlen is segment-id masking (splash-attention idiom) rather than
+  cu_seqlens pointer chasing (reference: triton/attn_qk_int8_block_
   varlen.py) — same capability, TPU-idiomatic form.
+* LSE output is base-2 ``log2(l) + m`` exactly as the reference kernel
+  stores it (reference: sm89.cuh:694-706).
 """
 
 from __future__ import annotations
@@ -56,17 +74,163 @@ from jax.experimental.pallas import tpu as pltpu
 
 LOG2E = 1.4426950408889634
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
-NEG_INF = -jnp.inf
-# Full-scale requantization factors for P in (0, 1] (folded into the exp2
-# bias inside the kernel).
-P_INT8_SCALE = 127.0
-P_FP8_SCALE = 448.0
-LOG2_P_INT8 = float(jnp.log2(P_INT8_SCALE))
-LOG2_P_FP8 = float(jnp.log2(P_FP8_SCALE))
+NEG_INIT = -1e30  # finite m initializer: exp2(NEG_INIT - m) == 0 exactly
 MIN_LANES = 128
-# int32-domain mask value used on raw QK^T scores in the fast path; scaled
-# by the (positive) dequant scale it stays hugely negative.
+# int32-domain mask value for raw QK^T scores in the fast path; scaled by a
+# positive dequant scale it stays hugely negative.
 MASK_I32 = -(2**30)
+# Default KV chunk width of the in-kernel pipeline.  Chunks narrower than
+# ~1024 lanes are VPU-inefficient (measured); 2048 balances VMEM footprint
+# against pipeline depth.
+DEFAULT_CHUNK_K = 2048
+
+
+def effective_chunk_k(block_k: int) -> int:
+    """The kernel's KV chunk width for a given KV block size.  The chunked
+    (fast-path) K quantization group in quant.py must equal this."""
+    return min(DEFAULT_CHUNK_K, block_k)
+
+
+def _compute_parts(
+    *,
+    q_idx,
+    kv_idx,
+    q_ref,
+    qs_ref,
+    k_ref,
+    ks_ref,
+    v_ref,
+    qseg_ref,
+    kseg_ref,
+    qpos_ref,
+    kpos_ref,
+    causal: bool,
+    k_scale_blocked: bool,
+    has_segments: bool,
+    has_positions: bool,
+    sub_q: int,
+    chunk_k: int,
+    n_chunks: int,
+    n_sub: int,
+    block_q: int,
+    block_k: int,
+    v_needs_cast: bool,
+):
+    """One KV block: the pipelined (sub-tile x chunk) split-softmax.
+
+    Returns per-sub-tile lists of independent (m_c, l_c, pv_c) partials."""
+    subs = [q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)]
+    qs_subs = [
+        qs_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)
+    ]
+
+    def qk(item):
+        qi, c = item
+        k = k_ref[0, 0, c * chunk_k:(c + 1) * chunk_k, :]
+        return jax.lax.dot_general(
+            subs[qi],
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [sub_q, chunk_k] int32
+
+    def soft_pv(item, s_i32):
+        """Independent chunk softmax: returns (m_c, l_c, pv_c, dead_mask)."""
+        qi, c = item
+        qs = qs_subs[qi]  # [sub_q, 1] f32, sm_scale*log2e folded
+
+        mask = None
+        if has_segments:
+            qseg = qseg_ref[0, qi * sub_q:(qi + 1) * sub_q, :]
+            kseg = kseg_ref[0, :, c * chunk_k:(c + 1) * chunk_k]
+            mask = qseg == kseg
+        if has_positions:
+            qpos = qpos_ref[0, qi * sub_q:(qi + 1) * sub_q, :]
+            kpos = kpos_ref[0, :, c * chunk_k:(c + 1) * chunk_k]
+            pmask = kpos <= qpos
+            mask = pmask if mask is None else jnp.logical_and(mask, pmask)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
+            cm = (col + kv_idx * block_k + c * chunk_k) <= (
+                row + q_idx * block_q + qi * sub_q
+            )
+            mask = cm if mask is None else jnp.logical_and(mask, cm)
+
+        if k_scale_blocked:
+            # FAST PATH: one K scale per chunk from SMEM; masking and the
+            # row max run in the int32 domain (the positive per-row scale
+            # commutes with max), so dequant is one fused multiply feeding
+            # exp2.
+            ksc = ks_ref[0, 0, 0, kv_idx * n_chunks + c]
+            rowscale = qs * ksc  # [sub_q, 1]
+            if mask is not None:
+                s_i32 = jnp.where(mask, s_i32, MASK_I32)
+            imax = jnp.max(s_i32, axis=1)[:, None]
+            m_c = imax.astype(jnp.float32) * rowscale
+            p = jnp.exp2(s_i32.astype(jnp.float32) * rowscale - m_c)
+        else:
+            # Per-row K scales (reference-parity accuracy mode): one extra
+            # broadcast multiply per element.
+            ks = ks_ref[0, 0, :, c * chunk_k:(c + 1) * chunk_k]  # [1, chunk]
+            s = s_i32.astype(jnp.float32) * qs * ks
+            if mask is not None:
+                s = jnp.where(mask, s, MASK_VALUE)
+            m_c = jnp.max(s, axis=1)[:, None]
+            p = jnp.exp2(s - m_c)
+
+        if mask is not None:
+            # A fully-masked chunk yields p == 1 everywhere (s - m == 0);
+            # zero it and flag the rows dead via m_c.
+            dead = jnp.all(jnp.logical_not(mask), axis=1)[:, None]
+            p = jnp.where(mask, p, 0.0)
+            m_c = jnp.where(dead, NEG_INIT, m_c)
+        l_c = jnp.sum(p, axis=1)[:, None]
+
+        v = v_ref[0, 0, c * chunk_k:(c + 1) * chunk_k, :]
+        if v_needs_cast:
+            v = v.astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [sub_q, d] f32
+        return m_c, l_c, pv
+
+    # Software pipeline over work items (chunk-major round robin): the QK
+    # MXU op for item t+1 is issued before item t's VPU softmax, and items
+    # are independent chains, so Mosaic can overlap MXU and VPU.
+    work = [(qi, c) for c in range(n_chunks) for qi in range(n_sub)]
+    parts: dict[int, list] = {qi: [] for qi in range(n_sub)}
+    s_prev = qk(work[0])
+    for t in range(1, len(work)):
+        s_next = qk(work[t])
+        item = work[t - 1]
+        parts[item[0]].append(soft_pv(item, s_prev))
+        s_prev = s_next
+    parts[work[-1][0]].append(soft_pv(work[-1], s_prev))
+    return parts
+
+
+def _merge_parts(ps, m_to=None):
+    """Exact LSE-weighted merge of independent (m_c, l_c, pv_c) partials.
+
+    Returns (m, l, acc) values; if ``m_to`` is given the partials are merged
+    at that max instead of their own (for merging into a running state)."""
+    if m_to is None:
+        m = ps[0][0]
+        for m_c, _, _ in ps[1:]:
+            m = jnp.maximum(m, m_c)
+    else:
+        m = m_to
+    l = jnp.zeros_like(ps[0][1])
+    acc = jnp.zeros_like(ps[0][2])
+    for m_c, l_c, pv_c in ps:
+        w = jnp.exp2(m_c - m)
+        l = l + w * l_c
+        acc = acc + pv_c * w[:, :1]
+    return m, l, acc
 
 
 def _kernel(
@@ -88,29 +252,33 @@ def _kernel(
     acc_scr,
     *,
     causal: bool,
-    pv_dtype: str,
     k_scale_blocked: bool,
     has_v_scale: bool,
     has_v_mean: bool,
     has_segments: bool,
     has_positions: bool,
     return_lse: bool,
+    sub_q: int,
+    chunk_k: int,
     block_q: int,
     block_k: int,
     n_kv: int,
+    v_needs_cast: bool,
     out_dtype,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
+    n_chunks = block_k // chunk_k
+    n_sub = block_q // sub_q
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     if causal:
-        # Run only blocks intersecting or below the diagonal
+        # Run only KV blocks intersecting or below the diagonal
         # (reference early-exit: sm89.cuh:225-229).
         should_run = kv_idx * block_k <= q_idx * block_q + (block_q - 1)
     else:
@@ -118,128 +286,43 @@ def _kernel(
 
     @pl.when(should_run)
     def _body():
-        q = q_ref[0, 0]  # [block_q, d] int8
-        k = k_ref[0, 0]  # [block_k, d] int8
-        s_i32 = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [block_q, block_k]
-        qs = qs_ref[0, 0]  # [block_q, 1] f32 (sm_scale*log2e folded)
-
-        # p is computed directly in the "xP_SCALE domain": the P
-        # requantization factor (127 for int8 / 448 for fp8 / 1 for bf16)
-        # is folded into the exp2 bias, so quantizing P costs only a
-        # convert — the TPU formulation of the reference's S_FP8_OFFSET
-        # exponent trick (reference: attn_utils.cuh:30-32, 353-458).
-        # l is accumulated in the same domain; o = acc/l cancels it, and
-        # the LSE epilogue subtracts log2(P_SCALE) once.
-        if pv_dtype == "int8":
-            log2_p_scale = LOG2_P_INT8
-        elif pv_dtype == "fp8":
-            log2_p_scale = LOG2_P_FP8
-        else:
-            log2_p_scale = 0.0
-
-        mask = None
-        if k_scale_blocked:
-            # FAST PATH (the TPU-recommended config): one K scale per kernel
-            # block, read from SMEM.  All masking happens in the int32
-            # domain, the row max is an integer reduction (it commutes with
-            # the positive per-row scale), and dequantization reaches the
-            # VPU as a single fused multiply-subtract feeding exp2 — the hot
-            # loop is convert+FMA+exp2+max+sum per score element.
-            # whole row of per-block scales is resident in SMEM; pick this
-            # block's scalar (kv_idx <= diagonal limit inside _body).
-            ksc = ks_ref[0, 0, 0, kv_idx]
-            rowscale = qs * ksc  # [block_q, 1]
-            if has_segments:
-                mask = qseg_ref[0] == kseg_ref[0]
-                s_i32 = jnp.where(mask, s_i32, MASK_I32)
-            if has_positions:
-                # explicit-position causal masking (dynamic offsets: ring
-                # attention KV rotation, packed caches)
-                pmask = kpos_ref[0] <= qpos_ref[0]
-                mask = pmask if mask is None else jnp.logical_and(mask, pmask)
-                s_i32 = jnp.where(pmask, s_i32, MASK_I32)
-            if causal:
-                # Unconditional on computed tiles: a lax.cond guarding
-                # diagonal-only tiles measured slower (Mosaic evaluates
-                # both branches), unlike the reference's two-phase split
-                # (triton/attn_qk_int8_per_block_causal.py:28-46).
-                row = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
-                cm = (col + kv_idx * block_k) <= (row + q_idx * block_q)
-                s_i32 = jnp.where(cm, s_i32, MASK_I32)
-            imax = jnp.max(s_i32, axis=1)[:, None]  # int32 [block_q, 1]
-            m_prev = m_scr[...]
-            l_prev = l_scr[...]
-            m_curr = imax.astype(jnp.float32) * rowscale
-            m_next = jnp.maximum(m_prev, m_curr)
+        parts = _compute_parts(
+            q_idx=q_idx,
+            kv_idx=kv_idx,
+            q_ref=q_ref,
+            qs_ref=qs_ref,
+            k_ref=k_ref,
+            ks_ref=ks_ref,
+            v_ref=v_ref,
+            qseg_ref=qseg_ref,
+            kseg_ref=kseg_ref,
+            qpos_ref=qpos_ref,
+            kpos_ref=kpos_ref,
+            causal=causal,
+            k_scale_blocked=k_scale_blocked,
+            has_segments=has_segments,
+            has_positions=has_positions,
+            sub_q=sub_q,
+            chunk_k=chunk_k,
+            n_chunks=n_chunks,
+            n_sub=n_sub,
+            block_q=block_q,
+            block_k=block_k,
+            v_needs_cast=v_needs_cast,
+        )
+        # merge sub-tile partials into the running cross-KV-block state
+        for qi in range(n_sub):
+            rows = slice(qi * sub_q, (qi + 1) * sub_q)
+            m_blk = parts[qi][0][0]
+            for m_c, _, _ in parts[qi][1:]:
+                m_blk = jnp.maximum(m_blk, m_c)
+            m_prev = m_scr[rows, :1]
+            m_next = jnp.maximum(m_prev, m_blk)
+            _, l_blk, acc_blk = _merge_parts(parts[qi], m_to=m_next)
             alpha = jnp.exp2(m_prev - m_next)
-            bias = m_next[:, :1] - log2_p_scale
-            p = jnp.exp2(s_i32.astype(jnp.float32) * rowscale - bias)
-        else:
-            # Per-row K scales (reference-parity accuracy modes): one extra
-            # broadcast multiply per element.
-            ks = ks_ref[0, 0]  # [1, block_k] f32
-            s = s_i32.astype(jnp.float32) * qs * ks
-            if has_segments:
-                mask = qseg_ref[0] == kseg_ref[0]
-                s = jnp.where(mask, s, MASK_VALUE)
-            if has_positions:
-                pmask = kpos_ref[0] <= qpos_ref[0]
-                mask = pmask if mask is None else jnp.logical_and(mask, pmask)
-                s = jnp.where(pmask, s, MASK_VALUE)
-            if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                cm = (col + kv_idx * block_k) <= (row + q_idx * block_q)
-                s = jnp.where(cm, s, MASK_VALUE)
-            m_prev = m_scr[...]
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=1)[:, None]
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp2(m_prev - m_next)
-            bias = m_next[:, :1] - log2_p_scale
-            p = jnp.exp2(s - bias)  # values in [0, P_SCALE]
-
-        if has_segments or has_positions:
-            # A fully-masked tile would otherwise yield p == P_SCALE
-            # everywhere (s - m == 0 when every entry is MASK_VALUE).
-            p = jnp.where(mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-
-        v = v_ref[0, 0]  # [block_k, d]
-        if pv_dtype == "int8":
-            # float->int convert truncates; +0.5 makes it round-half-up.
-            # p <= 127.0 (+eps) so 127.5+eps still truncates into range.
-            p_q = (p + 0.5).astype(jnp.int8)
-            pv = jax.lax.dot_general(
-                p_q,
-                v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-        elif pv_dtype == "fp8":
-            p_q = p.astype(v.dtype)
-            pv = jax.lax.dot_general(
-                p_q,
-                v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:  # bf16
-            pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16),
-                v,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv
+            m_scr[rows, :1] = m_next
+            l_scr[rows, :1] = alpha * l_scr[rows, :1] + l_blk
+            acc_scr[rows, :] = acc_scr[rows, :] * alpha[:, :1] + acc_blk
 
     if causal:
         last_kv = jnp.minimum(
@@ -254,24 +337,100 @@ def _kernel(
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o = acc_scr[...] * l_inv
         if has_v_scale:
-            o = o * vs_ref[0, 0]  # [1, d]
+            o = o * vs_ref[0, 0]  # [1, d] per-channel
         if has_v_mean:
             # sum(p)/l == 1 for any live row, so adding the mean back is
-            # exact (smooth_v epilogue, reference: sm89.cuh:602-624);
-            # dead (fully-masked) rows keep 0.
+            # exact (smooth_v epilogue, reference: sm89.cuh:602-624); dead
+            # (fully-masked) rows keep 0.
             o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[0, 0]
         o_ref[0, 0] = o.astype(out_dtype)
         if return_lse:
-            if pv_dtype == "int8":
-                lse_off = LOG2_P_INT8
-            elif pv_dtype == "fp8":
-                lse_off = LOG2_P_FP8
-            else:
-                lse_off = 0.0
             lse_ref[0, 0] = (
-                jnp.where(l == 0.0, NEG_INF, jnp.log2(jnp.maximum(l, 1e-45)))
+                jnp.where(l == 0.0, -jnp.inf,
+                          jnp.log2(jnp.maximum(l, 1e-45)))
                 + m_scr[:, :1]
-                - lse_off
+            )
+
+
+def _kernel_single(
+    q_ref,
+    qs_ref,
+    k_ref,
+    ks_ref,
+    v_ref,
+    vs_ref,
+    vm_ref,
+    qseg_ref,
+    kseg_ref,
+    qpos_ref,
+    kpos_ref,
+    o_ref,
+    lse_ref,
+    *,
+    causal: bool,
+    k_scale_blocked: bool,
+    has_v_scale: bool,
+    has_v_mean: bool,
+    has_segments: bool,
+    has_positions: bool,
+    return_lse: bool,
+    sub_q: int,
+    chunk_k: int,
+    block_q: int,
+    block_k: int,
+    v_needs_cast: bool,
+    out_dtype,
+):
+    """Single-KV-step specialization (the whole KV row fits one grid step):
+    no scratch round-trips, no pl.when regions — the fastest configuration
+    for the common inference shapes (DiT sequences up to ~8k)."""
+    q_idx = pl.program_id(2)
+    n_chunks = block_k // chunk_k
+    n_sub = block_q // sub_q
+    masked = has_segments or has_positions or causal
+
+    parts = _compute_parts(
+        q_idx=q_idx,
+        kv_idx=0,
+        q_ref=q_ref,
+        qs_ref=qs_ref,
+        k_ref=k_ref,
+        ks_ref=ks_ref,
+        v_ref=v_ref,
+        qseg_ref=qseg_ref,
+        kseg_ref=kseg_ref,
+        qpos_ref=qpos_ref,
+        kpos_ref=kpos_ref,
+        causal=causal,
+        k_scale_blocked=k_scale_blocked,
+        has_segments=has_segments,
+        has_positions=has_positions,
+        sub_q=sub_q,
+        chunk_k=chunk_k,
+        n_chunks=n_chunks,
+        n_sub=n_sub,
+        block_q=block_q,
+        block_k=block_k,
+        v_needs_cast=v_needs_cast,
+    )
+    for qi in range(n_sub):
+        rows = slice(qi * sub_q, (qi + 1) * sub_q)
+        m, l, acc = _merge_parts(parts[qi])
+        if masked:
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        else:
+            l_inv = 1.0 / l
+        o = acc * l_inv
+        if has_v_scale:
+            o = o * vs_ref[0, 0]
+        if has_v_mean:
+            o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[0, 0]
+        o_ref[0, 0, rows, :] = o.astype(out_dtype)
+        if return_lse:
+            lse_ref[0, 0, rows, :] = (
+                jnp.where(l == 0.0, -jnp.inf,
+                          jnp.log2(jnp.maximum(l, 1e-45)))
+                + m
             )
 
 
@@ -283,6 +442,8 @@ def _kernel(
         "return_lse",
         "block_q",
         "block_k",
+        "sub_q",
+        "chunk_k",
         "out_dtype",
         "interpret",
     ),
@@ -303,19 +464,22 @@ def sage_attention_fused(
     is_causal: bool = False,
     pv_dtype: str = "int8",
     return_lse: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 4096,
+    sub_q: int = 128,
+    chunk_k: int = 2048,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
     """Launch the fused kernel.
 
     Shapes (HND): q_i8 [b,hq,sq,d] int8; q_scale [b,hq,sq] f32 (sm_scale*
-    log2e folded); k_i8 [b,hkv,sk,d] int8; k_scale [b,hkv,sk] f32;
-    v_q [b,hkv,sk,d] (int8 / fp8 / bf16 per ``pv_dtype``); v_scale/v_mean
-    [b,hkv,d] f32 or None; segment ids [b,sq]/[b,sk] int32 or None.
-    sq, sk must be multiples of block_q / block_k (pad upstream; core.py
-    handles padding + cropping like the reference launchers,
+    log2e folded); k_i8 [b,hkv,sk,d] int8; k_scale either per-row
+    [b,hkv,sk] f32 or per-chunk [b,hkv,sk/chunk_k] f32 (fast path);
+    v_q [b,hkv,sk,d] (int8 / fp8 / bf16 storage; ``pv_dtype`` names it);
+    v_scale/v_mean [b,hkv,d] f32 or None; segment ids [b,sq]/[b,sk] int32
+    or None.  sq, sk must be multiples of block_q / block_k (pad upstream;
+    core.py handles padding + cropping like the reference launchers,
     reference: core.py:772-786,822-828).
 
     Returns o [b,hq,sq,d] (and base-2 LSE [b,hq,sq] fp32 if return_lse).
@@ -324,23 +488,44 @@ def sage_attention_fused(
     hkv, sk = k_i8.shape[1], k_i8.shape[2]
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    sub_q = min(sub_q, block_q)
+    chunk_k = min(chunk_k, block_k)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
+    assert block_q % sub_q == 0 and block_k % chunk_k == 0
     n_q, n_kv = sq // block_q, sk // block_k
+    n_chunks_total = sk // chunk_k
     # k_scale layout: per-row vector [b, hkv, sk] (reference-parity modes)
-    # or one scalar per kernel KV block [b, hkv, n_kv] (fast path).
-    k_scale_blocked = k_scale.shape[-1] == n_kv and n_kv != sk
-    if k_scale.shape[-1] not in (sk, n_kv):
+    # or one scalar per chunk [b, hkv, n_chunks_total] (fast path).
+    k_scale_blocked = (
+        k_scale.shape[-1] == n_chunks_total and n_chunks_total != sk
+    )
+    if k_scale.shape[-1] not in (sk, n_chunks_total):
         raise ValueError(
             f"k_scale last dim {k_scale.shape[-1]} must be kv_len {sk} "
-            f"(per-row) or n_kv_blocks {n_kv} (per-block)"
+            f"(per-row) or n_chunks {n_chunks_total} (per-chunk)"
         )
 
     has_v_scale = v_scale is not None
     has_v_mean = v_mean is not None
     has_segments = q_segment_ids is not None
     has_positions = q_positions is not None
+    v_needs_cast = v_q.dtype != jnp.bfloat16
 
-    grid = (b, hq, n_q, n_kv)
+    # Single-KV-step specialization: when the whole KV row is one grid step
+    # there is no online state to carry, so the scratch round-trips, the
+    # pl.when regions, and the 4th grid dimension all drop away (measured
+    # ~10% on the headline shape).
+    single_step = n_kv == 1
+    grid = (b, hq, n_q) if single_step else (b, hq, n_q, n_kv)
+
+    def mk(shape, f4, **kw):
+        if single_step:
+            return pl.BlockSpec(
+                shape, lambda ib, ih, iq, f4=f4: f4(ib, ih, iq, 0), **kw
+            )
+        return pl.BlockSpec(shape, f4, **kw)
 
     def qm(ib, ih, iq, ik):
         return (ib, ih, iq, 0)
@@ -360,9 +545,6 @@ def sage_attention_fused(
         def ksm(ib, ih, iq, ik):
             return (ib, ih // group, 0, _clamp(iq, ik))
 
-        def ksm_blk(ib, ih, iq, ik):
-            return (ib, ih // group, 0, 0)
-
         def kvsegm(ib, ih, iq, ik):
             return (ib, 0, _clamp(iq, ik))
     else:
@@ -372,31 +554,30 @@ def sage_attention_fused(
         def ksm(ib, ih, iq, ik):
             return (ib, ih // group, 0, ik)
 
-        def ksm_blk(ib, ih, iq, ik):
-            return (ib, ih // group, 0, 0)
-
         def kvsegm(ib, ih, iq, ik):
             return (ib, 0, ik)
+
+    def ksm_all(ib, ih, iq, ik):
+        return (ib, ih // group, 0, 0)
 
     # Scale/segment operands are reshaped so their trailing two dims satisfy
     # Mosaic's tile rules AND land in the kernel in broadcast-ready form:
     # Q-side vectors as columns [s, 1], KV-side vectors as rows [1, s].
     if k_scale_blocked:
-        ks_spec = pl.BlockSpec(
-            (1, 1, 1, n_kv), ksm_blk, memory_space=pltpu.SMEM
+        # the whole per-chunk scale row rides in SMEM (tiny)
+        ks_spec = mk(
+            (1, 1, 1, n_chunks_total), ksm_all, memory_space=pltpu.SMEM
         )
-        ks_in = k_scale.astype(jnp.float32)[:, :, None, :]  # [b,hkv,1,n_kv]
+        ks_in = k_scale.astype(jnp.float32)[:, :, None, :]
     else:
-        ks_spec = pl.BlockSpec((1, 1, 1, block_k), ksm)
+        ks_spec = mk((1, 1, 1, block_k), ksm)
         ks_in = k_scale.astype(jnp.float32)[:, :, None, :]  # [b,hkv,1,sk]
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, d), qm),
-        pl.BlockSpec(
-            (1, 1, block_q, 1), lambda ib, ih, iq, ik: (ib, ih, iq, 0)
-        ),
-        pl.BlockSpec((1, 1, block_k, d), km),
+        mk((1, 1, block_q, d), qm),
+        mk((1, 1, block_q, 1), qm),
+        mk((1, 1, block_k, d), km),
         ks_spec,
-        pl.BlockSpec((1, 1, block_k, d), km),
+        mk((1, 1, block_k, d), km),
     ]
     inputs = [
         q_i8,
@@ -405,55 +586,55 @@ def sage_attention_fused(
         ks_in,
         v_q,
     ]
-    vchan_spec = pl.BlockSpec(
+    vchan_spec = mk(
         (1, 1, 1, d), lambda ib, ih, iq, ik: (ib, ih // group, 0, 0)
     )
     if has_v_scale:
         in_specs.append(vchan_spec)
-        inputs.append(v_scale.astype(jnp.float32)[:, :, None, :])  # [b,hkv,1,d]
+        inputs.append(v_scale.astype(jnp.float32)[:, :, None, :])
     if has_v_mean:
         in_specs.append(vchan_spec)
         inputs.append(v_mean.astype(jnp.float32)[:, :, None, :])
     if has_segments:
         in_specs.append(
-            pl.BlockSpec((1, block_q, 1), lambda ib, ih, iq, ik: (ib, iq, 0))
+            mk((1, block_q, 1), lambda ib, ih, iq, ik: (ib, iq, 0))
         )
-        in_specs.append(pl.BlockSpec((1, 1, block_k), kvsegm))
+        in_specs.append(mk((1, 1, block_k), kvsegm))
         inputs.append(q_segment_ids.astype(jnp.int32)[..., None])   # [b,sq,1]
         inputs.append(kv_segment_ids.astype(jnp.int32)[:, None, :])  # [b,1,sk]
     if has_positions:
         in_specs.append(
-            pl.BlockSpec((1, block_q, 1), lambda ib, ih, iq, ik: (ib, iq, 0))
+            mk((1, block_q, 1), lambda ib, ih, iq, ik: (ib, iq, 0))
         )
-        in_specs.append(pl.BlockSpec((1, 1, block_k), kvsegm))
+        in_specs.append(mk((1, 1, block_k), kvsegm))
         inputs.append(q_positions.astype(jnp.int32)[..., None])     # [b,sq,1]
         inputs.append(kv_positions.astype(jnp.int32)[:, None, :])   # [b,1,sk]
 
     out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype)]
-    out_specs = [pl.BlockSpec((1, 1, block_q, d), qm)]
+    out_specs = [mk((1, 1, block_q, d), qm)]
     if return_lse:
         out_shape.append(jax.ShapeDtypeStruct((b, hq, sq, 1), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec(
-                (1, 1, block_q, 1), lambda ib, ih, iq, ik: (ib, ih, iq, 0)
-            )
-        )
+        out_specs.append(mk((1, 1, block_q, 1), qm))
 
-    inner = functools.partial(
-        _kernel,
+    statics = dict(
         causal=is_causal,
-        pv_dtype=pv_dtype,
         k_scale_blocked=k_scale_blocked,
         has_v_scale=has_v_scale,
         has_v_mean=has_v_mean,
         has_segments=has_segments,
         has_positions=has_positions,
         return_lse=return_lse,
+        sub_q=sub_q,
+        chunk_k=chunk_k,
         block_q=block_q,
         block_k=block_k,
-        n_kv=n_kv,
+        v_needs_cast=v_needs_cast,
         out_dtype=out_dtype,
     )
+    if single_step:
+        inner = functools.partial(_kernel_single, **statics)
+    else:
+        inner = functools.partial(_kernel, n_kv=n_kv, **statics)
 
     def kernel(*refs):
         refs = list(refs)
@@ -471,12 +652,14 @@ def sage_attention_fused(
         pos += 2 * has_positions
         o_ref = refs[pos]
         lse_ref = refs[pos + 1] if return_lse else None
-        m_scr, l_scr, acc_scr = refs[-3:]
-        inner(
+        args = (
             q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, vm_ref,
             qseg_ref, kseg_ref, qpos_ref, kpos_ref, o_ref, lse_ref,
-            m_scr, l_scr, acc_scr,
         )
+        if single_step:
+            inner(*args)
+        else:
+            inner(*args, *refs[-3:])
 
     # FLOPs: 2*sq*sk*d (QK) + 2*sq*sk*d (PV) per (b, h); halved by causal.
     flops = 4 * b * hq * sq * sk * d // (2 if is_causal else 1)
@@ -490,16 +673,18 @@ def sage_attention_fused(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
+        scratch_shapes=[] if single_step else [
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel",) * 3 if single_step
+            else ("parallel", "parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=bytes_accessed, transcendentals=b * hq * sq * sk
+            flops=flops, bytes_accessed=bytes_accessed,
+            transcendentals=b * hq * sq * sk,
         ),
         interpret=interpret,
     )(*inputs)
