@@ -1,0 +1,52 @@
+"""Benchmark timing utilities (reference: bench/utils.py:7-33).
+
+The reference flushes L2 and times with CUDA events; here the tunneled TPU
+backend has ~35 ms per-call dispatch overhead and no reliable
+block_until_ready, so timing uses a jitted scan chain: one jit call runs
+``n`` dependent kernel launches on-device and the wall clock is divided by
+``n``.  The chain must thread the carry into each iteration's *inputs*
+(through a small tensor) or XLA hoists the launch out of the loop.
+min-of-reps guards against the shared chip's load variance.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_time(fn_one, args, n: int = 10, reps: int = 3) -> float:
+    """Median-free min-of-reps per-iteration device time.
+
+    ``fn_one(i, carry, *args)`` must return an array and must consume
+    ``carry`` (or ``i``) through one of its *inputs* so iterations cannot
+    be hoisted.
+    """
+
+    @jax.jit
+    def many(*a):
+        def body(c, i):
+            r = fn_one(i, c, *a)
+            return c + r.ravel()[0].astype(jnp.float32), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
+        return c
+
+    r = many(*args)
+    _ = np.asarray(r)  # warm + sync
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        r = many(*args)
+        _ = np.asarray(r)
+        best = min(best, (time.time() - t0) / n)
+    return best
+
+
+def attention_flops(b: int, h: int, s: int, d: int, causal: bool) -> int:
+    """The reference's TOPS metric: 4*h*b*hd*s^2 / (2 if causal)
+    (reference: bench/bench_qk_int8_pv_fp8_cuda.py:71)."""
+    return 4 * b * h * d * s * s // (2 if causal else 1)

@@ -94,6 +94,8 @@ def _pad_axis(x: jax.Array, axis: int, to: int) -> jax.Array:
         "return_lse",
         "block_q",
         "block_k",
+        "sub_q",
+        "chunk_k",
         "impl",
         "qk_bits",
     ),
@@ -119,6 +121,8 @@ def _sageattn_hnd(
     block_k: int,
     impl: str,
     qk_bits: int = 8,
+    sub_q: int = 128,
+    chunk_k: int | None = None,
 ):
     """Quantize-then-attend pipeline on HND tensors (the call sequence of
     reference core.py:655-905, collapsed to quant(Q,K,V) + one fused kernel)."""
@@ -138,7 +142,8 @@ def _sageattn_hnd(
     # scale per kernel KV *chunk* (SMEM scalar -> single-FMA dequant in
     # the kernel).  The reference ships per-GPU recommended configs the
     # same way (reference: bench/README.md:22-27).
-    chunk_k = attention_pallas.effective_chunk_k(block_k)
+    if chunk_k is None:
+        chunk_k = attention_pallas.effective_chunk_k(block_k)
     if qk_quant_gran == "auto":
         if smooth_k:
             k_sm, km = quant_mod.sub_mean(k)
@@ -297,6 +302,8 @@ def _sageattn_hnd(
         return_lse=return_lse,
         block_q=block_q,
         block_k=block_k,
+        sub_q=sub_q,
+        chunk_k=chunk_k,
         out_dtype=out_dtype,
         interpret=_on_cpu(),
     )
@@ -339,22 +346,15 @@ def _entry(
     q = _to_hnd(q, tensor_layout)
     k = _to_hnd(k, tensor_layout)
     v = _to_hnd(v, tensor_layout)
+    bq_auto, bk_auto, sub_q, chunk_k = attention_pallas.default_config(
+        q.shape[2], k.shape[2], q.shape[-1], is_causal
+    )
     if block_q is None:
-        block_q = _auto_block(q.shape[2], (512, 512), (256, 256), 128)
+        block_q = bq_auto
     if block_k is None:
-        # Non-causal: the largest KV block the VMEM pipeline tolerates wins
-        # (fewer scratch merges, deeper chunk pipeline).  Causal: smaller
-        # blocks sharpen the diagonal early-exit (reference:
-        # sm89.cuh:225-229); the kernel's chunk width stays >= 1024 where
-        # possible (narrow chunks are VPU-inefficient, measured).
-        top = (2048, 2048) if is_causal else (4096, 4096)
-        block_k = _auto_block(
-            k.shape[2], top, (2048, 2048), (1024, 1024), (512, 512),
-            (256, 256), 128
-        )
-        if q.shape[-1] > 128:
-            # bound VMEM for wide heads (scores tile is block_q*block_k f32)
-            block_k = min(block_k, 2048)
+        block_k = bk_auto
+    chunk_k = min(chunk_k, block_k)
+    sub_q = min(sub_q, block_q)
     out = _sageattn_hnd(
         q,
         k,
@@ -375,6 +375,8 @@ def _entry(
         block_k=block_k,
         impl=impl,
         qk_bits=qk_bits,
+        sub_q=sub_q,
+        chunk_k=chunk_k,
     )
     if return_lse:
         o, lse = out

@@ -91,6 +91,31 @@ def effective_chunk_k(block_k: int) -> int:
     return min(DEFAULT_CHUNK_K, block_k)
 
 
+def _pad128(n: int) -> int:
+    return max(128, -(-n // 128) * 128)
+
+
+def default_config(
+    sq: int, sk: int, d: int, is_causal: bool
+) -> tuple[int, int, int, int]:
+    """Tuned (block_q, block_k, sub_q, chunk_k) for a shape (measured on
+    TPU v5e; the single recommended-config table that replaces the
+    reference's per-GPU recommendations, reference: bench/README.md:22-27).
+
+    * Non-causal: biggest KV block VMEM tolerates (up to 4096; whole-KV
+      single-step when it covers sk), 512-row Q blocks, 2048-wide chunks.
+    * Causal: equal Q/KV blocks (2048) so the diagonal-split kernel path
+      applies, 1024-wide chunks for finer static diagonal skipping.
+    * Wide heads (d > 128) halve the KV block to bound VMEM.
+    """
+    if is_causal:
+        blk = min(2048 if d <= 128 else 1024, _pad128(max(sq, sk)))
+        return min(blk, _pad128(sq)), blk, 128, min(1024, blk)
+    block_q = min(512, _pad128(sq))
+    block_k = min(4096 if d <= 128 else 2048, _pad128(sk))
+    return block_q, block_k, 128, min(DEFAULT_CHUNK_K, block_k)
+
+
 def _compute_parts(
     *,
     q_idx,
@@ -115,10 +140,19 @@ def _compute_parts(
     block_q: int,
     block_k: int,
     v_needs_cast: bool,
+    diag_static: bool = False,
 ):
     """One KV block: the pipelined (sub-tile x chunk) split-softmax.
 
-    Returns per-sub-tile lists of independent (m_c, l_c, pv_c) partials."""
+    Returns per-sub-tile lists of independent (m_c, l_c, pv_c) partials.
+
+    ``diag_static``: this is THE diagonal block of a causal attention with
+    block_q == block_k, so the causal structure is static relative to the
+    block: work items wholly above the diagonal are skipped at trace time,
+    items wholly below run unmasked, and only straddling items get the
+    iota mask — the TPU analogue of the reference's two-phase causal
+    kernel (reference: triton/attn_qk_int8_per_block_causal.py:28-46,
+    dual _attn_fwd_inner calls :105-115)."""
     subs = [q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)]
     qs_subs = [
         qs_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)
@@ -149,7 +183,15 @@ def _compute_parts(
             kpos = kpos_ref[0, :, c * chunk_k:(c + 1) * chunk_k]
             pmask = kpos <= qpos
             mask = pmask if mask is None else jnp.logical_and(mask, pmask)
-        if causal:
+        if diag_static:
+            # static relative offsets: the block's global row/col offsets
+            # cancel (kv_idx * block_k == q_idx * block_q on the diagonal)
+            if (c + 1) * chunk_k - 1 > qi * sub_q:  # straddles the diagonal
+                row = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
+                cm = (col + c * chunk_k) <= (row + qi * sub_q)
+                mask = cm if mask is None else jnp.logical_and(mask, cm)
+        elif causal:
             row = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 0)
             col = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
             cm = (col + kv_idx * block_k + c * chunk_k) <= (
@@ -202,6 +244,12 @@ def _compute_parts(
     # MXU op for item t+1 is issued before item t's VPU softmax, and items
     # are independent chains, so Mosaic can overlap MXU and VPU.
     work = [(qi, c) for c in range(n_chunks) for qi in range(n_sub)]
+    if diag_static:
+        # skip items wholly above the diagonal at trace time
+        work = [
+            (qi, c) for qi, c in work
+            if c * chunk_k <= qi * sub_q + sub_q - 1
+        ]
     parts: dict[int, list] = {qi: [] for qi in range(n_sub)}
     s_prev = qk(work[0])
     for t in range(1, len(work)):
@@ -231,6 +279,22 @@ def _merge_parts(ps, m_to=None):
         l = l + w * l_c
         acc = acc + pv_c * w[:, :1]
     return m, l, acc
+
+
+def _merge_into_scratch(parts, n_sub, sub_q, m_scr, l_scr, acc_scr):
+    """Merge per-sub-tile partials into the running cross-KV-block state."""
+    for qi in range(n_sub):
+        rows = slice(qi * sub_q, (qi + 1) * sub_q)
+        m_blk = parts[qi][0][0]
+        for m_c, _, _ in parts[qi][1:]:
+            m_blk = jnp.maximum(m_blk, m_c)
+        m_prev = m_scr[rows, :1]
+        m_next = jnp.maximum(m_prev, m_blk)
+        _, l_blk, acc_blk = _merge_parts(parts[qi], m_to=m_next)
+        alpha = jnp.exp2(m_prev - m_next)
+        m_scr[rows, :1] = m_next
+        l_scr[rows, :1] = alpha * l_scr[rows, :1] + l_blk
+        acc_scr[rows, :] = acc_scr[rows, :] * alpha[:, :1] + acc_blk
 
 
 def _kernel(
@@ -277,52 +341,66 @@ def _kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    if causal:
-        # Run only KV blocks intersecting or below the diagonal
-        # (reference early-exit: sm89.cuh:225-229).
-        should_run = kv_idx * block_k <= q_idx * block_q + (block_q - 1)
-    else:
-        should_run = True
+    common = dict(
+        q_ref=q_ref,
+        qs_ref=qs_ref,
+        k_ref=k_ref,
+        ks_ref=ks_ref,
+        v_ref=v_ref,
+        qseg_ref=qseg_ref,
+        kseg_ref=kseg_ref,
+        qpos_ref=qpos_ref,
+        kpos_ref=kpos_ref,
+        k_scale_blocked=k_scale_blocked,
+        has_segments=has_segments,
+        has_positions=has_positions,
+        sub_q=sub_q,
+        chunk_k=chunk_k,
+        n_chunks=n_chunks,
+        n_sub=n_sub,
+        block_q=block_q,
+        block_k=block_k,
+        v_needs_cast=v_needs_cast,
+    )
 
-    @pl.when(should_run)
-    def _body():
-        parts = _compute_parts(
-            q_idx=q_idx,
-            kv_idx=kv_idx,
-            q_ref=q_ref,
-            qs_ref=qs_ref,
-            k_ref=k_ref,
-            ks_ref=ks_ref,
-            v_ref=v_ref,
-            qseg_ref=qseg_ref,
-            kseg_ref=kseg_ref,
-            qpos_ref=qpos_ref,
-            kpos_ref=kpos_ref,
-            causal=causal,
-            k_scale_blocked=k_scale_blocked,
-            has_segments=has_segments,
-            has_positions=has_positions,
-            sub_q=sub_q,
-            chunk_k=chunk_k,
-            n_chunks=n_chunks,
-            n_sub=n_sub,
-            block_q=block_q,
-            block_k=block_k,
-            v_needs_cast=v_needs_cast,
-        )
-        # merge sub-tile partials into the running cross-KV-block state
-        for qi in range(n_sub):
-            rows = slice(qi * sub_q, (qi + 1) * sub_q)
-            m_blk = parts[qi][0][0]
-            for m_c, _, _ in parts[qi][1:]:
-                m_blk = jnp.maximum(m_blk, m_c)
-            m_prev = m_scr[rows, :1]
-            m_next = jnp.maximum(m_prev, m_blk)
-            _, l_blk, acc_blk = _merge_parts(parts[qi], m_to=m_next)
-            alpha = jnp.exp2(m_prev - m_next)
-            m_scr[rows, :1] = m_next
-            l_scr[rows, :1] = alpha * l_scr[rows, :1] + l_blk
-            acc_scr[rows, :] = acc_scr[rows, :] * alpha[:, :1] + acc_blk
+    if causal and block_q == block_k:
+        # Diagonal-split causal: blocks strictly below the diagonal
+        # (kv_idx < q_idx) run completely unmasked; the diagonal block
+        # (kv_idx == q_idx) uses trace-time item skipping and static
+        # straddle masks; blocks above never run (and their DMAs are
+        # clamped away in the index maps).  This removes every causal
+        # VPU masking pass from the sub-diagonal bulk of the work —
+        # the reference's two-phase causal structure
+        # (reference: triton/attn_qk_int8_per_block_causal.py:105-115).
+        @pl.when(kv_idx < q_idx)
+        def _below():
+            parts = _compute_parts(
+                q_idx=q_idx, kv_idx=kv_idx, causal=False, **common
+            )
+            _merge_into_scratch(parts, n_sub, sub_q, m_scr, l_scr, acc_scr)
+
+        @pl.when(kv_idx == q_idx)
+        def _diag():
+            parts = _compute_parts(
+                q_idx=q_idx, kv_idx=kv_idx, causal=False, diag_static=True,
+                **common
+            )
+            _merge_into_scratch(parts, n_sub, sub_q, m_scr, l_scr, acc_scr)
+
+    else:
+        if causal:
+            # generic causal (unequal blocks): dynamic masks everywhere
+            # (reference early-exit: sm89.cuh:225-229).
+            should_run = kv_idx * block_k <= q_idx * block_q + (block_q - 1)
+        else:
+            should_run = True
+
+        @pl.when(should_run)
+        def _body():
+            parts = _compute_parts(
+                q_idx=q_idx, kv_idx=kv_idx, causal=causal, **common
+            )
+            _merge_into_scratch(parts, n_sub, sub_q, m_scr, l_scr, acc_scr)
 
     if causal:
         last_kv = jnp.minimum(
