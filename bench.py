@@ -31,30 +31,12 @@ def log(msg):
 
 
 def device_time(fn_one, args, n=10, reps=3):
-    """Per-iteration device time via a jitted scan chain (the tunneled TPU
-    backend here doesn't honor block_until_ready for wall timing).  The
-    chain must thread the carry into each iteration's *inputs* (via a small
-    tensor) or XLA hoists the launch out of the loop.  min-of-reps guards
-    against the shared chip's load variance."""
+    """Two-point-slope scan-chain timing (see bench/utils.py for the full
+    rationale: fixed ~30 ms tunnel cost per jit call, carry must feed the
+    iteration inputs or XLA hoists the launch)."""
+    from bench.utils import device_time as _dt
 
-    @jax.jit
-    def many(*a):
-        def body(c, i):
-            r = fn_one(i, c, *a)
-            return c + r.ravel()[0].astype(jnp.float32), None
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
-        return c
-
-    r = many(*args)
-    _ = np.asarray(r)  # warm + sync
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        r = many(*args)
-        _ = np.asarray(r)
-        best = min(best, (time.time() - t0) / n)
-    return best
+    return _dt(fn_one, args, n=n, reps=reps)
 
 
 def main():

@@ -19,31 +19,46 @@ import numpy as np
 
 
 def device_time(fn_one, args, n: int = 10, reps: int = 3) -> float:
-    """Median-free min-of-reps per-iteration device time.
+    """Two-point slope per-iteration device time.
+
+    Each jit call through the tunnel carries a FIXED ~30 ms round-trip cost
+    independent of the scan length (measured: a null scan body costs the
+    same at n=10 and n=40), so a single-point measurement overstates small
+    kernels by ~3 ms/iter.  Timing the same chain at n and 3n and taking
+    the slope cancels the fixed cost exactly.
 
     ``fn_one(i, carry, *args)`` must return an array and must consume
     ``carry`` (or ``i``) through one of its *inputs* so iterations cannot
     be hoisted.
     """
 
-    @jax.jit
-    def many(*a):
-        def body(c, i):
-            r = fn_one(i, c, *a)
-            return c + r.ravel()[0].astype(jnp.float32), None
+    def make(steps):
+        @jax.jit
+        def many(*a):
+            def body(c, i):
+                r = fn_one(i, c, *a)
+                return c + r.ravel()[0].astype(jnp.float32), None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n))
-        return c
+            c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))
+            return c
 
-    r = many(*args)
-    _ = np.asarray(r)  # warm + sync
-    best = float("inf")
-    for _ in range(reps):
+        return many
+
+    lo, hi = make(n), make(3 * n)
+    _ = np.asarray(lo(*args))  # warm + sync (compiles both)
+    _ = np.asarray(hi(*args))
+    slopes = []
+    for _ in range(max(reps, 5)):
         t0 = time.time()
-        r = many(*args)
-        _ = np.asarray(r)
-        best = min(best, (time.time() - t0) / n)
-    return best
+        _ = np.asarray(lo(*args))
+        t1 = time.time()
+        _ = np.asarray(hi(*args))
+        t2 = time.time()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (2 * n))
+    # median of slope estimates: robust against the shared chip's clock
+    # drift between the lo and hi runs (a min would keep drift artifacts)
+    slopes.sort()
+    return slopes[len(slopes) // 2]
 
 
 def attention_flops(b: int, h: int, s: int, d: int, causal: bool) -> int:

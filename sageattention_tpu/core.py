@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from sageattention_tpu import quant as quant_mod
-from sageattention_tpu.ops import attention_pallas, reference
+from sageattention_tpu.ops import attention_pallas, quant_pallas, reference
 
 LOG2E = 1.4426950408889634
 
@@ -145,20 +145,35 @@ def _sageattn_hnd(
     if chunk_k is None:
         chunk_k = attention_pallas.effective_chunk_k(block_k)
     if qk_quant_gran == "auto":
-        if smooth_k:
-            k_sm, km = quant_mod.sub_mean(k)
+        km = (
+            jnp.mean(k.astype(jnp.float32), axis=-2) if smooth_k else None
+        )
+        if impl == "pallas":
+            # fused single-pass prologue kernels (ops/quant_pallas.py; the
+            # reference's _fused extension, csrc/fused/fused.cu)
+            q_i8, q_scale = quant_pallas.quant_q_per_token(
+                q,
+                scale_fold=sm_scale * LOG2E,
+                bits=qk_bits,
+                interpret=_on_cpu(),
+            )
+            k_i8, k_scale = quant_pallas.quant_k_chunked(
+                k, km, group=chunk_k, bits=qk_bits, interpret=_on_cpu()
+            )
         else:
-            k_sm, km = k, None
-        q_i8, q_scale = quant_mod.quant_int8(
-            q,
-            granularity="per_token",
-            scale_fold=sm_scale * LOG2E,
-            bits=qk_bits,
-        )
-        k_i8, k_scale = quant_mod.quant_int8_block_scales(
-            k_sm, group=chunk_k, bits=qk_bits
-        )
-        if impl == "xla":
+            if smooth_k:
+                k_sm = k.astype(jnp.float32) - km[..., None, :]
+            else:
+                k_sm = k
+            q_i8, q_scale = quant_mod.quant_int8(
+                q,
+                granularity="per_token",
+                scale_fold=sm_scale * LOG2E,
+                bits=qk_bits,
+            )
+            k_i8, k_scale = quant_mod.quant_int8_block_scales(
+                k_sm, group=chunk_k, bits=qk_bits
+            )
             # the oracle consumes per-row scales
             k_scale = jnp.repeat(k_scale, chunk_k, axis=-1)[..., :sk]
     else:

@@ -121,3 +121,63 @@ class TestQuantizeQK:
         np.testing.assert_allclose(
             np.asarray(deq_k), np.asarray(k - km[..., None, :]), atol=0.1
         )
+
+
+class TestQuantPallas:
+    """Fused Pallas prologue kernels must match the pure-JAX quant spec
+    (quant.py is the numerical reference for ops/quant_pallas.py)."""
+
+    def test_q_per_token_matches_spec(self):
+        from sageattention_tpu.ops import quant_pallas
+
+        q = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 256, 64))
+        ref_i8, ref_s = quant.quant_int8(
+            q, granularity="per_token", scale_fold=0.125 * 1.4426950408889634
+        )
+        got_i8, got_s = quant_pallas.quant_q_per_token(
+            q, scale_fold=0.125 * 1.4426950408889634, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_i8), np.asarray(ref_i8))
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(ref_s), rtol=1e-6
+        )
+
+    def test_q_per_token_unaligned(self):
+        from sageattention_tpu.ops import quant_pallas
+
+        q = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 300, 64))
+        ref_i8, ref_s = quant.quant_int8(q, granularity="per_token")
+        got_i8, got_s = quant_pallas.quant_q_per_token(
+            q, block_s=256, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_i8), np.asarray(ref_i8))
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(ref_s), rtol=1e-6
+        )
+
+    def test_k_chunked_with_smoothing(self):
+        from sageattention_tpu.ops import quant_pallas
+
+        k = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 384, 64)) + 1.5
+        k_sm, km = quant.sub_mean(k)
+        ref_i8, ref_s = quant.quant_int8_block_scales(k_sm, group=128)
+        got_i8, got_s = quant_pallas.quant_k_chunked(
+            k, km, group=128, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_i8), np.asarray(ref_i8))
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(ref_s), rtol=1e-6
+        )
+
+    def test_k_chunked_unaligned_no_smooth(self):
+        from sageattention_tpu.ops import quant_pallas
+
+        k = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 200, 64))
+        ref_i8, ref_s = quant.quant_int8_block_scales(k, group=128)
+        got_i8, got_s = quant_pallas.quant_k_chunked(
+            k, group=128, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got_i8), np.asarray(ref_i8))
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(ref_s), rtol=1e-6
+        )
