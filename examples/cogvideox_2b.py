@@ -1,0 +1,17 @@
+#!/usr/bin/env python
+"""cogvideox-2b with sage attention (reference: example/cogvideox-2b.py).
+
+Runs the natively-implemented cogvideox-2b-shaped video DiT with the selected
+attention backend and reports per-denoise-step time and output parity.
+Use --scale 1.0 for the full model geometry.
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from examples.common import base_parser, run_video_example
+
+if __name__ == "__main__":
+    args = base_parser(__doc__).parse_args()
+    run_video_example("cogvideox-2b", args)
