@@ -109,6 +109,7 @@ def _sageattn_hnd(
     q_positions,
     kv_positions,
     attn_bias,
+    attn_mask,
     *,
     is_causal: bool,
     sm_scale: float | None,
@@ -132,10 +133,19 @@ def _sageattn_hnd(
     if sm_scale is None:
         sm_scale = d_og**-0.5
 
+    if attn_mask is not None and attn_mask.dtype != jnp.bool_:
+        # float masks are additive biases (the reference accepts both on
+        # its triton path, reference: core.py:306-316)
+        attn_bias = attn_mask if attn_bias is None else attn_bias + attn_mask
+        attn_mask = None
     if impl == "auto":
-        impl = "xla" if attn_bias is not None else "pallas"
-    if attn_bias is not None and impl != "xla":
-        raise NotImplementedError("additive attn_bias requires impl='xla'")
+        impl = (
+            "xla"
+            if attn_bias is not None or attn_mask is not None
+            else "pallas"
+        )
+    if (attn_bias is not None or attn_mask is not None) and impl != "xla":
+        raise NotImplementedError("attn_bias/attn_mask require impl='xla'")
 
     # --- Q/K quantization (+ K smoothing) ------------------------------
     # "auto" is the TPU-recommended config: per-token Q scales + one K
@@ -230,6 +240,7 @@ def _sageattn_hnd(
             kv_segment_ids=kv_segment_ids,
             q_positions=q_positions,
             kv_positions=kv_positions,
+            attn_mask=attn_mask,
             return_lse=return_lse,
             out_dtype=out_dtype,
         )
@@ -245,6 +256,7 @@ def _sageattn_hnd(
                 q_segment_ids=q_segment_ids,
                 kv_segment_ids=kv_segment_ids,
                 attn_bias=attn_bias,
+                attn_mask=attn_mask,
                 return_lse=return_lse,
             )
             if return_lse:
@@ -294,7 +306,7 @@ def _sageattn_hnd(
         # chunked K scales [b,hkv,ceil(sk/chunk_k)]: extend to the padded
         # chunk count (pad chunks are masked out via the segment ids added
         # above, so the value is irrelevant).
-        k_scale = _pad_axis(k_scale, 2, sk_pad // chunk_k)
+        k_scale = _pad_axis(k_scale, 2, -(-sk_pad // chunk_k))
     if v_scale is not None:
         v_scale = _pad_axis(v_scale, 2, d_pad)
     if v_mean is not None:
@@ -353,6 +365,7 @@ def _entry(
     q_positions=None,
     kv_positions=None,
     attn_bias=None,
+    attn_mask=None,
     block_q: int | None = None,
     block_k: int | None = None,
     impl: str = "auto",
@@ -379,6 +392,7 @@ def _entry(
         q_positions,
         kv_positions,
         attn_bias,
+        attn_mask,
         is_causal=is_causal,
         sm_scale=sm_scale,
         qk_quant_gran=qk_quant_gran,
@@ -421,7 +435,7 @@ def sageattn(
     tensors are passed; the reference is forward-only.
     """
     tensor_args = ("q_segment_ids", "kv_segment_ids", "q_positions",
-                   "kv_positions", "attn_bias")
+                   "kv_positions", "attn_bias", "attn_mask")
     if all(kwargs.get(a) is None for a in tensor_args):
         from sageattention_tpu.ops import autodiff
 
@@ -527,6 +541,7 @@ def sageattn_varlen(
         vh,
         seg_q[None],
         seg_k[None],
+        None,
         None,
         None,
         None,

@@ -157,10 +157,16 @@ def _compute_parts(
     qs_subs = [
         qs_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)
     ]
+    # chunk column bounds; the last chunk may be ragged (block_k need not
+    # be a chunk multiple when the KV row fits one grid step)
+    cb = [
+        (c * chunk_k, min((c + 1) * chunk_k, block_k))
+        for c in range(n_chunks)
+    ]
 
     def qk(item):
         qi, c = item
-        k = k_ref[0, 0, c * chunk_k:(c + 1) * chunk_k, :]
+        k = k_ref[0, 0, cb[c][0]:cb[c][1], :]
         return jax.lax.dot_general(
             subs[qi],
             k,
@@ -176,11 +182,11 @@ def _compute_parts(
         mask = None
         if has_segments:
             qseg = qseg_ref[0, qi * sub_q:(qi + 1) * sub_q, :]
-            kseg = kseg_ref[0, :, c * chunk_k:(c + 1) * chunk_k]
+            kseg = kseg_ref[0, :, cb[c][0]:cb[c][1]]
             mask = qseg == kseg
         if has_positions:
             qpos = qpos_ref[0, qi * sub_q:(qi + 1) * sub_q, :]
-            kpos = kpos_ref[0, :, c * chunk_k:(c + 1) * chunk_k]
+            kpos = kpos_ref[0, :, cb[c][0]:cb[c][1]]
             pmask = kpos <= qpos
             mask = pmask if mask is None else jnp.logical_and(mask, pmask)
         if diag_static:
@@ -229,7 +235,7 @@ def _compute_parts(
             m_c = jnp.where(dead, NEG_INIT, m_c)
         l_c = jnp.sum(p, axis=1)[:, None]
 
-        v = v_ref[0, 0, c * chunk_k:(c + 1) * chunk_k, :]
+        v = v_ref[0, 0, cb[c][0]:cb[c][1], :]
         if v_needs_cast:
             v = v.astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
@@ -332,7 +338,7 @@ def _kernel(
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
-    n_chunks = block_k // chunk_k
+    n_chunks = -(-block_k // chunk_k)
     n_sub = block_q // sub_q
 
     @pl.when(kv_idx == 0)
@@ -463,7 +469,7 @@ def _kernel_single(
     no scratch round-trips, no pl.when regions — the fastest configuration
     for the common inference shapes (DiT sequences up to ~8k)."""
     q_idx = pl.program_id(2)
-    n_chunks = block_k // chunk_k
+    n_chunks = -(-block_k // chunk_k)
     n_sub = block_q // sub_q
     masked = has_segments or has_positions or causal
 
@@ -571,9 +577,13 @@ def sage_attention_fused(
     sub_q = min(sub_q, block_q)
     chunk_k = min(chunk_k, block_k)
     assert sq % block_q == 0 and sk % block_k == 0, (sq, sk, block_q, block_k)
-    assert block_q % sub_q == 0 and block_k % chunk_k == 0
     n_q, n_kv = sq // block_q, sk // block_k
-    n_chunks_total = sk // chunk_k
+    # a ragged last chunk is allowed only when the whole KV row is one grid
+    # step (global chunk boundaries must otherwise align with the K-scale
+    # quantization groups)
+    assert block_q % sub_q == 0
+    assert block_k % chunk_k == 0 or n_kv == 1, (block_k, chunk_k, n_kv)
+    n_chunks_total = -(-sk // chunk_k)
     # k_scale layout: per-row vector [b, hkv, sk] (reference-parity modes)
     # or one scalar per chunk [b, hkv, n_chunks_total] (fast path).
     k_scale_blocked = (

@@ -77,6 +77,7 @@ def attention_reference(
     q_segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
     attn_bias: jax.Array | None = None,
+    attn_mask: jax.Array | None = None,
     return_lse: bool = False,
 ):
     """Exact fp32 attention. q,k,v: [b, h, s, d] (HND layout).
@@ -104,7 +105,7 @@ def attention_reference(
         is_causal=is_causal,
         q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids,
-        attn_mask=None,
+        attn_mask=attn_mask,
     )
     if mask is not None:
         s = jnp.where(mask, s, MASK_VALUE)
@@ -134,6 +135,7 @@ def quantized_attention_reference(
     kv_segment_ids: jax.Array | None = None,
     q_positions: jax.Array | None = None,
     kv_positions: jax.Array | None = None,
+    attn_mask: jax.Array | None = None,
     return_lse: bool = False,
     out_dtype=jnp.bfloat16,
 ):
@@ -189,7 +191,7 @@ def quantized_attention_reference(
         is_causal=is_causal,
         q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids,
-        attn_mask=None,
+        attn_mask=attn_mask,
         q_positions=q_positions,
         kv_positions=kv_positions,
     )

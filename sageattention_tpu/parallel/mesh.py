@@ -39,3 +39,30 @@ def make_mesh(
         )
     arr = np.asarray(devices).reshape(data, seq, heads)
     return Mesh(arr, axis_names=("data", "seq", "heads"))
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Join a multi-host TPU slice (the analogue of the reference's
+    torchrun/NCCL process-group init, reference: example/run_parallel.sh:48).
+
+    On Cloud TPU the arguments are discovered from the environment; pass
+    them explicitly elsewhere.  After this, ``jax.devices()`` spans all
+    hosts' chips and :func:`make_mesh` degrees may multiply to the global
+    device count — collectives ride ICI within a slice and DCN across
+    slices, chosen by XLA from the mesh layout.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_multihost_mesh(data: int = 1, seq: int = 1, heads: int = 1) -> Mesh:
+    """make_mesh over the global (all-hosts) device list, ordered so the
+    fastest-varying axes stay intra-host (ICI-local) where possible."""
+    return make_mesh(data=data, seq=seq, heads=heads, devices=jax.devices())

@@ -175,6 +175,76 @@ def per_channel_quant(
     return v_q, scale, v_mean
 
 
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def per_token_quant_fp8(x: jax.Array, *, dtype=jnp.float8_e4m3fn):
+    """Per-token (per-row) FP8 quantization (reference: quant.py:324-366
+    ``torch_per_token_quant_fp8`` — the pure-torch 'exactly like CUDA
+    kernel' spec).  Returns (x_fp8 [b,h,s,d], scales [b,h,s] f32)."""
+    x = x.astype(jnp.float32)
+    qmax = _QMAX[jnp.dtype(dtype)]
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(amax, 1e-30) / qmax
+    return (x / scale[..., None]).astype(dtype), scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dtype", "loss", "n_alpha", "smooth")
+)
+def per_channel_fp8_affine_autoalpha(
+    v: jax.Array,
+    *,
+    dtype=jnp.float8_e4m3fn,
+    loss: str = "huber",
+    n_alpha: int = 12,
+    alpha_min: float = 0.5,
+    smooth: bool = True,
+):
+    """Per-channel affine FP8 quantization with an automatic saturation-
+    alpha search (reference: quant.py:369-437
+    ``quant_fp8_per_channel_affine_huber_autoalpha``).
+
+    For each (b, h, d) channel, candidate scales ``alpha * amax / qmax``
+    (alpha in [alpha_min, 1]) are evaluated by quantize-dequantize
+    reconstruction loss (Huber or RMSE) and the per-channel argmin wins —
+    deliberately saturating outliers when that lowers the overall error.
+    Returns (v_q, scale [b,h,d], mean [b,h,d] or None, alpha [b,h,d]).
+    """
+    v = v.astype(jnp.float32)
+    if smooth:
+        mean = jnp.mean(v, axis=-2)
+        vc = v - mean[..., None, :]
+    else:
+        mean = None
+        vc = v
+    qmax = _QMAX[jnp.dtype(dtype)]
+    amax = jnp.maximum(jnp.max(jnp.abs(vc), axis=-2), 1e-30)  # [b,h,d]
+    alphas = jnp.linspace(alpha_min, 1.0, n_alpha)  # [A]
+
+    def loss_for(alpha):
+        scale = amax * alpha / qmax  # [b,h,d]
+        # saturate explicitly: e4m3 has no inf, overflow would NaN
+        q = jnp.clip(vc / scale[..., None, :], -qmax, qmax).astype(dtype)
+        rec = q.astype(jnp.float32) * scale[..., None, :]
+        err = rec - vc
+        if loss == "huber":
+            delta = scale  # one-LSB delta, per channel
+            a = jnp.abs(err)
+            hub = jnp.where(
+                a <= delta[..., None, :],
+                0.5 * err * err,
+                delta[..., None, :] * (a - 0.5 * delta[..., None, :]),
+            )
+            return jnp.sum(hub, axis=-2)  # [b,h,d]
+        return jnp.sum(err * err, axis=-2)
+
+    losses = jax.vmap(loss_for)(alphas)  # [A,b,h,d]
+    best = jnp.argmin(losses, axis=0)  # [b,h,d]
+    alpha = alphas[best]
+    scale = amax * alpha / qmax
+    v_q = jnp.clip(vc / scale[..., None, :], -qmax, qmax).astype(dtype)
+    return v_q, scale, mean, alpha
+
+
 def quantize_qk(
     q: jax.Array,
     k: jax.Array,

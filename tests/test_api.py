@@ -139,3 +139,25 @@ class TestVarlen:
             )[0]
             assert cosine(jnp.swapaxes(o[sl], 0, 1), o_ref) > 0.999
             start += n
+
+
+class TestAttnMask:
+    def test_bool_mask_matches_reference(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 128, 64))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 128, 64))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 128, 64))
+        mask = jax.random.bernoulli(
+            jax.random.PRNGKey(3), 0.8, (1, 1, 128, 128)
+        )
+        o = sa.sageattn(q, k, v, attn_mask=mask)
+        o_ref = reference.attention_reference(q, k, v, attn_mask=mask)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_float_mask_is_additive_bias(self):
+        q = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 128, 64))
+        k = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 128, 64))
+        v = jax.random.normal(jax.random.PRNGKey(6), (1, 2, 128, 64))
+        bias = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 128, 128))
+        o = sa.sageattn(q, k, v, attn_mask=bias)
+        o_ref = reference.attention_reference(q, k, v, attn_bias=bias)
+        assert cosine(o, o_ref) > 0.999

@@ -181,3 +181,42 @@ class TestQuantPallas:
         np.testing.assert_allclose(
             np.asarray(got_s), np.asarray(ref_s), rtol=1e-6
         )
+
+
+class TestFp8Experiments:
+    """FP8 quantization experiments (reference: quant.py:324-437)."""
+
+    def test_per_token_fp8_round_trip(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 64, 32))
+        xq, scale = quant.per_token_quant_fp8(x)
+        assert xq.dtype == jnp.float8_e4m3fn
+        rec = xq.astype(jnp.float32) * scale[..., None]
+        rel = np.abs(np.asarray(rec - x)) / (np.abs(np.asarray(x)) + 1e-3)
+        assert float(np.median(rel)) < 0.05
+
+    def test_autoalpha_beats_or_matches_alpha1(self):
+        # heavy-tailed channels: saturation (alpha < 1) should win
+        key = jax.random.PRNGKey(1)
+        v = jax.random.normal(key, (1, 2, 256, 16))
+        spikes = jax.random.bernoulli(jax.random.PRNGKey(2), 0.002,
+                                      v.shape) * 50.0
+        v = v + spikes
+        vq, scale, mean, alpha = quant.per_channel_fp8_affine_autoalpha(
+            v, loss="rmse"
+        )
+        rec = (vq.astype(jnp.float32) * scale[..., None, :]
+               + mean[..., None, :])
+        vq1, s1, m1, _ = quant.per_channel_fp8_affine_autoalpha(
+            v, loss="rmse", n_alpha=1, alpha_min=1.0
+        )
+        rec1 = (vq1.astype(jnp.float32) * s1[..., None, :]
+                + m1[..., None, :])
+        err = float(jnp.mean((rec - v) ** 2))
+        err1 = float(jnp.mean((rec1 - v) ** 2))
+        assert err <= err1 * 1.0001
+        assert float(alpha.min()) < 1.0  # the search actually saturated
+
+    def test_autoalpha_huber(self):
+        v = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 128, 8))
+        vq, scale, mean, alpha = quant.per_channel_fp8_affine_autoalpha(v)
+        assert vq.shape == v.shape and scale.shape == (1, 1, 8)
