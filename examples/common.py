@@ -61,13 +61,14 @@ def scaled_config(name: str, scale: float):
     )
 
 
-def run_video_example(name: str, args) -> None:
+def run_video_example(name: str, args, model_cls=None) -> None:
     cfg = scaled_config(name, args.scale)
-    print(f"model={name} seq_len={cfg.seq_len} heads={cfg.heads} "
-          f"head_dim={cfg.head_dim} depth={cfg.depth} "
+    model_cls = model_cls or models.VideoDiT
+    print(f"model={name} ({model_cls.__name__}) seq_len={cfg.seq_len} "
+          f"heads={cfg.heads} head_dim={cfg.head_dim} depth={cfg.depth} "
           f"backend={args.attention_type}")
     models.set_attention_backend(args.attention_type)
-    model = models.VideoDiT(cfg)
+    model = model_cls(cfg)
 
     b = args.batch
     lat = jax.random.normal(

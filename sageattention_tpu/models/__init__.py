@@ -8,6 +8,10 @@ from sageattention_tpu.models.attention import (
 from sageattention_tpu.models.configs import MODEL_CONFIGS, DiTConfig, LLMConfig
 from sageattention_tpu.models.dit import VideoDiT
 from sageattention_tpu.models.llm import CausalLM
+from sageattention_tpu.models.mmdit import (
+    CrossAttnVideoDiT,
+    DualStreamVideoDiT,
+)
 
 __all__ = [
     "attention",
@@ -19,4 +23,6 @@ __all__ = [
     "LLMConfig",
     "VideoDiT",
     "CausalLM",
+    "DualStreamVideoDiT",
+    "CrossAttnVideoDiT",
 ]

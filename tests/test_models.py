@@ -114,3 +114,50 @@ class TestCausalLM:
             assert cfg.name == name
             if hasattr(cfg, "video_tokens"):
                 assert cfg.seq_len > cfg.text_len
+
+
+class TestArchitectureVariants:
+    """Dual-stream MMDiT (HunyuanVideo/Mochi) and cross-attention (Wan)."""
+
+    def _inputs(self, cfg, b=1):
+        lat = jax.random.normal(
+            jax.random.PRNGKey(0),
+            (b, cfg.latent_frames, cfg.latent_height, cfg.latent_width, 16),
+            jnp.bfloat16,
+        )
+        txt = jax.random.normal(
+            jax.random.PRNGKey(1), (b, cfg.text_len, 512), jnp.bfloat16
+        )
+        return lat, txt, jnp.array([500] * b)
+
+    def test_dual_stream_runs_and_matches_sdpa(self):
+        cfg = MODEL_CONFIGS["hunyuanvideo"].scaled(
+            depth=2, latent_frames=2, latent_height=8, latent_width=8,
+            text_len=16, hidden=128, heads=2, head_dim=64,
+        )
+        model = models.DualStreamVideoDiT(cfg)
+        lat, txt, t = self._inputs(cfg)
+        params = model.init(jax.random.PRNGKey(2), lat, txt, t)
+        models.set_attention_backend("sage")
+        out = model.apply(params, lat, txt, t)
+        models.set_attention_backend("sdpa")
+        ref = model.apply(params, lat, txt, t)
+        models.set_attention_backend("sage")
+        assert out.shape == lat.shape
+        assert cosine(out, ref) > 0.999
+
+    def test_cross_attn_runs_and_matches_sdpa(self):
+        cfg = MODEL_CONFIGS["wan2.1-t2v-1.3b"].scaled(
+            depth=2, latent_frames=2, latent_height=8, latent_width=8,
+            text_len=16, hidden=128, heads=2, head_dim=64,
+        )
+        model = models.CrossAttnVideoDiT(cfg)
+        lat, txt, t = self._inputs(cfg)
+        params = model.init(jax.random.PRNGKey(2), lat, txt, t)
+        models.set_attention_backend("sage")
+        out = model.apply(params, lat, txt, t)
+        models.set_attention_backend("sdpa")
+        ref = model.apply(params, lat, txt, t)
+        models.set_attention_backend("sage")
+        assert out.shape == lat.shape
+        assert cosine(out, ref) > 0.999
