@@ -298,7 +298,16 @@ def _sageattn_hnd(
             )
     q_i8 = _pad_axis(_pad_axis(q_i8, 3, d_pad), 2, sq_pad)
     k_i8 = _pad_axis(_pad_axis(k_i8, 3, d_pad), 2, sk_pad)
-    v_q = _pad_axis(_pad_axis(v_q, 3, d_pad), 2, sk_pad)
+    # Free-lane rowsum: head_dim <= 64 pads V to 128 lanes anyway, so a
+    # ones column at lane 64 makes the PV matmul emit sum(p) and the
+    # kernel skips its VPU cross-lane sum (reference rowsum-via-MMA:
+    # csrc/mma.cuh:683-721).
+    rowsum_lane = 64 if d_pad <= 64 else None
+    d_v = 128 if rowsum_lane is not None else d_pad
+    v_q = _pad_axis(_pad_axis(v_q, 3, d_v), 2, sk_pad)
+    if rowsum_lane is not None:
+        one = jnp.ones((), v_q.dtype)
+        v_q = v_q.at[:, :, :, rowsum_lane].set(one)
     q_scale = _pad_axis(q_scale, 2, sq_pad)
     if k_scale.shape[-1] == sk:
         k_scale = _pad_axis(k_scale, 2, sk_pad)
@@ -308,9 +317,9 @@ def _sageattn_hnd(
         # above, so the value is irrelevant).
         k_scale = _pad_axis(k_scale, 2, -(-sk_pad // chunk_k))
     if v_scale is not None:
-        v_scale = _pad_axis(v_scale, 2, d_pad)
+        v_scale = _pad_axis(v_scale, 2, d_v)
     if v_mean is not None:
-        v_mean = _pad_axis(v_mean, 2, d_pad)
+        v_mean = _pad_axis(v_mean, 2, d_v)
 
     out = attention_pallas.sage_attention_fused(
         q_i8,
@@ -331,6 +340,7 @@ def _sageattn_hnd(
         block_k=block_k,
         sub_q=sub_q,
         chunk_k=chunk_k,
+        rowsum_lane=rowsum_lane,
         out_dtype=out_dtype,
         interpret=_on_cpu(),
     )

@@ -145,6 +145,7 @@ def _compute_parts(
     block_q: int,
     block_k: int,
     v_needs_cast: bool,
+    rowsum_lane: int | None = None,
     diag_static: bool = False,
 ):
     """One KV block: the pipelined (sub-tile x chunk) split-softmax.
@@ -238,7 +239,6 @@ def _compute_parts(
             dead = jnp.all(jnp.logical_not(mask), axis=1)[:, None]
             p = jnp.where(mask, p, 0.0)
             m_c = jnp.where(dead, NEG_INIT, m_c)
-        l_c = jnp.sum(p, axis=1)[:, None]
 
         v = v_ref[0, 0, cb[c][0]:cb[c][1], :]
         if v_needs_cast:
@@ -248,7 +248,16 @@ def _compute_parts(
             v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [sub_q, d] f32
+        )  # [sub_q, d_v] f32
+        if rowsum_lane is not None:
+            # d <= 64 pads V to 128 lanes anyway: a ones column planted at
+            # ``rowsum_lane`` makes the MXU produce sum(p) for free,
+            # removing the VPU cross-lane sum (the reference's
+            # rowsum-via-MMA idea, reference: csrc/mma.cuh:683-721
+            # rowsum_f16f16f32/rowsum_f8f8f32).
+            l_c = pv[:, rowsum_lane:rowsum_lane + 1]
+        else:
+            l_c = jnp.sum(p, axis=1)[:, None]
         return m_c, l_c, pv
 
     # Software pipeline over work items (chunk-major round robin): the QK
@@ -339,6 +348,7 @@ def _kernel(
     block_k: int,
     n_kv: int,
     v_needs_cast: bool,
+    rowsum_lane: int | None,
     out_dtype,
 ):
     q_idx = pl.program_id(2)
@@ -372,6 +382,7 @@ def _kernel(
         block_q=block_q,
         block_k=block_k,
         v_needs_cast=v_needs_cast,
+        rowsum_lane=rowsum_lane,
     )
 
     if causal and block_q == block_k:
@@ -424,14 +435,15 @@ def _kernel(
     def _epilogue():
         l = l_scr[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o = acc_scr[...] * l_inv
+        d_out = o_ref.shape[-1]
+        o = acc_scr[:, :d_out] * l_inv
         if has_v_scale:
-            o = o * vs_ref[0, 0]  # [1, d] per-channel
+            o = o * vs_ref[0, 0, :, :d_out]  # [1, d] per-channel
         if has_v_mean:
             # sum(p)/l == 1 for any live row, so adding the mean back is
             # exact (smooth_v epilogue, reference: sm89.cuh:602-624); dead
             # (fully-masked) rows keep 0.
-            o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[0, 0]
+            o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[0, 0, :, :d_out]
         o_ref[0, 0] = o.astype(out_dtype)
         if return_lse:
             lse_ref[0, 0] = (
@@ -468,6 +480,7 @@ def _kernel_single(
     block_q: int,
     block_k: int,
     v_needs_cast: bool,
+    rowsum_lane: int | None,
     out_dtype,
 ):
     """Single-KV-step specialization (the whole KV row fits one grid step):
@@ -501,7 +514,9 @@ def _kernel_single(
         block_q=block_q,
         block_k=block_k,
         v_needs_cast=v_needs_cast,
+        rowsum_lane=rowsum_lane,
     )
+    d_out = o_ref.shape[-1]
     for qi in range(n_sub):
         rows = slice(qi * sub_q, (qi + 1) * sub_q)
         m, l, acc = _merge_parts(parts[qi])
@@ -509,11 +524,11 @@ def _kernel_single(
             l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         else:
             l_inv = 1.0 / l
-        o = acc * l_inv
+        o = acc[:, :d_out] * l_inv
         if has_v_scale:
-            o = o * vs_ref[0, 0]
+            o = o * vs_ref[0, 0, :, :d_out]
         if has_v_mean:
-            o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[0, 0]
+            o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[0, 0, :, :d_out]
         o_ref[0, 0, rows, :] = o.astype(out_dtype)
         if return_lse:
             lse_ref[0, 0, rows, :] = (
@@ -533,6 +548,7 @@ def _kernel_single(
         "block_k",
         "sub_q",
         "chunk_k",
+        "rowsum_lane",
         "out_dtype",
         "interpret",
     ),
@@ -557,6 +573,7 @@ def sage_attention_fused(
     block_k: int = 4096,
     sub_q: int = 128,
     chunk_k: int = 2048,
+    rowsum_lane: int | None = None,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
@@ -571,9 +588,15 @@ def sage_attention_fused(
     core.py handles padding + cropping like the reference launchers,
     reference: core.py:772-786,822-828).
 
+    ``rowsum_lane``: V may carry extra lanes beyond Q/K's head_dim with a
+    ones column at this index, making sum(p) ride the PV matmul for free
+    (core.py plants it when head_dim <= 64 pads V to 128 lanes anyway).
+
     Returns o [b,hq,sq,d] (and base-2 LSE [b,hq,sq] fp32 if return_lse).
     """
     b, hq, sq, d = q_i8.shape
+    d_v = v_q.shape[-1]
+    assert rowsum_lane is None or d <= rowsum_lane < d_v
     hkv, sk = k_i8.shape[1], k_i8.shape[2]
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
@@ -670,7 +693,7 @@ def sage_attention_fused(
         mk((1, 1, block_q, 1), qm),
         mk((1, 1, block_k, d), km),
         ks_spec,
-        mk((1, 1, block_k, d), km),
+        mk((1, 1, block_k, d_v), km),
     ]
     inputs = [
         q_i8,
@@ -680,7 +703,7 @@ def sage_attention_fused(
         v_q,
     ]
     vchan_spec = mk(
-        (1, 1, 1, d), lambda ib, ih, iq, ik: (ib, ih // group, 0, 0)
+        (1, 1, 1, d_v), lambda ib, ih, iq, ik: (ib, ih // group, 0, 0)
     )
     if has_v_scale:
         in_specs.append(vchan_spec)
@@ -722,6 +745,7 @@ def sage_attention_fused(
         block_q=block_q,
         block_k=block_k,
         v_needs_cast=v_needs_cast,
+        rowsum_lane=rowsum_lane,
         out_dtype=out_dtype,
     )
     if single_step:
@@ -769,7 +793,7 @@ def sage_attention_fused(
         scratch_shapes=[] if single_step else [
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, d_v), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3 if single_step
