@@ -3,11 +3,18 @@
 The reference is forward-only (inference kernels; no backward exists,
 SURVEY.md §2).  Training/fine-tuning through sage attention is still
 useful (QAT-style), so the framework defines a custom VJP: the forward is
-the fused quantized kernel, the backward is the exact attention VJP
-recomputed from the saved q/k/v (a straight-through estimator through the
-quantizers).  Residuals are just (q, k, v) — O(s*d) like flash attention —
-but the recompute currently materializes the score matrix (an XLA
-backward; a fused Pallas backward kernel is the planned upgrade).
+the fused quantized kernel, the backward is the exact (unquantized)
+attention VJP recomputed from the saved q/k/v — a straight-through
+estimator through the quantizers.  Residuals are just (q, k, v), O(s*d)
+like flash attention.
+
+Backward implementations:
+
+* On TPU the recompute runs through jax's Pallas flash-attention (which
+  ships fused dq/dkv backward kernels), so backward memory stays O(s*d)
+  and long sequences train.
+* On CPU (tests) the fp32 reference attention is used (materializes the
+  score matrix — fine at test sizes, exact for gradient checks).
 """
 
 from __future__ import annotations
@@ -15,8 +22,43 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from sageattention_tpu.ops import reference
+
+
+def _exact_attention_for_bwd(q, k, v, *, is_causal, sm_scale):
+    """Differentiable exact attention used for gradient recomputation."""
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    hq, hkv = q.shape[1], k.shape[1]
+    if jax.default_backend() == "tpu":
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+
+        if hq != hkv:
+            # express GQA as repeat inside the differentiated fn so the
+            # VJP sums gradients back over the group automatically
+            k = jnp.repeat(k, hq // hkv, axis=1)
+            v = jnp.repeat(v, hq // hkv, axis=1)
+        s = k.shape[2]
+        bq = min(512, q.shape[2])
+        bk = min(1024, s)
+        bkm = min(2048, s)
+        bs = BlockSizes(
+            block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bkm,
+            block_k_dkv=bk, block_q_dkv=bq,
+            block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
+        )
+        return flash_attention(
+            q, k, v, causal=is_causal, sm_scale=sm_scale, block_sizes=bs
+        )
+    return reference.attention_reference(
+        q, k, v, is_causal=is_causal, sm_scale=sm_scale
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -35,16 +77,20 @@ def _cached(fwd_statics, bwd_statics):
 
     def bwd(res, ct):
         q, k, v = res
-
-        def exact(q, k, v):
-            return reference.attention_reference(
-                q,
-                k,
-                v,
-                is_causal=is_causal,
-                sm_scale=sm_scale,
-                return_lse=return_lse,
-            )
+        if return_lse:
+            # both outputs (o, lse) carry cotangents: use the exact
+            # reference (materializes scores; fine at the sizes where LSE
+            # gradients are wanted)
+            def exact(q, k, v):
+                return reference.attention_reference(
+                    q, k, v, is_causal=is_causal, sm_scale=sm_scale,
+                    return_lse=True,
+                )
+        else:
+            def exact(q, k, v):
+                return _exact_attention_for_bwd(
+                    q, k, v, is_causal=is_causal, sm_scale=sm_scale
+                )
 
         _, vjp = jax.vjp(exact, q, k, v)
         return vjp(ct)
