@@ -1,0 +1,110 @@
+"""End-to-end TPU verification harness: drive the public API on the real
+chip against an independent fp32 oracle.
+
+Run:  PYTHONPATH="/root/repo:$PYTHONPATH" python tools/verify_tpu.py
+Exits nonzero if any check regresses.  (Also runnable on CPU; slower.)
+"""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sageattention_tpu as sa
+
+print("backend:", jax.default_backend(), jax.devices(), file=sys.stderr)
+
+
+def oracle(q, k, v, is_causal=False):
+    b, h, s, d = q.shape
+    hkv = k.shape[1]
+    if hkv != h:
+        k = jnp.repeat(k, h // hkv, axis=1)
+        v = jnp.repeat(v, h // hkv, axis=1)
+    s_ = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                    k.astype(jnp.float32)) * d**-0.5
+    if is_causal:
+        sq, sk = s_.shape[-2:]
+        mask = (jnp.arange(sk)[None, :] <= jnp.arange(sq)[:, None])
+        s_ = jnp.where(mask, s_, -1e30)
+    p = jax.nn.softmax(s_, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+
+
+def cos(a, b):
+    a = np.asarray(a, np.float32).ravel()
+    b = np.asarray(b, np.float32).ravel()
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def check(name, o, ref, thresh=0.999):
+    c = cos(o, ref)
+    mx = float(np.max(np.abs(np.asarray(o, np.float32) - np.asarray(ref, np.float32))))
+    status = "OK " if c > thresh and np.isfinite(mx) else "BAD"
+    print(f"{status} {name}: cosine={c:.6f} maxabs={mx:.4f}", file=sys.stderr)
+    return status == "OK "
+
+
+ok = True
+key = jax.random.PRNGKey(0)
+q = jax.random.normal(key, (2, 8, 4096, 128), jnp.bfloat16)
+k = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 4096, 128), jnp.bfloat16)
+v = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 4096, 128), jnp.bfloat16)
+
+# 1. default path (drop-in SDPA replacement)
+o = sa.sageattn(q, k, v)
+ok &= check("sageattn default (4k, hd128)", o, oracle(q, k, v))
+
+# 2. causal
+o = sa.sageattn(q, k, v, is_causal=True)
+ok &= check("sageattn causal", o, oracle(q, k, v, is_causal=True))
+
+# 3. GQA + NHD layout
+kg = k[:, :2]; vg = v[:, :2]
+o = sa.sageattn(jnp.swapaxes(q, 1, 2), jnp.swapaxes(kg, 1, 2),
+                jnp.swapaxes(vg, 1, 2), tensor_layout="NHD")
+ok &= check("sageattn GQA NHD", jnp.swapaxes(o, 1, 2), oracle(q, kg, vg))
+
+# 4. return_lse + ring-merge identity: split KV in two, merge partials
+o_full, lse_full = sa.sageattn(q, k, v, return_lse=True)
+o1, l1 = sa.sageattn(q, k[:, :, :2048], v[:, :, :2048], return_lse=True)
+o2, l2 = sa.sageattn(q, k[:, :, 2048:], v[:, :, 2048:], return_lse=True)
+from sageattention_tpu.ops.reference import merge_attention_partials
+o_m, lse_m = merge_attention_partials([o1, o2], [l1, l2])
+# two independently quantized computations agree to ~1e-4, not machine eps
+ok &= check("ring-merge == full", o_m, o_full, 0.999)
+lse_err = float(np.max(np.abs(np.asarray(lse_m - lse_full))))
+print(f"{'OK ' if lse_err < 0.05 else 'BAD'} lse merge maxerr={lse_err:.5f}",
+      file=sys.stderr)
+ok &= lse_err < 0.05
+
+# 5. PROBE: odd sequence length (padding path), small head dim
+qo = q[:, :, :3000, :64]; ko = k[:, :, :2900, :64]; vo = v[:, :, :2900, :64]
+o = sa.sageattn(qo, ko, vo)
+ok &= check("odd lens 3000x2900 hd64", o, oracle(qo, ko, vo))
+
+# 6. PROBE: per-backend entry points
+o = sa.sageattn_qk_int8_pv_bf16(q, k, v)
+ok &= check("pv bf16 entry", o, oracle(q, k, v))
+o = sa.sageattn_qk_int8_pv_int8(q, k, v, smooth_v=True)
+ok &= check("pv int8 smooth_v entry", o, oracle(q, k, v))
+
+# 7. PROBE: varlen packed API
+qv = jnp.reshape(jnp.swapaxes(q[:1, :, :1024], 1, 2), (1024, 8, 128))
+kv_ = jnp.reshape(jnp.swapaxes(k[:1, :, :1024], 1, 2), (1024, 8, 128))
+vv = jnp.reshape(jnp.swapaxes(v[:1, :, :1024], 1, 2), (1024, 8, 128))
+cu = jnp.array([0, 300, 1024], jnp.int32)
+ov = sa.sageattn_varlen(qv, kv_, vv, cu, cu)
+# oracle per segment
+o_a = oracle(q[:1, :, :300], k[:1, :, :300], v[:1, :, :300])
+o_b = oracle(q[:1, :, 300:1024], k[:1, :, 300:1024], v[:1, :, 300:1024])
+ref_v = jnp.concatenate([o_a, o_b], axis=2)
+ok &= check("varlen 2-seg", jnp.swapaxes(ov, 0, 1)[None], ref_v)
+
+# 8. PROBE: degenerate tiny shape
+qt = q[:1, :1, :7, :32]; kt = k[:1, :1, :5, :32]; vt = v[:1, :1, :5, :32]
+o = sa.sageattn(qt, kt, vt)
+ok &= check("tiny 7x5 hd32", o, oracle(qt, kt, vt), 0.995)
+
+print("ALL OK" if ok else "SOME FAILED", file=sys.stderr)
+sys.exit(0 if ok else 1)
