@@ -30,7 +30,7 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     ap.add_argument(
         "--attention_type",
         default="sage",
-        choices=["sage", "sage_bf16", "sage_fp8", "sdpa", "reference"],
+        choices=["sage", "sage_bf16", "sage_fp8", "sdpa", "flash", "reference"],
         help="attention backend (reference: example/cogvideox-2b.py:13-23 "
         "attention_type in {sdpa, sage, fa3, fa3_fp8})",
     )

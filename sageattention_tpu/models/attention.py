@@ -86,6 +86,19 @@ register_backend(
 )
 register_backend("sdpa", _sdpa)
 
+
+def _flash(q, k, v, *, is_causal, sm_scale, **kw):
+    from sageattention_tpu import baselines
+
+    hq, hkv = q.shape[1], k.shape[1]
+    if hq != hkv:
+        k = jnp.repeat(k, hq // hkv, axis=1)
+        v = jnp.repeat(v, hq // hkv, axis=1)
+    return baselines.flash(q, k, v, is_causal=is_causal, sm_scale=sm_scale)
+
+
+register_backend("flash", _flash)
+
 # --- mesh-aware parallel backend -------------------------------------
 _MESH = None
 _MESH_AXES = ("data", "seq", "heads")

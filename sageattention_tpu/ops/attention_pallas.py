@@ -226,7 +226,7 @@ def _compute_parts(
         else:
             # Per-row K scales (reference-parity accuracy mode): one extra
             # broadcast multiply per element.
-            ks = ks_ref[0, 0, :, c * chunk_k:(c + 1) * chunk_k]  # [1, chunk]
+            ks = ks_ref[0, 0, :, cb[c][0]:cb[c][1]]  # [1, chunk]
             s = s_i32.astype(jnp.float32) * qs * ks
             if mask is not None:
                 s = jnp.where(mask, s, MASK_VALUE)

@@ -18,7 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# Set SAGE_TEST_TPU=1 to run the suite on the attached TPU instead (slow:
+# every kernel config recompiles; the default CPU run uses interpret mode).
+if not os.environ.get("SAGE_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # XLA:CPU's default matmul precision is bf16-grade; golden comparisons need
 # exact fp32 accumulation.
