@@ -209,12 +209,16 @@ def _sageattn_hnd(
     # --- V quantization -------------------------------------------------
     v_mean = None
     v_scale = None
-    if pv_dtype == "int8":
-        v_q, v_scale, v_mean = quant_mod.per_channel_quant(
-            v, dtype=jnp.int8, smooth=smooth_v
+    if impl == "pallas":
+        _quant_v = functools.partial(
+            quant_pallas.quant_v_per_channel, interpret=_on_cpu()
         )
+    else:
+        _quant_v = quant_mod.per_channel_quant
+    if pv_dtype == "int8":
+        v_q, v_scale, v_mean = _quant_v(v, dtype=jnp.int8, smooth=smooth_v)
     elif pv_dtype == "fp8":
-        v_q, v_scale, v_mean = quant_mod.per_channel_quant(
+        v_q, v_scale, v_mean = _quant_v(
             v, dtype=jnp.float8_e4m3fn, smooth=smooth_v
         )
     elif pv_dtype == "bf16":

@@ -12,13 +12,17 @@ HBM read + write pass, with the auxiliary transform fused in —
   quant_per_block_int8_fuse_sub_mean_cuda, fused.cu:594-682); the chunk
   group equals the attention kernel's KV chunk so the kernel reads one
   scale scalar per chunk from SMEM.
+* :func:`quant_v_per_channel` — per-channel amax (+ optional mean for
+  smooth_v) and the scaled int8/fp8 cast in ONE kernel over the
+  VMEM-resident sequence (reference: MeanScaleKernel, fused.cu:316-427).
+
+Rows are independent, so the kernels flatten (b, h[, s]) into one grid
+axis with large blocks — per-grid-step overhead, not bandwidth, dominates
+these memory-bound passes at small block sizes (measured 10x).
 
 The pure-JAX functions in ``sageattention_tpu.quant`` are the numerical
-spec; these kernels must match them bit-exactly on aligned shapes
-(tests/test_quant.py enforces it).  V's per-channel quantization needs a
-full-sequence column reduction first, which XLA already fuses well — it
-stays in quant.py (the reference's MeanScaleKernel analogue,
-fused.cu:316-427).
+spec; these kernels must match them bit-exactly (tests/test_quant.py).
+Shapes the fast layouts cannot express fall back to the jnp spec.
 """
 
 from __future__ import annotations
@@ -30,23 +34,32 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from sageattention_tpu import quant as quant_spec
+
+# rows per grid step for the flattened per-row quantizer
+_Q_ROWS = 16384
+# VMEM budget for the single-step V quantizer (bytes of one (s, d) slab)
+_V_VMEM_BYTES = 8 * 2**20
+
 
 def _round_half_away(x):
     return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
 
 
-def _quant_q_kernel(q_ref, o_ref, s_ref, *, scale_fold, qmax, valid, block_s):
-    i = pl.program_id(2)
-    x = q_ref[0, 0].astype(jnp.float32)  # [block_s, d]
-    if valid is not None:
-        # mask pad rows so their (garbage) contents can't poison anything
-        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-        x = jnp.where(row + i * block_s < valid, x, 0.0)
-    amax = jnp.max(jnp.abs(x), axis=1)[:, None]  # [block_s, 1]
+# --------------------------------------------------------------------------
+# Q: per-row scales over a flattened [rows, d] view
+# --------------------------------------------------------------------------
+
+
+def _quant_rows_kernel(q_ref, o_ref, s_ref, *, scale_fold, qmax):
+    x = q_ref[...].astype(jnp.float32)  # [rows_blk, d]
+    amax = jnp.max(jnp.abs(x), axis=1)[:, None]
     scale = jnp.maximum(amax, 1e-30) / qmax
     q = _round_half_away(x / scale)
-    o_ref[0, 0] = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
-    s_ref[0, 0] = scale * scale_fold
+    o_ref[...] = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+    # dense 128-lane store of the per-row scales (a [rows, 1] store would
+    # issue one masked lane per vector op — measured ~5x slower)
+    s_ref[...] = (scale * scale_fold).reshape(s_ref.shape)
 
 
 @functools.partial(
@@ -57,57 +70,60 @@ def quant_q_per_token(
     *,
     scale_fold: float = 1.0,
     bits: int = 8,
-    block_s: int = 512,
+    block_s: int = _Q_ROWS,
     interpret: bool = False,
 ):
     """[b,h,s,d] -> (int8 [b,h,s,d], f32 scales [b,h,s]) in one fused pass."""
     b, h, s, d = q.shape
     qmax = 7.0 if bits == 4 else 127.0
-    block_s = min(block_s, -(-s // 128) * 128)
-    n = -(-s // block_s)
-    s_pad = n * block_s
-    valid = None if s_pad == s else s
-    grid = (b, h, n)
+    rows = b * h * s
+    q2 = q.reshape(rows, d)
+    blk = min(block_s, -(-rows // 128) * 128)
+    pad = (-rows) % blk
+    if pad:
+        # per-row scales: pad rows quantize independently, then crop
+        q2 = jnp.pad(q2, ((0, pad), (0, 0)))
+    n = q2.shape[0] // blk
     out, scale = pl.pallas_call(
         functools.partial(
-            _quant_q_kernel, scale_fold=scale_fold, qmax=qmax, valid=valid,
-            block_s=block_s,
+            _quant_rows_kernel, scale_fold=scale_fold, qmax=qmax
         ),
-        grid=grid,
-        in_specs=[pl.BlockSpec((1, 1, block_s, d),
-                               lambda ib, ih, i: (ib, ih, i, 0))],
+        grid=(n,),
+        in_specs=[pl.BlockSpec((blk, d), lambda i: (i, 0))],
         out_specs=[
-            pl.BlockSpec((1, 1, block_s, d), lambda ib, ih, i: (ib, ih, i, 0)),
-            pl.BlockSpec((1, 1, block_s, 1), lambda ib, ih, i: (ib, ih, i, 0)),
+            pl.BlockSpec((blk, d), lambda i: (i, 0)),
+            pl.BlockSpec((blk // 128, 128), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.int8),
-            jax.ShapeDtypeStruct((b, h, s_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((q2.shape[0], d), jnp.int8),
+            jax.ShapeDtypeStruct((q2.shape[0] // 128, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * 3
+            dimension_semantics=("parallel",)
         ),
         interpret=interpret,
-    )(q)
-    return out[:, :, :s], scale[:, :, :s, 0]
+    )(q2)
+    return (
+        out[:rows].reshape(b, h, s, d),
+        scale.reshape(-1)[:rows].reshape(b, h, s),
+    )
 
 
-def _quant_k_kernel(
-    k_ref, km_ref, o_ref, s_ref, *, qmax, valid, group, smooth
-):
-    i = pl.program_id(2)
-    x = k_ref[0, 0].astype(jnp.float32)  # [group, d]
+# --------------------------------------------------------------------------
+# K: per-chunk scales, fused mean subtraction, group-major [groups, g, d]
+# --------------------------------------------------------------------------
+
+
+def _quant_k_kernel(k_ref, km_ref, o_ref, s_ref, *, qmax, smooth):
+    i = pl.program_id(0)
+    x = k_ref[...].astype(jnp.float32)  # [1, group, d]
     if smooth:
-        x = x - km_ref[0, 0]  # [1, d] broadcast
-    if valid is not None:
-        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-        x = jnp.where(row + i * group < valid, x, 0.0)
+        x = x - km_ref[...]  # [1, 1, d]
     amax = jnp.max(jnp.abs(x))
     scale = jnp.maximum(amax, 1e-30) / qmax
     q = _round_half_away(x / scale)
-    o_ref[0, 0] = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
-    # whole scale row rides in SMEM; each grid step fills its entry
-    s_ref[0, 0, i, 0] = scale
+    o_ref[...] = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+    s_ref[0, i] = scale
 
 
 @functools.partial(
@@ -125,52 +141,125 @@ def quant_k_chunked(
     optionally subtracting the per-channel mean ``km`` [b,h,d] (smooth_k)
     in the same pass."""
     b, h, s, d = k.shape
+    if s % group:
+        # ragged tail: keep the exact jnp spec (rare; unpadded odd shapes)
+        if km is not None:
+            ks = k.astype(jnp.float32) - km[..., None, :]
+        else:
+            ks = k
+        return quant_spec.quant_int8_block_scales(ks, group=group, bits=bits)
     qmax = 7.0 if bits == 4 else 127.0
-    n = -(-s // group)
-    s_pad = n * group
-    valid = None if s_pad == s else s
     smooth = km is not None
-    grid = (b, h, n)
-    in_specs = [
-        pl.BlockSpec((1, 1, group, d), lambda ib, ih, i: (ib, ih, i, 0))
-    ]
-    inputs = [k]
+    n_groups = (b * h * s) // group
+    k3 = k.reshape(n_groups, group, d)
+    in_specs = [pl.BlockSpec((1, group, d), lambda i: (i, 0, 0))]
+    inputs = [k3]
     if smooth:
-        in_specs.append(
-            pl.BlockSpec((1, 1, 1, d), lambda ib, ih, i: (ib, ih, 0, 0))
-        )
-        inputs.append(km.astype(jnp.float32)[:, :, None, :])
+        km_g = jnp.repeat(
+            km.astype(jnp.float32).reshape(b * h, 1, d), s // group, axis=0
+        )  # [n_groups, 1, d]
+        in_specs.append(pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)))
+        inputs.append(km_g)
 
     def kernel(*refs):
         if smooth:
             k_ref, km_ref, o_ref, s_ref = refs
         else:
-            (k_ref, o_ref, s_ref) = refs
+            k_ref, o_ref, s_ref = refs
             km_ref = None
-        _quant_k_kernel(
-            k_ref, km_ref, o_ref, s_ref,
-            qmax=qmax, valid=valid, group=group, smooth=smooth,
-        )
+        _quant_k_kernel(k_ref, km_ref, o_ref, s_ref, qmax=qmax, smooth=smooth)
 
     out, scale = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n_groups,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, group, d), lambda ib, ih, i: (ib, ih, i, 0)),
+            pl.BlockSpec((1, group, d), lambda i: (i, 0, 0)),
             pl.BlockSpec(
-                (1, 1, n, 1),
-                lambda ib, ih, i: (ib, ih, 0, 0),
-                memory_space=pltpu.SMEM,
+                (1, n_groups), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, d), jnp.int8),
-            jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, group, d), jnp.int8),
+            jax.ShapeDtypeStruct((1, n_groups), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * 3
+            dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
     )(*inputs)
-    return out[:, :, :s], scale[:, :, :, 0]
+    return (
+        out.reshape(b, h, s, d),
+        scale[0].reshape(b, h, s // group),
+    )
+
+
+# --------------------------------------------------------------------------
+# V: per-channel scales (+ optional mean), whole sequence per grid step
+# --------------------------------------------------------------------------
+
+
+def _quant_v_kernel(v_ref, o_ref, s_ref, m_ref, *, qmax, smooth, out_dt):
+    x = v_ref[0].astype(jnp.float32)  # [s, d]
+    if smooth:
+        mean = jnp.mean(x, axis=0, keepdims=True)  # [1, d]
+        x = x - mean
+        m_ref[0] = mean
+    amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)  # [1, d]
+    scale = jnp.maximum(amax, 1e-30) / qmax
+    scaled = x / scale
+    if jnp.dtype(out_dt) == jnp.int8.dtype:
+        o_ref[0] = jnp.clip(
+            _round_half_away(scaled), -127, 127
+        ).astype(jnp.int8)
+    else:
+        o_ref[0] = scaled.astype(out_dt)
+    s_ref[0] = scale
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dtype", "smooth", "interpret")
+)
+def quant_v_per_channel(
+    v: jax.Array,
+    *,
+    dtype=jnp.int8,
+    smooth: bool = False,
+    interpret: bool = False,
+):
+    """[b,h,s,d] -> (v_q, v_scale [b,h,d] f32, v_mean [b,h,d] or None) —
+    the per-channel (column) quantization of V with optional smooth_v, in
+    one kernel pass per (b, h) slab."""
+    b, h, s, d = v.shape
+    if s * d * v.dtype.itemsize > _V_VMEM_BYTES:
+        # sequence slab too large for VMEM: the jnp spec (XLA) handles it
+        return quant_spec.per_channel_quant(v, dtype=dtype, smooth=smooth)
+    qmax = 127.0 if jnp.dtype(dtype) == jnp.int8.dtype else float(
+        quant_spec._QMAX[jnp.dtype(dtype)]
+    )
+    v3 = v.reshape(b * h, s, d)
+    outs = pl.pallas_call(
+        functools.partial(
+            _quant_v_kernel, qmax=qmax, smooth=smooth, out_dt=dtype
+        ),
+        grid=(b * h,),
+        in_specs=[pl.BlockSpec((1, s, d), lambda i: (i, 0, 0))],
+        out_specs=[
+            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, s, d), dtype),
+            jax.ShapeDtypeStruct((b * h, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
+        interpret=interpret,
+    )(v3)
+    v_q = outs[0].reshape(b, h, s, d)
+    v_scale = outs[1].reshape(b, h, d)
+    v_mean = outs[2].reshape(b, h, d) if smooth else None
+    return v_q, v_scale, v_mean

@@ -220,3 +220,36 @@ class TestFp8Experiments:
         v = jax.random.normal(jax.random.PRNGKey(3), (1, 1, 128, 8))
         vq, scale, mean, alpha = quant.per_channel_fp8_affine_autoalpha(v)
         assert vq.shape == v.shape and scale.shape == (1, 1, 8)
+
+
+class TestQuantPallasV:
+    def test_v_per_channel_matches_spec(self):
+        from sageattention_tpu.ops import quant_pallas
+
+        v = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 256, 64)) + 0.7
+        for smooth in (False, True):
+            ref = quant.per_channel_quant(v, dtype=jnp.int8, smooth=smooth)
+            got = quant_pallas.quant_v_per_channel(
+                v, dtype=jnp.int8, smooth=smooth, interpret=True
+            )
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(ref[0]))
+            np.testing.assert_allclose(np.asarray(got[1]),
+                                       np.asarray(ref[1]), rtol=1e-6)
+            if smooth:
+                np.testing.assert_allclose(np.asarray(got[2]),
+                                           np.asarray(ref[2]), rtol=1e-5,
+                                           atol=1e-6)
+
+    def test_v_fp8(self):
+        from sageattention_tpu.ops import quant_pallas
+
+        v = jax.random.normal(jax.random.PRNGKey(6), (1, 2, 128, 32))
+        ref = quant.per_channel_quant(v, dtype=jnp.float8_e4m3fn)
+        got = quant_pallas.quant_v_per_channel(
+            v, dtype=jnp.float8_e4m3fn, interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[0]).view(np.uint8),
+            np.asarray(ref[0]).view(np.uint8),
+        )
