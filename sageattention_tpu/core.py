@@ -90,6 +90,7 @@ def _pad_axis(x: jax.Array, axis: int, to: int) -> jax.Array:
         "qk_quant_gran",
         "pv_dtype",
         "smooth_k",
+        "smooth_q",
         "smooth_v",
         "return_lse",
         "block_q",
@@ -118,6 +119,7 @@ def _sageattn_hnd(
     smooth_k: bool,
     smooth_v: bool,
     return_lse: bool,
+    smooth_q: bool = False,
     block_q: int,
     block_k: int,
     impl: str,
@@ -154,15 +156,31 @@ def _sageattn_hnd(
     # same way (reference: bench/README.md:22-27).
     if chunk_k is None:
         chunk_k = attention_pallas.effective_chunk_k(block_k)
-    if qk_quant_gran == "auto":
-        km = (
-            jnp.mean(k.astype(jnp.float32), axis=-2) if smooth_k else None
+    km = jnp.mean(k.astype(jnp.float32), axis=-2) if smooth_k else None
+    # smooth_q (SageAttention2's Q-mean smoothing): quantize q - qm and add
+    # the per-column correction qm . k_smoothed back inside the kernel
+    # (q . k = (q-qm).(k-km) + qm.(k-km) + row-constants dropped by softmax;
+    # the reference's v2 outlier smoothing, PAPERS.md arXiv 2411.10958).
+    if smooth_q:
+        qm = jnp.mean(q.astype(jnp.float32), axis=-2)  # [b, hq, d]
+        q_in = (q.astype(jnp.float32) - qm[..., None, :]).astype(q.dtype)
+        k_c = k.astype(jnp.float32)
+        if km is not None:
+            k_c = k_c - km[..., None, :]
+        if hq != hkv:
+            k_c = jnp.repeat(k_c, hq // hkv, axis=1)
+        score_col_bias = (
+            jnp.einsum("bhd,bhsd->bhs", qm, k_c) * sm_scale * LOG2E
         )
+    else:
+        q_in = q
+        score_col_bias = None
+    if qk_quant_gran == "auto":
         if impl == "pallas":
             # fused single-pass prologue kernels (ops/quant_pallas.py; the
             # reference's _fused extension, csrc/fused/fused.cu)
             q_i8, q_scale = quant_pallas.quant_q_per_token(
-                q,
+                q_in,
                 scale_fold=sm_scale * LOG2E,
                 bits=qk_bits,
                 interpret=_on_cpu(),
@@ -176,7 +194,7 @@ def _sageattn_hnd(
             else:
                 k_sm = k
             q_i8, q_scale = quant_mod.quant_int8(
-                q,
+                q_in,
                 granularity="per_token",
                 scale_fold=sm_scale * LOG2E,
                 bits=qk_bits,
@@ -188,7 +206,7 @@ def _sageattn_hnd(
             k_scale = jnp.repeat(k_scale, chunk_k, axis=-1)[..., :sk]
     else:
         q_i8, q_scale, k_i8, k_scale, km = quant_mod.quantize_qk(
-            q,
+            q_in,
             k,
             sm_scale=sm_scale,
             granularity=qk_quant_gran,
@@ -245,6 +263,7 @@ def _sageattn_hnd(
             q_positions=q_positions,
             kv_positions=kv_positions,
             attn_mask=attn_mask,
+            score_col_bias=score_col_bias,
             return_lse=return_lse,
             out_dtype=out_dtype,
         )
@@ -324,6 +343,8 @@ def _sageattn_hnd(
         v_scale = _pad_axis(v_scale, 2, d_v)
     if v_mean is not None:
         v_mean = _pad_axis(v_mean, 2, d_v)
+    if score_col_bias is not None:
+        score_col_bias = _pad_axis(score_col_bias, 2, sk_pad)
 
     out = attention_pallas.sage_attention_fused(
         q_i8,
@@ -337,6 +358,7 @@ def _sageattn_hnd(
         kv_segment_ids,
         q_positions,
         kv_positions,
+        score_col_bias,
         is_causal=is_causal,
         pv_dtype=pv_dtype,
         return_lse=return_lse,
@@ -373,6 +395,7 @@ def _entry(
     qk_quant_gran: str = "auto",
     pv_dtype: str = "int8",
     smooth_k: bool = True,
+    smooth_q: bool = False,
     smooth_v: bool = False,
     q_segment_ids=None,
     kv_segment_ids=None,
@@ -412,6 +435,7 @@ def _entry(
         qk_quant_gran=qk_quant_gran,
         pv_dtype=pv_dtype,
         smooth_k=smooth_k,
+        smooth_q=smooth_q,
         smooth_v=smooth_v,
         return_lse=return_lse,
         block_q=block_q,
@@ -567,11 +591,9 @@ def sageattn_varlen(
         smooth_v=kwargs.pop("smooth_v", False),
         return_lse=return_lse,
         block_q=kwargs.pop("block_q", None)
-        or _auto_block(total_q, (512, 512), (256, 256), 128),
+        or attention_pallas.default_config(total_q, total_k, d, is_causal)[0],
         block_k=kwargs.pop("block_k", None)
-        or _auto_block(
-            total_k, (2048, 2048), (1024, 1024), (512, 512), (256, 256), 128
-        ),
+        or attention_pallas.default_config(total_q, total_k, d, is_causal)[1],
         impl=kwargs.pop("impl", "auto"),
     )
     if return_lse:

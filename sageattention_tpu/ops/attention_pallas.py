@@ -134,6 +134,7 @@ def _compute_parts(
     kseg_ref,
     qpos_ref,
     kpos_ref,
+    cbias_ref,
     causal: bool,
     k_scale_blocked: bool,
     has_segments: bool,
@@ -211,7 +212,7 @@ def _compute_parts(
             )
             mask = cm if mask is None else jnp.logical_and(mask, cm)
 
-        if k_scale_blocked:
+        if k_scale_blocked and cbias_ref is None:
             # FAST PATH: one K scale per chunk from SMEM; masking and the
             # row max run in the int32 domain (the positive per-row scale
             # commutes with max), so dequant is one fused multiply feeding
@@ -223,11 +224,27 @@ def _compute_parts(
             imax = jnp.max(s_i32, axis=1)[:, None]
             m_c = imax.astype(jnp.float32) * rowscale
             p = jnp.exp2(s_i32.astype(jnp.float32) * rowscale - m_c)
+        elif k_scale_blocked:
+            # smooth_q correction: a per-column bias (qm . k_smoothed,
+            # base-2 domain) joins after dequant, so the max runs in f32
+            # (the column-varying bias breaks the int-domain commute)
+            ksc = ks_ref[0, 0, 0, kv_idx * n_chunks + c]
+            rowscale = qs * ksc
+            sf = (
+                s_i32.astype(jnp.float32) * rowscale
+                + cbias_ref[0, 0, :, cb[c][0]:cb[c][1]]
+            )
+            if mask is not None:
+                sf = jnp.where(mask, sf, MASK_VALUE)
+            m_c = jnp.max(sf, axis=1)[:, None]
+            p = jnp.exp2(sf - m_c)
         else:
             # Per-row K scales (reference-parity accuracy mode): one extra
             # broadcast multiply per element.
             ks = ks_ref[0, 0, :, cb[c][0]:cb[c][1]]  # [1, chunk]
             s = s_i32.astype(jnp.float32) * qs * ks
+            if cbias_ref is not None:
+                s = s + cbias_ref[0, 0, :, cb[c][0]:cb[c][1]]
             if mask is not None:
                 s = jnp.where(mask, s, MASK_VALUE)
             m_c = jnp.max(s, axis=1)[:, None]
@@ -329,6 +346,7 @@ def _kernel(
     kseg_ref,
     qpos_ref,
     kpos_ref,
+    cbias_ref,
     o_ref,
     lse_ref,
     m_scr,
@@ -372,6 +390,7 @@ def _kernel(
         kseg_ref=kseg_ref,
         qpos_ref=qpos_ref,
         kpos_ref=kpos_ref,
+        cbias_ref=cbias_ref,
         k_scale_blocked=k_scale_blocked,
         has_segments=has_segments,
         has_positions=has_positions,
@@ -465,6 +484,7 @@ def _kernel_single(
     kseg_ref,
     qpos_ref,
     kpos_ref,
+    cbias_ref,
     o_ref,
     lse_ref,
     *,
@@ -503,6 +523,7 @@ def _kernel_single(
         kseg_ref=kseg_ref,
         qpos_ref=qpos_ref,
         kpos_ref=kpos_ref,
+        cbias_ref=cbias_ref,
         causal=causal,
         k_scale_blocked=k_scale_blocked,
         has_segments=has_segments,
@@ -565,6 +586,7 @@ def sage_attention_fused(
     kv_segment_ids: jax.Array | None = None,
     q_positions: jax.Array | None = None,
     kv_positions: jax.Array | None = None,
+    score_col_bias: jax.Array | None = None,
     *,
     is_causal: bool = False,
     pv_dtype: str = "int8",
@@ -627,6 +649,7 @@ def sage_attention_fused(
     has_v_mean = v_mean is not None
     has_segments = q_segment_ids is not None
     has_positions = q_positions is not None
+    has_col_bias = score_col_bias is not None
     v_needs_cast = v_q.dtype != jnp.bfloat16
 
     # Single-KV-step specialization: when the whole KV row is one grid step
@@ -725,6 +748,16 @@ def sage_attention_fused(
         in_specs.append(mk((1, 1, block_k), kvsegm))
         inputs.append(q_positions.astype(jnp.int32)[..., None])     # [b,sq,1]
         inputs.append(kv_positions.astype(jnp.int32)[:, None, :])   # [b,1,sk]
+    if has_col_bias:
+        # per-(b, hq) column bias (smooth_q correction, base-2 domain)
+        if is_causal:
+            def cbm(ib, ih, iq, ik):
+                return (ib, ih, 0, _clamp(iq, ik))
+        else:
+            def cbm(ib, ih, iq, ik):
+                return (ib, ih, 0, ik)
+        in_specs.append(mk((1, 1, 1, block_k), cbm))
+        inputs.append(score_col_bias.astype(jnp.float32)[:, :, None, :])
 
     out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype)]
     out_specs = [mk((1, 1, block_q, d), qm)]
@@ -767,11 +800,14 @@ def sage_attention_fused(
         qpos_ref = refs[pos] if has_positions else None
         kpos_ref = refs[pos + 1] if has_positions else None
         pos += 2 * has_positions
+        cbias_ref = refs[pos] if has_col_bias else None
+        pos += has_col_bias
         o_ref = refs[pos]
         lse_ref = refs[pos + 1] if return_lse else None
         args = (
             q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, vm_ref,
-            qseg_ref, kseg_ref, qpos_ref, kpos_ref, o_ref, lse_ref,
+            qseg_ref, kseg_ref, qpos_ref, kpos_ref, cbias_ref,
+            o_ref, lse_ref,
         )
         if single_step:
             inner(*args)

@@ -78,7 +78,9 @@ def quant_q_per_token(
     qmax = 7.0 if bits == 4 else 127.0
     rows = b * h * s
     q2 = q.reshape(rows, d)
-    blk = min(block_s, -(-rows // 128) * 128)
+    # cap the block so one step's input slab stays ~4 MB
+    max_rows = max(128, (4 * 2**20 // (d * q.dtype.itemsize)) // 128 * 128)
+    blk = min(block_s, max_rows, -(-rows // 128) * 128)
     pad = (-rows) % blk
     if pad:
         # per-row scales: pad rows quantize independently, then crop

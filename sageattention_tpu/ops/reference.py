@@ -136,6 +136,7 @@ def quantized_attention_reference(
     q_positions: jax.Array | None = None,
     kv_positions: jax.Array | None = None,
     attn_mask: jax.Array | None = None,
+    score_col_bias: jax.Array | None = None,
     return_lse: bool = False,
     out_dtype=jnp.bfloat16,
 ):
@@ -185,6 +186,9 @@ def quantized_attention_reference(
         * q_scale[..., :, None].astype(jnp.float32)
         * k_scale[..., None, :].astype(jnp.float32)
     )
+    if score_col_bias is not None:
+        # smooth_q correction (base-2 folded domain, [b, h, sk])
+        s = s + score_col_bias[..., None, :].astype(jnp.float32)
     mask = _build_mask(
         sq,
         sk,

@@ -161,3 +161,87 @@ class TestAttnMask:
         o = sa.sageattn(q, k, v, attn_mask=bias)
         o_ref = reference.attention_reference(q, k, v, attn_bias=bias)
         assert cosine(o, o_ref) > 0.999
+
+
+class TestFeatureInteractions:
+    """Cross-feature coverage: rowsum lane (hd<=64) x causal x segments."""
+
+    def test_hd64_causal_segments(self):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 300, 64))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 300, 64))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 300, 64))
+        seg = (jnp.arange(300) // 150).astype(jnp.int32)[None]
+        o = sa.sageattn(
+            q, k, v, is_causal=True,
+            q_segment_ids=seg, kv_segment_ids=seg,
+        )
+        o_ref = reference.attention_reference(
+            q, k, v, is_causal=True, q_segment_ids=seg, kv_segment_ids=seg
+        )
+        assert cosine(o, o_ref) > 0.999
+
+    def test_hd32_gqa_smooth_v(self):
+        q = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 256, 32))
+        k = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 256, 32))
+        v = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 256, 32)) + 2.0
+        o = sa.sageattn(q, k, v, smooth_v=True)
+        o_ref = reference.attention_reference(q, k, v)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_varlen_causal(self):
+        total, h, d = 512, 2, 64
+        q = jax.random.normal(jax.random.PRNGKey(6), (total, h, d))
+        k = jax.random.normal(jax.random.PRNGKey(7), (total, h, d))
+        v = jax.random.normal(jax.random.PRNGKey(8), (total, h, d))
+        cu = jnp.array([0, 200, 512], jnp.int32)
+        o = sa.sageattn_varlen(q, k, v, cu, cu, is_causal=True)
+        # oracle per segment
+        import numpy as _np
+        for lo, hi in [(0, 200), (200, 512)]:
+            qs = jnp.swapaxes(q[lo:hi], 0, 1)[None]
+            ks = jnp.swapaxes(k[lo:hi], 0, 1)[None]
+            vs = jnp.swapaxes(v[lo:hi], 0, 1)[None]
+            ref = reference.attention_reference(qs, ks, vs, is_causal=True)
+            got = jnp.swapaxes(o[lo:hi], 0, 1)[None]
+            assert cosine(got, ref) > 0.999
+
+
+class TestSmoothQ:
+    """SageAttention2's Q-mean smoothing (per-column score correction)."""
+
+    def _biased_inputs(self):
+        # Q with large per-channel means: the case smooth_q exists for
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 256, 64))
+        q = q + jnp.linspace(-6, 6, 64)[None, None, None, :]
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 256, 64))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 256, 64))
+        return q, k, v
+
+    def test_matches_reference(self):
+        q, k, v = self._biased_inputs()
+        o = sa.sageattn(q, k, v, smooth_q=True)
+        o_ref = reference.attention_reference(q, k, v)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_improves_accuracy_on_biased_q(self):
+        q, k, v = self._biased_inputs()
+        o_ref = reference.attention_reference(q, k, v)
+        c_plain = cosine(sa.sageattn(q, k, v), o_ref)
+        c_smooth = cosine(sa.sageattn(q, k, v, smooth_q=True), o_ref)
+        assert c_smooth >= c_plain - 1e-6
+
+    def test_with_causal_and_gqa(self):
+        q, k, v = self._biased_inputs()
+        k, v = k[:, :1], v[:, :1]
+        o = sa.sageattn(q, k, v, is_causal=True, smooth_q=True)
+        o_ref = reference.attention_reference(q, k, v, is_causal=True)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_matches_xla_oracle_path(self):
+        q, k, v = self._biased_inputs()
+        o = sa.sageattn(q, k, v, smooth_q=True)
+        o_x = sa.sageattn(q, k, v, smooth_q=True, impl="xla")
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(o_x, np.float32),
+            atol=3e-2,
+        )
