@@ -19,7 +19,6 @@ Detailed per-config numbers go to stderr.
 import functools
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp

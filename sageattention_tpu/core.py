@@ -49,22 +49,6 @@ def _from_hnd(x: jax.Array, layout: Layout) -> jax.Array:
     return x if layout == "HND" else jnp.swapaxes(x, 1, 2)
 
 
-def _auto_block(seq: int, *thresholds) -> int:
-    """Pick a kernel block size for a sequence length.
-
-    The kernel is per-grid-step-overhead and VPU bound on TPU, so large
-    tiles win for long sequences; short sequences prefer small tiles to
-    bound padding waste (the seq is padded up to a block multiple).
-    ``thresholds``: (min_seq, block) pairs checked in order, then the
-    final int fallback.
-    """
-    *pairs, fallback = thresholds
-    for min_seq, block in pairs:
-        if seq >= min_seq:
-            return block
-    return fallback
-
-
 def _pad_head_dim(d: int) -> int:
     """Pad head_dim to a TPU-friendly size (reference pads to 64/128,
     core.py:772-786; TPU lanes are 128-wide, so 64 / multiples of 128)."""
