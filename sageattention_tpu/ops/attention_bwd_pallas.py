@@ -1,0 +1,377 @@
+"""Fused backward kernels for sage attention (Pallas / Mosaic).
+
+The reference is forward-only; this framework's training path previously
+recomputed gradients through jax's flash-attention.  These kernels make
+the backward first-class AND quantization-consistent: P is recomputed
+from the SAME int8 Q/K products and base-2 LSE the forward produced, so
+the gradient is the straight-through gradient of the actual quantized
+forward (scales treated as constants), not of a different bf16 kernel.
+
+Math (natural units; the kernel works in the base-2 folded domain):
+
+    P    = exp2(L2 - lse2)          L2 = s_i32 * q_scale * k_scale
+    dV   = P^T . dO
+    dP   = dO . V^T
+    dS   = P * (dP - D)             D = rowsum(dO * O)
+    dQ   = dS . K * sm_scale        (K may be the smoothed K: softmax row
+                                     gradients are invariant to the
+                                     per-row constant the smoothing drops)
+    dK   = dS^T . Q * sm_scale
+
+Structure: unlike the forward there is NO online-softmax chain — P comes
+straight from the saved LSE — so each (q block, kv block) pair is
+independent MXU work (2 int8/bf16 matmuls + exp2 + 1-2 more matmuls) and
+the kernels are plain block-accumulation loops:
+
+* ``_dq_kernel``  — grid (b, h, nq, nkv), accumulates dQ per Q block.
+* ``_dkv_kernel`` — grid (b, h, nkv, nq), accumulates dK and dV per KV
+  block (GQA handled by repeating K/V and summing outside).
+
+Causal uses the same clamped-index-map early exit as the forward
+(reference: sm89.cuh:225-229), from below for dq and from above for dkv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG2E = 1.4426950408889634
+
+
+def _dq_kernel(
+    qi8_ref, qs_ref, ki8_ref, ks_ref, kbf_ref, v_ref, do_ref, lse_ref,
+    dvec_ref, dq_ref, acc,
+    *, causal, n_kv, block_q, block_k, sm_scale, n_chunks, chunk_k,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc[...] = jnp.zeros_like(acc)
+
+    if causal:
+        should_run = kv_idx * block_k <= q_idx * block_q + (block_q - 1)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _body():
+        qs = qs_ref[0, 0]          # [bq, 1] f32 (sm_scale*log2e folded)
+        lse = lse_ref[0, 0]        # [bq, 1] f32 (base 2)
+        dvec = dvec_ref[0, 0]      # [bq, 1] f32
+        do = do_ref[0, 0]          # [bq, d] bf16
+        for c in range(n_chunks):
+            cols = slice(c * chunk_k, (c + 1) * chunk_k)
+            k_i8 = ki8_ref[0, 0, cols, :]
+            s_i32 = jax.lax.dot_general(
+                qi8_ref[0, 0], k_i8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            ksc = ks_ref[0, 0, 0, kv_idx * n_chunks + c]
+            l2 = s_i32.astype(jnp.float32) * (qs * ksc)
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 1)
+                keep = (col + kv_idx * block_k + c * chunk_k) <= (
+                    row + q_idx * block_q
+                )
+                p = jnp.where(keep, jnp.exp2(l2 - lse), 0.0)
+            else:
+                p = jnp.exp2(l2 - lse)
+            dp = jax.lax.dot_general(
+                do, v_ref[0, 0, cols, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bq, ck]
+            ds = (p * (dp - dvec)).astype(jnp.bfloat16)
+            acc[...] += jax.lax.dot_general(
+                ds, kbf_ref[0, 0, cols, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    if causal:
+        last_kv = jnp.minimum(
+            n_kv - 1, (q_idx * block_q + block_q - 1) // block_k
+        )
+    else:
+        last_kv = n_kv - 1
+
+    @pl.when(kv_idx == last_kv)
+    def _epi():
+        dq_ref[0, 0] = acc[...] * sm_scale
+
+
+def _dkv_kernel(
+    ki8_ref, ks_ref, qi8_ref, qs_ref, qbf_ref, v_ref, do_ref, lse_ref,
+    dvec_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+    *, causal, n_q, block_q, block_k, sm_scale, n_chunks, chunk_k,
+):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    if causal:
+        # only q blocks intersecting or below the diagonal contribute
+        should_run = q_idx * block_q + (block_q - 1) >= kv_idx * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _body():
+        qs = qs_ref[0, 0]     # [bq, 1]
+        lse = lse_ref[0, 0]   # [bq, 1]
+        dvec = dvec_ref[0, 0]
+        do = do_ref[0, 0]     # [bq, d]
+        for c in range(n_chunks):
+            rows = slice(c * chunk_k, (c + 1) * chunk_k)
+            k_i8 = ki8_ref[0, 0, rows, :]
+            # transposed scores: [ck, bq]
+            st_i32 = jax.lax.dot_general(
+                k_i8, qi8_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            ksc = ks_ref[0, 0, 0, kv_idx * n_chunks + c]
+            l2t = st_i32.astype(jnp.float32) * (qs[:, 0][None, :] * ksc)
+            if causal:
+                krow = jax.lax.broadcasted_iota(jnp.int32, l2t.shape, 0)
+                qcol = jax.lax.broadcasted_iota(jnp.int32, l2t.shape, 1)
+                keep = (krow + kv_idx * block_k + c * chunk_k) <= (
+                    qcol + q_idx * block_q
+                )
+                pt = jnp.where(keep, jnp.exp2(l2t - lse[:, 0][None, :]), 0.0)
+            else:
+                pt = jnp.exp2(l2t - lse[:, 0][None, :])
+            dv_acc[rows, :] += jax.lax.dot_general(
+                pt.astype(jnp.bfloat16), do, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dpt = jax.lax.dot_general(
+                v_ref[0, 0, rows, :], do, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [ck, bq]
+            dst = (pt * (dpt - dvec[:, 0][None, :])).astype(jnp.bfloat16)
+            dk_acc[rows, :] += jax.lax.dot_general(
+                dst, qbf_ref[0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(q_idx == n_q - 1)
+    def _epi():
+        dk_ref[0, 0] = dk_acc[...] * sm_scale
+        dv_ref[0, 0] = dv_acc[...]
+
+
+def _fit_block(s: int, candidates) -> int | None:
+    for c in candidates:
+        if s % c == 0:
+            return c
+    return None
+
+
+def quantized_attention_vjp(
+    q, k, v, do, *, is_causal: bool, sm_scale: float | None,
+    interpret: bool = False,
+):
+    """Full recomputed backward through the fused kernels.
+
+    Quantizes Q/K exactly as the forward does, reruns the fused forward
+    for (O, lse), then the fused dq/dkv kernels.  Returns (dq, dk, dv)
+    in the input dtypes, or None when the shape doesn't fit the kernels
+    (caller falls back to the flash/XLA recompute).
+    """
+    from sageattention_tpu import quant as quant_mod
+    from sageattention_tpu.ops import attention_pallas
+
+    b, hq, sq, d = q.shape
+    hkv, sk = k.shape[1], k.shape[2]
+    if sm_scale is None:
+        sm_scale = d**-0.5
+    block_q = _fit_block(sq, (512, 256, 128))
+    block_k = _fit_block(sk, (2048, 1024, 512, 256, 128))
+    if block_q is None or block_k is None or d % 64 or d > 256:
+        return None
+    chunk_k = min(1024, block_k)
+
+    # GQA: expand K/V so the kernels see matched heads; group-sum after
+    rep = hq // hkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    km = jnp.mean(k.astype(jnp.float32), axis=-2)
+    k_sm = (k.astype(jnp.float32) - km[..., None, :])
+    q_i8, q_scale = quant_mod.quant_int8(
+        q, granularity="per_token", scale_fold=sm_scale * LOG2E
+    )
+    k_i8, k_scale = quant_mod.quant_int8_block_scales(k_sm, group=chunk_k)
+
+    o, lse2 = attention_pallas.sage_attention_fused(
+        q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
+        is_causal=is_causal, pv_dtype="bf16", return_lse=True,
+        block_q=block_q, block_k=block_k, chunk_k=chunk_k,
+        interpret=interpret,
+    )
+    dq, dk, dv = sage_attention_bwd(
+        q_i8, q_scale, k_i8, k_scale,
+        k_sm.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), o, lse2, do,
+        is_causal=is_causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, chunk_k=chunk_k,
+        interpret=interpret,
+    )
+    if rep > 1:
+        dk = dk.reshape(b, hkv, rep, sk, d).sum(axis=2)
+        dv = dv.reshape(b, hkv, rep, sk, d).sum(axis=2)
+    return (
+        dq.astype(q.dtype),
+        dk.astype(q.dtype) if rep > 1 else dk.astype(k.dtype),
+        dv.astype(q.dtype) if rep > 1 else dv.astype(v.dtype),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "is_causal", "sm_scale", "block_q", "block_k", "chunk_k",
+        "interpret",
+    ),
+)
+def sage_attention_bwd(
+    q_i8, q_scale, k_i8, k_scale, k_bf, q_bf, v_bf, o, lse2, do,
+    *,
+    is_causal: bool,
+    sm_scale: float,
+    block_q: int = 512,
+    block_k: int = 1024,
+    chunk_k: int | None = None,
+    interpret: bool = False,
+):
+    """Fused backward: returns (dq, dk, dv) in f32.
+
+    Inputs are the forward's quantized operands plus the saved bf16
+    tensors: q_i8/q_scale (sm_scale*log2e folded), k_i8/k_scale
+    (per-chunk, group == the FORWARD's chunk width), k_bf (smoothed or
+    raw K, bf16), q_bf (raw Q), v_bf (raw V), o (forward output), lse2
+    (raw base-2 LSE from the kernel), do (output cotangent).  All
+    sequence dims must already be padded to block multiples.  GQA must
+    be pre-expanded (repeat K/V; sum dk/dv over the group outside).
+    """
+    b, h, sq, d = q_i8.shape
+    sk = k_i8.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, sk)
+    assert sq % block_q == 0 and sk % block_k == 0
+    n_q, n_kv = sq // block_q, sk // block_k
+    if chunk_k is None:
+        chunk_k = block_k
+    chunk_k = min(chunk_k, block_k)
+    assert block_k % chunk_k == 0
+    n_chunks = block_k // chunk_k
+    n_chunks_total = sk // chunk_k
+    assert k_scale.shape[-1] == n_chunks_total, (
+        k_scale.shape, n_chunks_total
+    )
+
+    # D = rowsum(dO * O) (natural units)
+    dvec = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )[..., None]  # [b,h,sq,1]
+    lse_in = lse2[..., None] if lse2.ndim == 3 else lse2
+    qs_in = q_scale.astype(jnp.float32)[..., None]
+    ks_in = k_scale.astype(jnp.float32)[:, :, None, :]
+    do_bf = do.astype(jnp.bfloat16)
+
+    qm = lambda ib, ih, iq, ik: (ib, ih, iq, 0)
+    if is_causal:
+        def km_dq(ib, ih, iq, ik):
+            return (ib, ih, jnp.minimum(
+                ik, (iq * block_q + block_q - 1) // block_k), 0)
+
+        def qm_dkv(ib, ih, ik, iq):
+            return (ib, ih, jnp.maximum(iq, (ik * block_k) // block_q), 0)
+    else:
+        def km_dq(ib, ih, iq, ik):
+            return (ib, ih, ik, 0)
+
+        def qm_dkv(ib, ih, ik, iq):
+            return (ib, ih, iq, 0)
+
+    # ---- dq ----
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, causal=is_causal, n_kv=n_kv, block_q=block_q,
+            block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
+            chunk_k=chunk_k,
+        ),
+        grid=(b, h, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), qm),
+            pl.BlockSpec((1, 1, block_q, 1), qm),
+            pl.BlockSpec((1, 1, block_k, d), km_dq),
+            pl.BlockSpec((1, 1, 1, n_chunks_total),
+                         lambda ib, ih, iq, ik: (ib, ih, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_k, d), km_dq),
+            pl.BlockSpec((1, 1, block_k, d), km_dq),
+            pl.BlockSpec((1, 1, block_q, d), qm),
+            pl.BlockSpec((1, 1, block_q, 1), qm),
+            pl.BlockSpec((1, 1, block_q, 1), qm),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), qm),
+        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3 + ("arbitrary",),
+        ),
+        interpret=interpret,
+    )(q_i8, qs_in, k_i8, ks_in, k_bf, v_bf, do_bf, lse_in, dvec)
+
+    # ---- dk, dv ----
+    kvm = lambda ib, ih, ik, iq: (ib, ih, ik, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, causal=is_causal, n_q=n_q, block_q=block_q,
+            block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
+            chunk_k=chunk_k,
+        ),
+        grid=(b, h, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k, d), kvm),
+            pl.BlockSpec((1, 1, 1, n_chunks_total),
+                         lambda ib, ih, ik, iq: (ib, ih, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, d), qm_dkv),
+            pl.BlockSpec((1, 1, block_q, 1), qm_dkv),
+            pl.BlockSpec((1, 1, block_q, d), qm_dkv),
+            pl.BlockSpec((1, 1, block_k, d), kvm),
+            pl.BlockSpec((1, 1, block_q, d), qm_dkv),
+            pl.BlockSpec((1, 1, block_q, 1), qm_dkv),
+            pl.BlockSpec((1, 1, block_q, 1), qm_dkv),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), kvm),
+            pl.BlockSpec((1, 1, block_k, d), kvm),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sk, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",) * 3 + ("arbitrary",),
+        ),
+        interpret=interpret,
+    )(k_i8, ks_in, q_i8, qs_in, q_bf, v_bf, do_bf, lse_in, dvec)
+    return dq, dk, dv

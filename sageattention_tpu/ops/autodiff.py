@@ -87,6 +87,17 @@ def _cached(fwd_statics, bwd_statics):
                     return_lse=True,
                 )
         else:
+            # first choice: the fused Pallas backward — the straight-
+            # through gradient of the actual quantized forward
+            from sageattention_tpu.ops import attention_bwd_pallas
+
+            grads = attention_bwd_pallas.quantized_attention_vjp(
+                q, k, v, ct, is_causal=is_causal, sm_scale=sm_scale,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if grads is not None:
+                return grads
+
             def exact(q, k, v):
                 return _exact_attention_for_bwd(
                     q, k, v, is_causal=is_causal, sm_scale=sm_scale

@@ -65,3 +65,37 @@ class TestGrad:
         flat = jax.tree.leaves(grads)
         assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
         assert any(float(jnp.max(jnp.abs(g))) > 0 for g in flat)
+
+
+class TestFusedBackward:
+    """The fused Pallas backward (quantized-forward straight-through VJP)."""
+
+    def test_matches_exact_gradients(self):
+        from sageattention_tpu.ops import attention_bwd_pallas
+
+        q, k, v = (rand(i + 20, (1, 2, 256, 64)) for i in range(3))
+        do = rand(30, (1, 2, 256, 64))
+        got = attention_bwd_pallas.quantized_attention_vjp(
+            q, k, v, do, is_causal=True, sm_scale=None, interpret=True
+        )
+        assert got is not None
+        _, vjp = jax.vjp(
+            lambda q, k, v: reference.attention_reference(
+                q, k, v, is_causal=True
+            ),
+            q, k, v,
+        )
+        ref = vjp(do)
+        for g, r in zip(got, ref):
+            c = float(jnp.sum(g * r)
+                      / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
+            assert c > 0.999
+
+    def test_unfit_shape_returns_none(self):
+        from sageattention_tpu.ops import attention_bwd_pallas
+
+        q, k, v = (rand(i, (1, 2, 200, 64)) for i in range(3))
+        do = rand(3, (1, 2, 200, 64))
+        assert attention_bwd_pallas.quantized_attention_vjp(
+            q, k, v, do, is_causal=False, sm_scale=None, interpret=True
+        ) is None
