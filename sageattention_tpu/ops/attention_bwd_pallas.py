@@ -179,24 +179,27 @@ def _fit_block(s: int, candidates) -> int | None:
 
 def quantized_attention_vjp(
     q, k, v, do, *, is_causal: bool, sm_scale: float | None,
-    interpret: bool = False,
+    o=None, lse_nat=None, smooth_k: bool = True, interpret: bool = False,
 ):
     """Full recomputed backward through the fused kernels.
 
-    Quantizes Q/K exactly as the forward does, reruns the fused forward
-    for (O, lse), then the fused dq/dkv kernels.  Returns (dq, dk, dv)
-    in the input dtypes, or None when the shape doesn't fit the kernels
-    (caller falls back to the flash/XLA recompute).
+    Quantizes Q/K exactly as the forward does, then runs the fused
+    dq/dkv kernels.  When the forward's output ``o`` and natural-log
+    ``lse_nat`` (the public corrected LSE) are supplied as residuals,
+    the forward recompute is skipped entirely — the kernel's raw base-2
+    LSE is reconstructed by inverting the smooth-k correction.  Returns
+    (dq, dk, dv) in the input dtypes, or None when the shape doesn't
+    fit the kernels (caller falls back to the flash/XLA recompute).
     """
     from sageattention_tpu import quant as quant_mod
-    from sageattention_tpu.ops import attention_pallas
+    from sageattention_tpu.ops import attention_pallas, quant_pallas
 
     b, hq, sq, d = q.shape
     hkv, sk = k.shape[1], k.shape[2]
     if sm_scale is None:
         sm_scale = d**-0.5
     block_q = _fit_block(sq, (512, 256, 128))
-    block_k = _fit_block(sk, (2048, 1024, 512, 256, 128))
+    block_k = _fit_block(sk, (4096, 2048, 1024, 512, 256, 128))
     if block_q is None or block_k is None or d % 64 or d > 256:
         return None
     chunk_k = min(1024, block_k)
@@ -207,22 +210,50 @@ def quantized_attention_vjp(
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
 
-    km = jnp.mean(k.astype(jnp.float32), axis=-2)
-    k_sm = (k.astype(jnp.float32) - km[..., None, :])
-    q_i8, q_scale = quant_mod.quant_int8(
-        q, granularity="per_token", scale_fold=sm_scale * LOG2E
+    km = (
+        jnp.mean(k.astype(jnp.float32), axis=-2) if smooth_k else None
     )
-    k_i8, k_scale = quant_mod.quant_int8_block_scales(k_sm, group=chunk_k)
+    if interpret:
+        k_sm = k.astype(jnp.float32)
+        if smooth_k:
+            k_sm = k_sm - km[..., None, :]
+        q_i8, q_scale = quant_mod.quant_int8(
+            q, granularity="per_token", scale_fold=sm_scale * LOG2E
+        )
+        k_i8, k_scale = quant_mod.quant_int8_block_scales(
+            k_sm, group=chunk_k
+        )
+        k_sm = k_sm.astype(jnp.bfloat16)
+    else:
+        q_i8, q_scale = quant_pallas.quant_q_per_token(
+            q, scale_fold=sm_scale * LOG2E
+        )
+        k_i8, k_scale = quant_pallas.quant_k_chunked(k, km, group=chunk_k)
+        k_sm = k.astype(jnp.float32)
+        if smooth_k:
+            k_sm = k_sm - km[..., None, :]
+        k_sm = k_sm.astype(jnp.bfloat16)
 
-    o, lse2 = attention_pallas.sage_attention_fused(
-        q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
-        is_causal=is_causal, pv_dtype="bf16", return_lse=True,
-        block_q=block_q, block_k=block_k, chunk_k=chunk_k,
-        interpret=interpret,
-    )
+    if o is not None and lse_nat is not None:
+        # invert the public LSE back to the kernel's raw base-2 form:
+        # lse_nat = lse2/log2e + (q.km)*sm_scale  (core.py smooth_k corr)
+        if smooth_k:
+            corr = jnp.einsum(
+                "bhqd,bhd->bhq", q.astype(jnp.float32), km
+            ) * sm_scale
+            lse2 = (lse_nat - corr) * LOG2E
+        else:
+            lse2 = lse_nat * LOG2E
+    else:
+        o, lse2 = attention_pallas.sage_attention_fused(
+            q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
+            is_causal=is_causal, pv_dtype="bf16", return_lse=True,
+            block_q=block_q, block_k=min(block_k, 4096), chunk_k=chunk_k,
+            interpret=interpret,
+        )
     dq, dk, dv = sage_attention_bwd(
         q_i8, q_scale, k_i8, k_scale,
-        k_sm.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+        k_sm, q.astype(jnp.bfloat16),
         v.astype(jnp.bfloat16), o, lse2, do,
         is_causal=is_causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, chunk_k=chunk_k,

@@ -8,13 +8,15 @@ attention VJP recomputed from the saved q/k/v — a straight-through
 estimator through the quantizers.  Residuals are just (q, k, v), O(s*d)
 like flash attention.
 
-Backward implementations:
+Backward implementations, in preference order:
 
-* On TPU the recompute runs through jax's Pallas flash-attention (which
-  ships fused dq/dkv backward kernels), so backward memory stays O(s*d)
-  and long sequences train.
-* On CPU (tests) the fp32 reference attention is used (materializes the
-  score matrix — fine at test sizes, exact for gradient checks).
+* The fused Pallas backward (ops/attention_bwd_pallas.py): the straight-
+  through gradient of the actual quantized forward, recomputing P from
+  the saved base-2 LSE — O(s*d) memory, no forward recompute (o/lse ride
+  in the residuals).
+* jax's Pallas flash-attention recompute (TPU, shapes/options the fused
+  backward doesn't cover).
+* The fp32 reference (CPU fallback / return_lse; materializes scores).
 """
 
 from __future__ import annotations
@@ -61,10 +63,21 @@ def _exact_attention_for_bwd(q, k, v, *, is_causal, sm_scale):
     )
 
 
+# forward kwargs the fused backward models faithfully; anything else
+# (smooth_q's column bias, int4, custom granularities/blocks) falls back
+# to the flash/exact recompute
+_FUSED_BWD_KWARGS = {
+    "is_causal", "sm_scale", "return_lse", "pv_dtype", "smooth_k",
+    "smooth_v", "tensor_layout",
+}
+
+
 @functools.lru_cache(maxsize=None)
 def _cached(fwd_statics, bwd_statics):
     fwd_kwargs = dict(fwd_statics)
     is_causal, sm_scale, return_lse = bwd_statics
+    fused_bwd_ok = set(fwd_kwargs) <= _FUSED_BWD_KWARGS
+    smooth_k = fwd_kwargs.get("smooth_k", True)
 
     from sageattention_tpu import core
 
@@ -73,10 +86,18 @@ def _cached(fwd_statics, bwd_statics):
         return core._entry(q, k, v, **fwd_kwargs)
 
     def fwd(q, k, v):
-        return f(q, k, v), (q, k, v)
+        if return_lse:
+            out = f(q, k, v)
+            return out, (q, k, v, None, None)
+        # run the forward once WITH its LSE and keep (o, lse) as
+        # residuals so the fused backward skips the forward recompute
+        kw = dict(fwd_kwargs)
+        kw["return_lse"] = True
+        o, lse = core._entry(q, k, v, **kw)
+        return o, (q, k, v, o, lse)
 
     def bwd(res, ct):
-        q, k, v = res
+        q, k, v, o_saved, lse_saved = res
         if return_lse:
             # both outputs (o, lse) carry cotangents: use the exact
             # reference (materializes scores; fine at the sizes where LSE
@@ -91,9 +112,14 @@ def _cached(fwd_statics, bwd_statics):
             # through gradient of the actual quantized forward
             from sageattention_tpu.ops import attention_bwd_pallas
 
-            grads = attention_bwd_pallas.quantized_attention_vjp(
-                q, k, v, ct, is_causal=is_causal, sm_scale=sm_scale,
-                interpret=jax.default_backend() == "cpu",
+            grads = (
+                attention_bwd_pallas.quantized_attention_vjp(
+                    q, k, v, ct, is_causal=is_causal, sm_scale=sm_scale,
+                    o=o_saved, lse_nat=lse_saved, smooth_k=smooth_k,
+                    interpret=jax.default_backend() == "cpu",
+                )
+                if fused_bwd_ok
+                else None
             )
             if grads is not None:
                 return grads
