@@ -38,8 +38,11 @@ from sageattention_tpu import quant as quant_spec
 
 # rows per grid step for the flattened per-row quantizer
 _Q_ROWS = 16384
-# VMEM budget for the single-step V quantizer (bytes of one (s, d) slab)
-_V_VMEM_BYTES = 8 * 2**20
+# VMEM budget for the single-step V quantizer: bytes of one (s, d) input
+# slab.  The kernel's f32 working set is ~4x the bf16 slab, so 3 MB input
+# keeps the scoped allocation under the 16 MB limit (measured: a 4 MB
+# slab OOMs at d=64).  Larger slabs fall back to the XLA spec.
+_V_VMEM_BYTES = 3 * 2**20
 
 
 def _round_half_away(x):
