@@ -199,7 +199,12 @@ def quantized_attention_vjp(
     if sm_scale is None:
         sm_scale = d**-0.5
     block_q = _fit_block(sq, (512, 256, 128))
-    block_k = _fit_block(sk, (4096, 2048, 1024, 512, 256, 128))
+    # whole-KV block only when it is the single grid step: with n_kv > 1
+    # the pipeline double-buffers three 4096-row KV operands and OOMs VMEM
+    if sk <= 4096 and sk % 1024 == 0:
+        block_k = sk
+    else:
+        block_k = _fit_block(sk, (2048, 1024, 512, 256, 128))
     if block_q is None or block_k is None or d % 64 or d > 256:
         return None
     chunk_k = min(1024, block_k)
