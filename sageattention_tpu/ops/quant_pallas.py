@@ -39,10 +39,11 @@ from sageattention_tpu import quant as quant_spec
 # rows per grid step for the flattened per-row quantizer
 _Q_ROWS = 16384
 # VMEM budget for the single-step V quantizer: bytes of one (s, d) input
-# slab.  The kernel's f32 working set is ~4x the bf16 slab, so 3 MB input
-# keeps the scoped allocation under the 16 MB limit (measured: a 4 MB
-# slab OOMs at d=64).  Larger slabs fall back to the XLA spec.
-_V_VMEM_BYTES = 3 * 2**20
+# slab.  Mosaic's stack allocator keeps ~12x the input slab live for the
+# f32 temporaries (measured: a 2.2 MB slab allocates 25.9 MB scoped), so
+# only ~1 MB slabs are safe under the 16 MB limit.  Larger sequences
+# fall back to the XLA spec.
+_V_VMEM_BYTES = 1 * 2**20
 
 
 def _round_half_away(x):
