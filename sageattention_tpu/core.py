@@ -233,6 +233,26 @@ def _sageattn_hnd(
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
 
     if impl == "xla":
+        if attn_bias is not None:
+            # Additive-bias path: full-precision (unquantized) XLA
+            # attention — the bias joins pre-softmax, which the quantized
+            # pipeline does not model (reference triton path attn_mask,
+            # core.py:306-316).
+            out = reference.attention_reference(
+                q,
+                k,
+                v,
+                is_causal=is_causal,
+                sm_scale=sm_scale,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=kv_segment_ids,
+                attn_bias=attn_bias,
+                attn_mask=attn_mask,
+                return_lse=return_lse,
+            )
+            if return_lse:
+                return out[0], out[1]
+            return out
         out = reference.quantized_attention_reference(
             q_i8,
             q_scale,
@@ -251,24 +271,6 @@ def _sageattn_hnd(
             return_lse=return_lse,
             out_dtype=out_dtype,
         )
-        if attn_bias is not None:
-            # Bias path: dequantized XLA attention with additive bias
-            # (reference triton path attn_mask, core.py:306-316).
-            out = reference.attention_reference(
-                q,
-                k,
-                v,
-                is_causal=is_causal,
-                sm_scale=sm_scale,
-                q_segment_ids=q_segment_ids,
-                kv_segment_ids=kv_segment_ids,
-                attn_bias=attn_bias,
-                attn_mask=attn_mask,
-                return_lse=return_lse,
-            )
-            if return_lse:
-                return out[0], out[1]
-            return out
         if return_lse:
             o, lse2 = out
             lse = lse2 / LOG2E

@@ -198,16 +198,27 @@ def quantized_attention_vjp(
     hkv, sk = k.shape[1], k.shape[2]
     if sm_scale is None:
         sm_scale = d**-0.5
+    # The K quantization group MUST equal the forward's chunk width: the
+    # saved lse2 was computed from those exact int8 products, and P =
+    # exp2(l2 - lse2) only row-normalizes when the recomputed l2 matches.
+    # The fused backward is only reachable when the forward ran with the
+    # default config (autodiff gates on _FUSED_BWD_KWARGS), so recompute it.
+    chunk_k = attention_pallas.default_config(sq, sk, d, is_causal)[3]
+    if sk % chunk_k:
+        # the forward's quantizer fell back to a ragged-group layout the
+        # kernels' scale indexing does not model
+        return None
     block_q = _fit_block(sq, (512, 256, 128))
     # whole-KV block only when it is the single grid step: with n_kv > 1
     # the pipeline double-buffers three 4096-row KV operands and OOMs VMEM
-    if sk <= 4096 and sk % 1024 == 0:
+    if sk <= 4096 and sk % chunk_k == 0:
         block_k = sk
     else:
-        block_k = _fit_block(sk, (2048, 1024, 512, 256, 128))
+        block_k = _fit_block(
+            sk, [c for c in (2048, 1024, 512, 256, 128) if c % chunk_k == 0]
+        )
     if block_q is None or block_k is None or d % 64 or d > 256:
         return None
-    chunk_k = min(1024, block_k)
 
     # GQA: expand K/V so the kernels see matched heads; group-sum after
     rep = hq // hkv

@@ -65,10 +65,12 @@ def _exact_attention_for_bwd(q, k, v, *, is_causal, sm_scale):
 
 # forward kwargs the fused backward models faithfully; anything else
 # (smooth_q's column bias, int4, custom granularities/blocks) falls back
-# to the flash/exact recompute
+# to the flash/exact recompute.  tensor_layout is NOT here: the public
+# wrapper normalizes to HND before the VJP so every backward
+# implementation sees [b, h, s, d].
 _FUSED_BWD_KWARGS = {
     "is_causal", "sm_scale", "return_lse", "pv_dtype", "smooth_k",
-    "smooth_v", "tensor_layout",
+    "smooth_v",
 }
 
 
@@ -141,8 +143,19 @@ def differentiable_sageattn(q, k, v, **kwargs):
 
     kwargs must be hashable statics (no segment/position/bias tensors).
     """
+    layout = kwargs.pop("tensor_layout", "HND")
+    if layout == "NHD":
+        # normalize here so the VJP (fused / flash / exact) always sees HND
+        q, k, v = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    elif layout != "HND":
+        raise ValueError(f"tensor_layout must be 'HND' or 'NHD', got {layout!r}")
     is_causal = kwargs.get("is_causal", False)
     sm_scale = kwargs.get("sm_scale", None)
     return_lse = kwargs.get("return_lse", False)
     fwd_statics = tuple(sorted(kwargs.items()))
-    return _cached(fwd_statics, (is_causal, sm_scale, return_lse))(q, k, v)
+    out = _cached(fwd_statics, (is_causal, sm_scale, return_lse))(q, k, v)
+    if layout == "NHD":
+        if return_lse:
+            return jnp.swapaxes(out[0], 1, 2), out[1]
+        return jnp.swapaxes(out, 1, 2)
+    return out

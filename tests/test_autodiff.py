@@ -91,6 +91,56 @@ class TestFusedBackward:
                       / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
             assert c > 0.999
 
+    def test_k_quant_group_matches_forward_chunk(self):
+        """Regression: the backward must re-quantize K with the FORWARD's
+        chunk width (default_config), not its own.  At s=2048 non-causal
+        the forward group is 2048 while the old backward used 1024 —
+        the recomputed P rows then failed to sum to 1 and the smooth-k
+        mean leaked into dQ.  A large K mean makes that leak dominant."""
+        from sageattention_tpu.ops import attention_bwd_pallas, reference
+
+        q, k, v = (rand(i + 40, (1, 1, 2048, 64)) for i in range(3))
+        k = k + 3.0  # substantial mean: any rowsum(dS) != 0 leaks km
+        do = rand(44, (1, 1, 2048, 64))
+        got = attention_bwd_pallas.quantized_attention_vjp(
+            q, k, v, do, is_causal=False, sm_scale=None, interpret=True
+        )
+        assert got is not None
+        _, vjp = jax.vjp(
+            lambda q, k, v: reference.attention_reference(q, k, v), q, k, v
+        )
+        ref = vjp(do)
+        for g, r in zip(got, ref):
+            c = float(jnp.sum(g * r)
+                      / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
+            assert c > 0.999
+
+    def test_nhd_layout_gradients(self):
+        """Regression: differentiable path must transpose NHD before the
+        VJP (gradients previously treated axis 1 as heads)."""
+        from sageattention_tpu.ops import autodiff
+
+        q, k, v = (rand(i + 50, (1, 2, 128, 64)) for i in range(3))
+
+        def loss_hnd(q, k, v):
+            return jnp.sum(autodiff.differentiable_sageattn(q, k, v) ** 2)
+
+        def loss_nhd(q, k, v):
+            o = autodiff.differentiable_sageattn(
+                jnp.swapaxes(q, 1, 2),
+                jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2),
+                tensor_layout="NHD",
+            )
+            return jnp.sum(jnp.swapaxes(o, 1, 2) ** 2)
+
+        g_h = jax.grad(loss_hnd, argnums=(0, 1, 2))(q, k, v)
+        g_n = jax.grad(loss_nhd, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_h, g_n):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+
     def test_unfit_shape_returns_none(self):
         from sageattention_tpu.ops import attention_bwd_pallas
 
