@@ -38,16 +38,18 @@ from sageattention_tpu import quant as quant_spec
 
 # rows per grid step for the flattened per-row quantizer
 _Q_ROWS = 16384
-# VMEM budget for the single-step V quantizer: bytes of one (s, d) input
-# slab.  Mosaic's stack allocator keeps ~12x the input slab live for the
-# f32 temporaries (measured: a 2.2 MB slab allocates 25.9 MB scoped), so
-# only ~1 MB slabs are safe under the 16 MB limit.  Larger sequences
-# fall back to the XLA spec.
+# VMEM budget for the single-pass whole-slab V quantizer: bytes of one
+# (s, d) input slab.  Mosaic's stack allocator keeps ~12x the input slab
+# live for the f32 temporaries (measured: a 2.2 MB slab allocates 25.9 MB
+# scoped), so only ~1 MB slabs are safe under the 16 MB limit.  Larger
+# sequences take the blocked two-pass kernels below (same numerics; mean
+# accumulation order differs at ULP level).
 _V_VMEM_BYTES = 1 * 2**20
+# input-slab bytes per grid step of the blocked V kernels
+_V_BLOCK_BYTES = 512 * 2**10
 
-
-def _round_half_away(x):
-    return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
+_round_half_away = quant_spec.round_half_away
+_inv_scale = quant_spec.inv_scale
 
 
 # --------------------------------------------------------------------------
@@ -58,8 +60,8 @@ def _round_half_away(x):
 def _quant_rows_kernel(q_ref, o_ref, s_ref, *, scale_fold, qmax):
     x = q_ref[...].astype(jnp.float32)  # [rows_blk, d]
     amax = jnp.max(jnp.abs(x), axis=1)[:, None]
-    scale = jnp.maximum(amax, 1e-30) / qmax
-    q = _round_half_away(x / scale)
+    scale, r = _inv_scale(amax, qmax)
+    q = _round_half_away(x * r)
     o_ref[...] = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
     # dense 128-lane store of the per-row scales (a [rows, 1] store would
     # issue one masked lane per vector op — measured ~5x slower)
@@ -126,8 +128,8 @@ def _quant_k_kernel(k_ref, km_ref, o_ref, s_ref, *, qmax, smooth):
     if smooth:
         x = x - km_ref[...]  # [1, 1, d]
     amax = jnp.max(jnp.abs(x))
-    scale = jnp.maximum(amax, 1e-30) / qmax
-    q = _round_half_away(x / scale)
+    scale, r = _inv_scale(amax, qmax)
+    q = _round_half_away(x * r)
     o_ref[...] = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
     s_ref[0, i] = scale
 
@@ -212,8 +214,8 @@ def _quant_v_kernel(v_ref, o_ref, s_ref, m_ref, *, qmax, smooth, out_dt):
         x = x - mean
         m_ref[0] = mean
     amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)  # [1, d]
-    scale = jnp.maximum(amax, 1e-30) / qmax
-    scaled = x / scale
+    scale, r = _inv_scale(amax, qmax)
+    scaled = x * r
     if jnp.dtype(out_dt) == jnp.int8.dtype:
         o_ref[0] = jnp.clip(
             _round_half_away(scaled), -127, 127
@@ -221,6 +223,147 @@ def _quant_v_kernel(v_ref, o_ref, s_ref, m_ref, *, qmax, smooth, out_dt):
     else:
         o_ref[0] = scaled.astype(out_dt)
     s_ref[0] = scale
+
+
+def _v_stats_kernel(
+    v_ref, mx_ref, mn_ref, sm_ref, mx_scr, mn_scr, sm_scr,
+    *, s, block_s, n_blocks, do_sum,
+):
+    """Per-channel max / min / sum accumulated across sequence blocks in
+    scratch — the blocked reduction pass of the two-pass V quantizer (the
+    reference's MeanScaleKernel channel reduce, fused.cu:316-427).
+    max/min commute with blocking exactly; ragged tail rows are masked."""
+    x = v_ref[0].astype(jnp.float32)  # [bs, d]
+    j = pl.program_id(1)
+    if s % block_s:
+        row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + j * block_s
+        valid = row < s
+        bmax = jnp.max(jnp.where(valid, x, -jnp.inf), axis=0, keepdims=True)
+        bmin = jnp.min(jnp.where(valid, x, jnp.inf), axis=0, keepdims=True)
+        bsum = (
+            jnp.sum(jnp.where(valid, x, 0.0), axis=0, keepdims=True)
+            if do_sum else None
+        )
+    else:
+        bmax = jnp.max(x, axis=0, keepdims=True)
+        bmin = jnp.min(x, axis=0, keepdims=True)
+        bsum = jnp.sum(x, axis=0, keepdims=True) if do_sum else None
+
+    @pl.when(j == 0)
+    def _init():
+        mx_scr[...] = bmax
+        mn_scr[...] = bmin
+        if do_sum:
+            sm_scr[...] = bsum
+
+    @pl.when(j != 0)
+    def _acc():
+        mx_scr[...] = jnp.maximum(mx_scr[...], bmax)
+        mn_scr[...] = jnp.minimum(mn_scr[...], bmin)
+        if do_sum:
+            sm_scr[...] = sm_scr[...] + bsum
+
+    @pl.when(j == n_blocks - 1)
+    def _emit():
+        mx_ref[0] = mx_scr[...]
+        mn_ref[0] = mn_scr[...]
+        if do_sum:
+            sm_ref[0] = sm_scr[...]
+
+
+def _v_apply_kernel(v_ref, r_ref, m_ref, o_ref, *, qmax, smooth, out_dt):
+    """Quantize one seq block with precomputed per-channel 1/scale (+mean).
+    Pad-tail rows quantize garbage that the caller crops."""
+    x = v_ref[0].astype(jnp.float32)  # [bs, d]
+    if smooth:
+        x = x - m_ref[0]
+    scaled = x * r_ref[0]
+    if jnp.dtype(out_dt) == jnp.int8.dtype:
+        o_ref[0] = jnp.clip(
+            _round_half_away(scaled), -127, 127
+        ).astype(jnp.int8)
+    else:
+        # clamp so pad-row garbage cannot overflow the f8 cast (e4m3 has
+        # no inf); valid rows satisfy |scaled| <= qmax by construction
+        o_ref[0] = jnp.clip(scaled, -qmax, qmax).astype(out_dt)
+
+
+def _quant_v_blocked(v, *, dtype, smooth, interpret):
+    """Two-pass blocked V quantizer for slabs too big for VMEM: pass 1
+    reduces per-channel (max, min, sum) over sequence blocks, a tiny XLA
+    combine produces (mean, 1/scale), pass 2 streams the quantization.
+    amax is exact (max/min commute with blocking); the mean's summation
+    order differs from the one-pass spec at ULP level."""
+    b, h, s, d = v.shape
+    qmax = 127.0 if jnp.dtype(dtype) == jnp.int8.dtype else float(
+        quant_spec._QMAX[jnp.dtype(dtype)]
+    )
+    bs = max(256, _V_BLOCK_BYTES // (d * v.dtype.itemsize) // 256 * 256)
+    nb = -(-s // bs)
+    s_pad = nb * bs
+    v3 = v.reshape(b * h, s, d)
+    if s_pad != s:
+        v3 = jnp.pad(v3, ((0, 0), (0, s_pad - s), (0, 0)))
+    bh = b * h
+
+    gmax, gmin, gsum = pl.pallas_call(
+        functools.partial(
+            _v_stats_kernel, s=s, block_s=bs, n_blocks=nb, do_sum=smooth
+        ),
+        grid=(bh, nb),
+        in_specs=[pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0))],
+        out_specs=[
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(v3)
+
+    if smooth:
+        mean = gsum / s
+        # max_i(x_i - m) == max_i(x_i) - m under monotone fl subtraction
+        amax = jnp.maximum(gmax - mean, mean - gmin)
+    else:
+        mean = jnp.zeros_like(gmax)
+        amax = jnp.maximum(gmax, -gmin)
+    scale, r = _inv_scale(amax, qmax)
+
+    v_q = pl.pallas_call(
+        functools.partial(
+            _v_apply_kernel, qmax=qmax, smooth=smooth, out_dt=dtype
+        ),
+        grid=(bh, nb),
+        in_specs=[
+            pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        interpret=interpret,
+    )(v3, r, mean)
+
+    v_q = v_q[:, :s].reshape(b, h, s, d)
+    v_scale = scale[:, 0].reshape(b, h, d)
+    v_mean = mean[:, 0].reshape(b, h, d) if smooth else None
+    return v_q, v_scale, v_mean
 
 
 @functools.partial(
@@ -234,12 +377,15 @@ def quant_v_per_channel(
     interpret: bool = False,
 ):
     """[b,h,s,d] -> (v_q, v_scale [b,h,d] f32, v_mean [b,h,d] or None) —
-    the per-channel (column) quantization of V with optional smooth_v, in
-    one kernel pass per (b, h) slab."""
+    the per-channel (column) quantization of V with optional smooth_v.
+    Slabs that fit VMEM run the single-pass whole-sequence kernel; larger
+    sequences run the blocked two-pass kernels (no XLA fallback at any
+    size)."""
     b, h, s, d = v.shape
     if s * d * v.dtype.itemsize > _V_VMEM_BYTES:
-        # sequence slab too large for VMEM: the jnp spec (XLA) handles it
-        return quant_spec.per_channel_quant(v, dtype=dtype, smooth=smooth)
+        return _quant_v_blocked(
+            v, dtype=dtype, smooth=smooth, interpret=interpret
+        )
     qmax = 127.0 if jnp.dtype(dtype) == jnp.int8.dtype else float(
         quant_spec._QMAX[jnp.dtype(dtype)]
     )

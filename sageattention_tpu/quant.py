@@ -47,8 +47,22 @@ def round_half_away(x: jax.Array) -> jax.Array:
     """Round half away from zero (reference: triton/quant_per_block.py:43-45,
     csrc/numeric_conversion.cuh:144 ``float_to_int8_rn`` uses round-to-nearest;
     the Triton kernels use +0.5*sign then truncate — we match the Triton/fused
-    behavior which the quant preprocessing actually uses)."""
-    return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
+    semantics).  Implemented as the hardware rounding op (one VPU
+    instruction on TPU, vs 3 for the add-trunc emulation; and exact, where
+    trunc(x+0.5) misrounds values whose +0.5 sum rounds up to the next
+    integer)."""
+    return jax.lax.round(x, jax.lax.RoundingMethod.AWAY_FROM_ZERO)
+
+
+def inv_scale(amax: jax.Array, qmax: float) -> tuple[jax.Array, jax.Array]:
+    """(scale, 1/scale) from a per-row/channel amax.
+
+    Quantization multiplies by the reciprocal (one divide per *row*, one
+    multiply per element) instead of dividing per element — VPU divides
+    are multi-cycle.  The Pallas kernels and this spec must compute the
+    scale chain identically (bit-exact pairing, tests/test_quant.py)."""
+    scale = jnp.maximum(amax, 1e-30) * (1.0 / qmax)
+    return scale, 1.0 / scale
 
 
 def _group_amax(x: jax.Array, group: int) -> jax.Array:
@@ -94,8 +108,8 @@ def quant_int8(
     else:
         raise ValueError(f"unknown granularity {granularity!r}")
     qmax = _INT4_QMAX if bits == 4 else 127.0
-    scale = jnp.maximum(amax, 1e-30) / qmax
-    q = round_half_away(x / scale[..., None])
+    scale, r = inv_scale(amax, qmax)
+    q = round_half_away(x * r[..., None])
     q = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
     return q, scale * scale_fold
 
@@ -122,8 +136,8 @@ def quant_int8_block_scales(
     g = xp.reshape(b, h, -1, group, d)
     qmax = _INT4_QMAX if bits == 4 else 127.0
     amax = jnp.max(jnp.abs(g), axis=(-1, -2))  # [b, h, n_groups]
-    scale = jnp.maximum(amax, 1e-30) / qmax
-    q = round_half_away(g / scale[..., None, None])
+    scale, r = inv_scale(amax, qmax)
+    q = round_half_away(g * r[..., None, None])
     q = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
     q = q.reshape(b, h, s + pad, d)[:, :, :s]
     return q, scale
@@ -166,8 +180,8 @@ def per_channel_quant(
         v_mean = None
     amax = jnp.max(jnp.abs(v), axis=-2)  # [b, h, d]
     qmax = _QMAX[jnp.dtype(dtype)]
-    scale = jnp.maximum(amax, 1e-30) / qmax
-    scaled = v / scale[..., None, :]
+    scale, r = inv_scale(amax, qmax)
+    scaled = v * r[..., None, :]
     if jnp.dtype(dtype) == jnp.int8.dtype:
         v_q = jnp.clip(round_half_away(scaled), -127, 127).astype(jnp.int8)
     else:

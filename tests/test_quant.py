@@ -241,6 +241,32 @@ class TestQuantPallasV:
                                            np.asarray(ref[2]), rtol=1e-5,
                                            atol=1e-6)
 
+    def test_v_blocked_two_pass_matches_spec(self):
+        """Slabs over the VMEM gate run the blocked two-pass kernels; amax
+        is exact (max/min commute with blocking), the mean differs only in
+        summation order, so int8 outputs match the spec up to possible
+        half-ULP rounding flips (none expected on random data)."""
+        from sageattention_tpu.ops import quant_pallas
+
+        # s * d * 2 bytes > 1 MB gate, ragged vs the 2048-row block
+        v = (jax.random.normal(jax.random.PRNGKey(9), (1, 1, 4500, 128))
+             + 0.3).astype(jnp.bfloat16)
+        for smooth in (False, True):
+            ref = quant.per_channel_quant(v, dtype=jnp.int8, smooth=smooth)
+            got = quant_pallas.quant_v_per_channel(
+                v, dtype=jnp.int8, smooth=smooth, interpret=True
+            )
+            a = np.asarray(got[0]).astype(np.int32)
+            r = np.asarray(ref[0]).astype(np.int32)
+            assert np.abs(a - r).max() <= 1
+            assert (a != r).mean() < 1e-4
+            np.testing.assert_allclose(np.asarray(got[1]),
+                                       np.asarray(ref[1]), rtol=1e-6)
+            if smooth:
+                np.testing.assert_allclose(np.asarray(got[2]),
+                                           np.asarray(ref[2]), rtol=1e-4,
+                                           atol=1e-5)
+
     def test_v_fp8(self):
         from sageattention_tpu.ops import quant_pallas
 
