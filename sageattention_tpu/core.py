@@ -124,14 +124,32 @@ def _sageattn_hnd(
         # its triton path, reference: core.py:306-316)
         attn_bias = attn_mask if attn_bias is None else attn_bias + attn_mask
         attn_mask = None
+    if attn_mask is not None:
+        # normalize to [b, hm, sq, sk] (the reference broadcast-expands
+        # bool masks the same way, reference: core.py:306-316)
+        if attn_mask.ndim == 2:
+            attn_mask = attn_mask[None, None]
+        elif attn_mask.ndim == 3:
+            attn_mask = attn_mask[:, None]
+        if attn_mask.shape[0] == 1 and b > 1:
+            attn_mask = jnp.broadcast_to(
+                attn_mask, (b,) + attn_mask.shape[1:]
+            )
+        if attn_mask.shape[1] not in (1, hq):
+            raise ValueError(
+                f"attn_mask head dim {attn_mask.shape[1]} must be 1 or {hq}"
+            )
+        if attn_mask.shape[-2:] != (sq, sk):
+            raise ValueError(
+                f"attn_mask trailing dims {attn_mask.shape[-2:]} must be "
+                f"({sq}, {sk})"
+            )
     if impl == "auto":
-        impl = (
-            "xla"
-            if attn_bias is not None or attn_mask is not None
-            else "pallas"
-        )
-    if (attn_bias is not None or attn_mask is not None) and impl != "xla":
-        raise NotImplementedError("attn_bias/attn_mask require impl='xla'")
+        # bool masks run in-kernel on the Pallas path; only additive
+        # biases need the score-materializing XLA fallback
+        impl = "xla" if attn_bias is not None else "pallas"
+    if attn_bias is not None and impl != "xla":
+        raise NotImplementedError("attn_bias requires impl='xla'")
 
     # --- Q/K quantization (+ K smoothing) ------------------------------
     # "auto" is the TPU-recommended config: per-token Q scales + one K
@@ -284,7 +302,14 @@ def _sageattn_hnd(
     sq_pad = -(-sq // block_q) * block_q
     sk_pad = -(-sk // block_k) * block_k
     need_kv_mask = sk_pad != sk
-    if need_kv_mask and q_segment_ids is None:
+    mask_i8 = None
+    if attn_mask is not None:
+        # pad rows/cols drop (0); fully-dead q rows produce 0 output and
+        # -inf lse in-kernel, and pads are cropped below
+        mask_i8 = _pad_axis(
+            _pad_axis(attn_mask.astype(jnp.int8), 3, sk_pad), 2, sq_pad
+        )
+    if need_kv_mask and q_segment_ids is None and mask_i8 is None:
         q_segment_ids = jnp.zeros((b, sq), jnp.int32)
         kv_segment_ids = jnp.zeros((b, sk), jnp.int32)
     if q_segment_ids is not None:
@@ -345,6 +370,7 @@ def _sageattn_hnd(
         q_positions,
         kv_positions,
         score_col_bias,
+        mask_i8,
         is_causal=is_causal,
         pv_dtype=pv_dtype,
         return_lse=return_lse,
@@ -397,8 +423,11 @@ def _entry(
     q = _to_hnd(q, tensor_layout)
     k = _to_hnd(k, tensor_layout)
     v = _to_hnd(v, tensor_layout)
+    masked = attn_mask is not None and (
+        not hasattr(attn_mask, "dtype") or attn_mask.dtype == jnp.bool_
+    )
     bq_auto, bk_auto, sub_q, chunk_k = attention_pallas.default_config(
-        q.shape[2], k.shape[2], q.shape[-1], is_causal
+        q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked
     )
     if block_q is None:
         block_q = bq_auto

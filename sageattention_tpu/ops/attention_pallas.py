@@ -96,7 +96,7 @@ def _pad128(n: int) -> int:
 
 
 def default_config(
-    sq: int, sk: int, d: int, is_causal: bool
+    sq: int, sk: int, d: int, is_causal: bool, masked: bool = False
 ) -> tuple[int, int, int, int]:
     """Tuned (block_q, block_k, sub_q, chunk_k) for a shape (measured on
     TPU v5e; the single recommended-config table that replaces the
@@ -110,14 +110,23 @@ def default_config(
       256-row sub-tiles (fewer merge chains wins once half the chunks are
       mask-free; measured +20% at 8k over 128-row sub-tiles).
     * Wide heads (d > 128) halve the KV block to bound VMEM.
+    * ``masked`` (an explicit bool attn_mask rides in the kernel): halve
+      the KV block — the [block_q, block_k] int8 mask block plus its
+      double buffer must also fit VMEM.
     """
     if is_causal:
-        blk = min(2048 if d <= 128 else 1024, _pad128(max(sq, sk)))
+        cap = 2048 if d <= 128 else 1024
+        if masked:
+            cap = min(cap, 1024)
+        blk = min(cap, _pad128(max(sq, sk)))
         bq = min(blk, _pad128(sq))
         sub = 256 if bq % 256 == 0 else 128
         return bq, blk, sub, min(1024, blk)
     block_q = min(512, _pad128(sq))
-    block_k = min(4096 if d <= 128 else 2048, _pad128(sk))
+    cap = 4096 if d <= 128 else 2048
+    if masked:
+        cap = min(cap, 2048)
+    block_k = min(cap, _pad128(sk))
     return block_q, block_k, 128, min(DEFAULT_CHUNK_K, block_k)
 
 
@@ -135,6 +144,7 @@ def _compute_parts(
     qpos_ref,
     kpos_ref,
     cbias_ref,
+    mask_ref=None,
     causal: bool,
     k_scale_blocked: bool,
     has_segments: bool,
@@ -187,10 +197,18 @@ def _compute_parts(
         qs = qs_subs[qi]  # [sub_q, 1] f32, sm_scale*log2e folded
 
         mask = None
+        if mask_ref is not None:
+            # explicit bool mask block (int8 storage; the reference's
+            # in-kernel attn_mask, attn_qk_int8_per_block.py:35-37)
+            mask = (
+                mask_ref[0, 0, qi * sub_q:(qi + 1) * sub_q,
+                         cb[c][0]:cb[c][1]] != 0
+            )
         if has_segments:
             qseg = qseg_ref[0, qi * sub_q:(qi + 1) * sub_q, :]
             kseg = kseg_ref[0, :, cb[c][0]:cb[c][1]]
-            mask = qseg == kseg
+            sm = qseg == kseg
+            mask = sm if mask is None else jnp.logical_and(mask, sm)
         if has_positions:
             qpos = qpos_ref[0, qi * sub_q:(qi + 1) * sub_q, :]
             kpos = kpos_ref[0, :, cb[c][0]:cb[c][1]]
@@ -212,6 +230,7 @@ def _compute_parts(
             )
             mask = cm if mask is None else jnp.logical_and(mask, cm)
 
+        dead = None
         if k_scale_blocked and cbias_ref is None:
             # FAST PATH: one K scale per chunk from SMEM; masking and the
             # row max run in the int32 domain (the positive per-row scale
@@ -222,6 +241,9 @@ def _compute_parts(
             if mask is not None:
                 s_i32 = jnp.where(mask, s_i32, MASK_I32)
             imax = jnp.max(s_i32, axis=1)[:, None]
+            if mask is not None:
+                # live rows cannot reach the sentinel (|s| <= 127*127*d)
+                dead = imax == MASK_I32
             m_c = imax.astype(jnp.float32) * rowscale
             p = jnp.exp2(s_i32.astype(jnp.float32) * rowscale - m_c)
         elif k_scale_blocked:
@@ -237,6 +259,8 @@ def _compute_parts(
             if mask is not None:
                 sf = jnp.where(mask, sf, MASK_VALUE)
             m_c = jnp.max(sf, axis=1)[:, None]
+            if mask is not None:
+                dead = m_c == MASK_VALUE
             p = jnp.exp2(sf - m_c)
         else:
             # Per-row K scales (reference-parity accuracy mode): one extra
@@ -248,12 +272,16 @@ def _compute_parts(
             if mask is not None:
                 s = jnp.where(mask, s, MASK_VALUE)
             m_c = jnp.max(s, axis=1)[:, None]
+            if mask is not None:
+                dead = m_c == MASK_VALUE
             p = jnp.exp2(s - m_c)
 
         if mask is not None:
             # A fully-masked chunk yields p == 1 everywhere (s - m == 0);
-            # zero it and flag the rows dead via m_c.
-            dead = jnp.all(jnp.logical_not(mask), axis=1)[:, None]
+            # zero it and flag the rows dead via m_c.  ``dead`` comes from
+            # the already-computed row max hitting the mask sentinel
+            # (Mosaic cannot relayout an all(not(mask)) reduction, and the
+            # sentinel compare is cheaper anyway).
             p = jnp.where(mask, p, 0.0)
             m_c = jnp.where(dead, NEG_INIT, m_c)
 
@@ -347,6 +375,8 @@ def _kernel(
     qpos_ref,
     kpos_ref,
     cbias_ref,
+    mask_ref,
+    msum_ref,
     o_ref,
     lse_ref,
     m_scr,
@@ -380,6 +410,19 @@ def _kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
+    # per-(q block, kv block) liveness from the mask summary: fully-masked
+    # KV blocks skip ALL compute (the reference's in-kernel block skip,
+    # attn_qk_int8_per_block.py:35-37); their DMAs still run (index maps
+    # cannot branch on data).
+    if msum_ref is None:
+        def _and_live(cond):
+            return cond
+    else:
+        _live = msum_ref[0, 0, 0, q_idx * n_kv + kv_idx] != 0
+
+        def _and_live(cond):
+            return jnp.logical_and(cond, _live)
+
     common = dict(
         q_ref=q_ref,
         qs_ref=qs_ref,
@@ -391,6 +434,7 @@ def _kernel(
         qpos_ref=qpos_ref,
         kpos_ref=kpos_ref,
         cbias_ref=cbias_ref,
+        mask_ref=mask_ref,
         k_scale_blocked=k_scale_blocked,
         has_segments=has_segments,
         has_positions=has_positions,
@@ -413,14 +457,14 @@ def _kernel(
         # VPU masking pass from the sub-diagonal bulk of the work —
         # the reference's two-phase causal structure
         # (reference: triton/attn_qk_int8_per_block_causal.py:105-115).
-        @pl.when(kv_idx < q_idx)
+        @pl.when(_and_live(kv_idx < q_idx))
         def _below():
             parts = _compute_parts(
                 q_idx=q_idx, kv_idx=kv_idx, causal=False, **common
             )
             _merge_into_scratch(parts, n_sub, sub_q, m_scr, l_scr, acc_scr)
 
-        @pl.when(kv_idx == q_idx)
+        @pl.when(_and_live(kv_idx == q_idx))
         def _diag():
             parts = _compute_parts(
                 q_idx=q_idx, kv_idx=kv_idx, causal=False, diag_static=True,
@@ -436,7 +480,7 @@ def _kernel(
         else:
             should_run = True
 
-        @pl.when(should_run)
+        @pl.when(_and_live(should_run))
         def _body():
             parts = _compute_parts(
                 q_idx=q_idx, kv_idx=kv_idx, causal=causal, **common
@@ -485,6 +529,8 @@ def _kernel_single(
     qpos_ref,
     kpos_ref,
     cbias_ref,
+    mask_ref,
+    msum_ref,
     o_ref,
     lse_ref,
     *,
@@ -509,7 +555,9 @@ def _kernel_single(
     q_idx = pl.program_id(2)
     n_chunks = -(-block_k // chunk_k)
     n_sub = block_q // sub_q
-    masked = has_segments or has_positions or causal
+    masked = (
+        has_segments or has_positions or causal or mask_ref is not None
+    )
 
     parts = _compute_parts(
         q_idx=q_idx,
@@ -524,6 +572,7 @@ def _kernel_single(
         qpos_ref=qpos_ref,
         kpos_ref=kpos_ref,
         cbias_ref=cbias_ref,
+        mask_ref=mask_ref,
         causal=causal,
         k_scale_blocked=k_scale_blocked,
         has_segments=has_segments,
@@ -587,6 +636,7 @@ def sage_attention_fused(
     q_positions: jax.Array | None = None,
     kv_positions: jax.Array | None = None,
     score_col_bias: jax.Array | None = None,
+    attn_mask_i8: jax.Array | None = None,
     *,
     is_causal: bool = False,
     pv_dtype: str = "int8",
@@ -613,6 +663,13 @@ def sage_attention_fused(
     ``rowsum_lane``: V may carry extra lanes beyond Q/K's head_dim with a
     ones column at this index, making sum(p) ride the PV matmul for free
     (core.py plants it when head_dim <= 64 pads V to 128 lanes anyway).
+
+    ``attn_mask_i8``: explicit bool mask as int8 [b, hm, sq, sk] with
+    hm in {1, hq} (1 = attend, 0 = drop), consumed inside the kernel —
+    no score materialization (the reference's in-kernel attn_mask,
+    attn_qk_int8_per_block.py:35-37, broadcast handling core.py:306-316).
+    Multi-KV-step grids also get a per-(q block, kv block) liveness
+    summary in SMEM so fully-masked KV blocks skip all compute.
 
     Returns o [b,hq,sq,d] (and base-2 LSE [b,hq,sq] fp32 if return_lse).
     """
@@ -650,7 +707,13 @@ def sage_attention_fused(
     has_segments = q_segment_ids is not None
     has_positions = q_positions is not None
     has_col_bias = score_col_bias is not None
+    has_mask = attn_mask_i8 is not None
     v_needs_cast = v_q.dtype != jnp.bfloat16
+    if has_mask:
+        hm = attn_mask_i8.shape[1]
+        assert hm in (1, hq), (hm, hq)
+        assert attn_mask_i8.shape == (b, hm, sq, sk), attn_mask_i8.shape
+        attn_mask_i8 = attn_mask_i8.astype(jnp.int8)
 
     # Single-KV-step specialization: when the whole KV row is one grid step
     # there is no online state to carry, so the scratch round-trips, the
@@ -758,6 +821,32 @@ def sage_attention_fused(
                 return (ib, ih, 0, ik)
         in_specs.append(mk((1, 1, 1, block_k), cbm))
         inputs.append(score_col_bias.astype(jnp.float32)[:, :, None, :])
+    if has_mask:
+        mh = (lambda ih: ih) if hm > 1 else (lambda ih: 0)
+        if is_causal:
+            def mskm(ib, ih, iq, ik):
+                return (ib, mh(ih), iq, _clamp(iq, ik))
+        else:
+            def mskm(ib, ih, iq, ik):
+                return (ib, mh(ih), iq, ik)
+        in_specs.append(mk((1, 1, block_q, block_k), mskm))
+        inputs.append(attn_mask_i8)
+        if not single_step:
+            # per-(q block, kv block) any-live summary -> SMEM scalars for
+            # whole-block compute skip in the multi-step kernel; flattened
+            # to [b, hm, 1, n_q*n_kv] to satisfy Mosaic block tiling
+            msum = jnp.max(
+                attn_mask_i8.reshape(b, hm, n_q, block_q, n_kv, block_k),
+                axis=(3, 5),
+            ).astype(jnp.int32).reshape(b, hm, 1, n_q * n_kv)
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, n_q * n_kv),
+                    lambda ib, ih, iq, ik: (ib, mh(ih), 0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            )
+            inputs.append(msum)
 
     out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype)]
     out_specs = [mk((1, 1, block_q, d), qm)]
@@ -802,11 +891,16 @@ def sage_attention_fused(
         pos += 2 * has_positions
         cbias_ref = refs[pos] if has_col_bias else None
         pos += has_col_bias
+        mask_ref = refs[pos] if has_mask else None
+        pos += has_mask
+        msum_ref = refs[pos] if (has_mask and not single_step) else None
+        pos += has_mask and not single_step
         o_ref = refs[pos]
         lse_ref = refs[pos + 1] if return_lse else None
         args = (
             q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, vm_ref,
             qseg_ref, kseg_ref, qpos_ref, kpos_ref, cbias_ref,
+            mask_ref, msum_ref,
             o_ref, lse_ref,
         )
         if single_step:

@@ -153,6 +153,58 @@ class TestAttnMask:
         o_ref = reference.attention_reference(q, k, v, attn_mask=mask)
         assert cosine(o, o_ref) > 0.999
 
+    def test_bool_mask_multistep_block_skip(self):
+        """Multi-KV-step grid with a fully-masked KV block region: the
+        in-kernel summary skip must not change results."""
+        q = jax.random.normal(jax.random.PRNGKey(10), (1, 2, 512, 64))
+        k = jax.random.normal(jax.random.PRNGKey(11), (1, 2, 512, 64))
+        v = jax.random.normal(jax.random.PRNGKey(12), (1, 2, 512, 64))
+        mask = jax.random.bernoulli(
+            jax.random.PRNGKey(13), 0.7, (1, 1, 512, 512)
+        )
+        # a whole 128-column KV block dead for every q block
+        mask = mask.at[:, :, :, 128:256].set(False)
+        # plus one fully-dead q row
+        mask = mask.at[:, :, 7, :].set(False)
+        o = sa.sageattn(
+            q, k, v, attn_mask=mask, block_q=128, block_k=128
+        )
+        o_ref = reference.attention_reference(q, k, v, attn_mask=mask)
+        live = jnp.asarray(mask[0, 0].any(axis=-1))
+        assert cosine(o[:, :, live], o_ref[:, :, live]) > 0.999
+        assert float(jnp.max(jnp.abs(o[:, :, 7]))) == 0.0
+
+    def test_bool_mask_per_head_and_causal(self):
+        q = jax.random.normal(jax.random.PRNGKey(20), (2, 2, 128, 64))
+        k = jax.random.normal(jax.random.PRNGKey(21), (2, 2, 128, 64))
+        v = jax.random.normal(jax.random.PRNGKey(22), (2, 2, 128, 64))
+        mask = jax.random.bernoulli(
+            jax.random.PRNGKey(23), 0.9, (2, 2, 128, 128)
+        )
+        o = sa.sageattn(q, k, v, attn_mask=mask, is_causal=True)
+        o_ref = reference.attention_reference(
+            q, k, v, attn_mask=mask, is_causal=True
+        )
+        # rows whose causal+mask intersection is empty are 0 here, NaN in
+        # a naive softmax; compare live rows only
+        tri = jnp.tril(jnp.ones((128, 128), bool))
+        live = jnp.asarray((mask & tri).any(axis=-1))  # [b,h,sq]
+        ol = jnp.where(live[..., None], o, 0)
+        rl = jnp.where(live[..., None], jnp.nan_to_num(o_ref), 0)
+        assert cosine(ol, rl) > 0.999
+
+    def test_bool_mask_odd_lengths_padding(self):
+        """Mask + sequence padding: pads must stay dropped."""
+        q = jax.random.normal(jax.random.PRNGKey(30), (1, 2, 200, 64))
+        k = jax.random.normal(jax.random.PRNGKey(31), (1, 2, 170, 64))
+        v = jax.random.normal(jax.random.PRNGKey(32), (1, 2, 170, 64))
+        mask = jax.random.bernoulli(
+            jax.random.PRNGKey(33), 0.8, (1, 1, 200, 170)
+        )
+        o = sa.sageattn(q, k, v, attn_mask=mask)
+        o_ref = reference.attention_reference(q, k, v, attn_mask=mask)
+        assert cosine(o, o_ref) > 0.999
+
     def test_float_mask_is_additive_bias(self):
         q = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 128, 64))
         k = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 128, 64))
