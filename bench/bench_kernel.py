@@ -35,7 +35,7 @@ LOG2E = 1.4426950408889634
 
 
 def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
-              block_k, chunk_k=None, sub_q=128):
+              block_k, chunk_k=None, sub_q=128, **fused_kwargs):
     q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d), jnp.bfloat16)
     k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.bfloat16)
@@ -62,6 +62,7 @@ def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
         block_k=block_k,
         chunk_k=chunk_k,
         sub_q=sub_q,
+        **fused_kwargs,
     )
 
     if vs is None:

@@ -47,6 +47,7 @@ def _dq_kernel(
     qi8_ref, qs_ref, ki8_ref, ks_ref, kbf_ref, v_ref, do_ref, lse_ref,
     dvec_ref, dq_ref, acc,
     *, causal, n_kv, block_q, block_k, sm_scale, n_chunks, chunk_k,
+    scale_group,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -73,7 +74,9 @@ def _dq_kernel(
                 qi8_ref[0, 0], k_i8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            ksc = ks_ref[0, 0, 0, kv_idx * n_chunks + c]
+            ksc = ks_ref[
+                0, 0, 0, (kv_idx * block_k + c * chunk_k) // scale_group
+            ]
             l2 = s_i32.astype(jnp.float32) * (qs * ksc)
             if causal:
                 row = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 0)
@@ -110,6 +113,7 @@ def _dkv_kernel(
     ki8_ref, ks_ref, qi8_ref, qs_ref, qbf_ref, v_ref, do_ref, lse_ref,
     dvec_ref, dk_ref, dv_ref, dk_acc, dv_acc,
     *, causal, n_q, block_q, block_k, sm_scale, n_chunks, chunk_k,
+    scale_group,
 ):
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
@@ -139,7 +143,9 @@ def _dkv_kernel(
                 k_i8, qi8_ref[0, 0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            ksc = ks_ref[0, 0, 0, kv_idx * n_chunks + c]
+            ksc = ks_ref[
+                0, 0, 0, (kv_idx * block_k + c * chunk_k) // scale_group
+            ]
             l2t = st_i32.astype(jnp.float32) * (qs[:, 0][None, :] * ksc)
             if causal:
                 krow = jax.lax.broadcasted_iota(jnp.int32, l2t.shape, 0)
@@ -202,22 +208,29 @@ def quantized_attention_vjp(
     # saved lse2 was computed from those exact int8 products, and P =
     # exp2(l2 - lse2) only row-normalizes when the recomputed l2 matches.
     # The fused backward is only reachable when the forward ran with the
-    # default config (autodiff gates on _FUSED_BWD_KWARGS), so recompute it.
-    chunk_k = attention_pallas.default_config(sq, sk, d, is_causal)[3]
-    if sk % chunk_k:
+    # default config (autodiff gates on _FUSED_BWD_KWARGS), so recompute
+    # it.  The kernels' own compute chunk is independent (the SMEM scale
+    # index is derived from the chunk's global column); it only has to be
+    # group- and block-aligned.
+    scale_group = attention_pallas.default_config(sq, sk, d, is_causal)[3]
+    if sk % scale_group and sk > scale_group:
         # the forward's quantizer fell back to a ragged-group layout the
         # kernels' scale indexing does not model
         return None
+    if sk <= scale_group:
+        scale_group = sk  # single group covers the whole row
     block_q = _fit_block(sq, (512, 256, 128))
-    # whole-KV block only when it is the single grid step: with n_kv > 1
-    # the pipeline double-buffers three 4096-row KV operands and OOMs VMEM
-    if sk <= 4096 and sk % chunk_k == 0:
+    if sk <= 4096:
         block_k = sk
     else:
-        block_k = _fit_block(
-            sk, [c for c in (2048, 1024, 512, 256, 128) if c % chunk_k == 0]
-        )
+        block_k = _fit_block(sk, (4096, 2048, 1024, 512, 256, 128))
     if block_q is None or block_k is None or d % 64 or d > 256:
+        return None
+    chunk_k = _fit_block(
+        block_k,
+        [c for c in (2048, 1024, 512) if scale_group % c == 0],
+    ) or block_k
+    if block_k % chunk_k or scale_group % chunk_k:
         return None
 
     # GQA: expand K/V so the kernels see matched heads; group-sum after
@@ -237,14 +250,16 @@ def quantized_attention_vjp(
             q, granularity="per_token", scale_fold=sm_scale * LOG2E
         )
         k_i8, k_scale = quant_mod.quant_int8_block_scales(
-            k_sm, group=chunk_k
+            k_sm, group=scale_group
         )
         k_sm = k_sm.astype(jnp.bfloat16)
     else:
         q_i8, q_scale = quant_pallas.quant_q_per_token(
             q, scale_fold=sm_scale * LOG2E
         )
-        k_i8, k_scale = quant_pallas.quant_k_chunked(k, km, group=chunk_k)
+        k_i8, k_scale = quant_pallas.quant_k_chunked(
+            k, km, group=scale_group
+        )
         k_sm = k.astype(jnp.float32)
         if smooth_k:
             k_sm = k_sm - km[..., None, :]
@@ -261,10 +276,15 @@ def quantized_attention_vjp(
         else:
             lse2 = lse_nat * LOG2E
     else:
+        # recompute (o, lse2) with the forward's own default config so the
+        # per-group K-scale layout matches the kernel's chunk arithmetic
+        fbq, fbk, fsub, fck = attention_pallas.default_config(
+            sq, sk, d, is_causal
+        )
         o, lse2 = attention_pallas.sage_attention_fused(
             q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
             is_causal=is_causal, pv_dtype="bf16", return_lse=True,
-            block_q=block_q, block_k=min(block_k, 4096), chunk_k=chunk_k,
+            block_q=fbq, block_k=fbk, sub_q=fsub, chunk_k=fck,
             interpret=interpret,
         )
     dq, dk, dv = sage_attention_bwd(
@@ -273,7 +293,7 @@ def quantized_attention_vjp(
         v.astype(jnp.bfloat16), o, lse2, do,
         is_causal=is_causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, chunk_k=chunk_k,
-        interpret=interpret,
+        scale_group=scale_group, interpret=interpret,
     )
     if rep > 1:
         dk = dk.reshape(b, hkv, rep, sk, d).sum(axis=2)
@@ -289,7 +309,7 @@ def quantized_attention_vjp(
     jax.jit,
     static_argnames=(
         "is_causal", "sm_scale", "block_q", "block_k", "chunk_k",
-        "interpret",
+        "scale_group", "interpret",
     ),
 )
 def sage_attention_bwd(
@@ -300,13 +320,14 @@ def sage_attention_bwd(
     block_q: int = 512,
     block_k: int = 1024,
     chunk_k: int | None = None,
+    scale_group: int | None = None,
     interpret: bool = False,
 ):
     """Fused backward: returns (dq, dk, dv) in f32.
 
     Inputs are the forward's quantized operands plus the saved bf16
     tensors: q_i8/q_scale (sm_scale*log2e folded), k_i8/k_scale
-    (per-chunk, group == the FORWARD's chunk width), k_bf (smoothed or
+    (one scale per ``scale_group`` columns == the FORWARD's quant group), k_bf (smoothed or
     raw K, bf16), q_bf (raw Q), v_bf (raw V), o (forward output), lse2
     (raw base-2 LSE from the kernel), do (output cotangent).  All
     sequence dims must already be padded to block multiples.  GQA must
@@ -323,9 +344,12 @@ def sage_attention_bwd(
     chunk_k = min(chunk_k, block_k)
     assert block_k % chunk_k == 0
     n_chunks = block_k // chunk_k
-    n_chunks_total = sk // chunk_k
-    assert k_scale.shape[-1] == n_chunks_total, (
-        k_scale.shape, n_chunks_total
+    if scale_group is None:
+        scale_group = chunk_k
+    assert scale_group % chunk_k == 0, (scale_group, chunk_k)
+    n_groups_total = -(-sk // scale_group)
+    assert k_scale.shape[-1] == n_groups_total, (
+        k_scale.shape, n_groups_total
     )
 
     # D = rowsum(dO * O) (natural units)
@@ -357,14 +381,14 @@ def sage_attention_bwd(
         functools.partial(
             _dq_kernel, causal=is_causal, n_kv=n_kv, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
-            chunk_k=chunk_k,
+            chunk_k=chunk_k, scale_group=scale_group,
         ),
         grid=(b, h, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), qm),
             pl.BlockSpec((1, 1, block_q, 1), qm),
             pl.BlockSpec((1, 1, block_k, d), km_dq),
-            pl.BlockSpec((1, 1, 1, n_chunks_total),
+            pl.BlockSpec((1, 1, 1, n_groups_total),
                          lambda ib, ih, iq, ik: (ib, ih, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_k, d), km_dq),
@@ -378,6 +402,7 @@ def sage_attention_bwd(
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3 + ("arbitrary",),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(q_i8, qs_in, k_i8, ks_in, k_bf, v_bf, do_bf, lse_in, dvec)
@@ -388,12 +413,12 @@ def sage_attention_bwd(
         functools.partial(
             _dkv_kernel, causal=is_causal, n_q=n_q, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
-            chunk_k=chunk_k,
+            chunk_k=chunk_k, scale_group=scale_group,
         ),
         grid=(b, h, n_kv, n_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_k, d), kvm),
-            pl.BlockSpec((1, 1, 1, n_chunks_total),
+            pl.BlockSpec((1, 1, 1, n_groups_total),
                          lambda ib, ih, ik, iq: (ib, ih, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d), qm_dkv),
@@ -418,6 +443,7 @@ def sage_attention_bwd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3 + ("arbitrary",),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(k_i8, ks_in, q_i8, qs_in, q_bf, v_bf, do_bf, lse_in, dvec)

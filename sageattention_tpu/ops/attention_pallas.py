@@ -102,32 +102,38 @@ def default_config(
     TPU v5e; the single recommended-config table that replaces the
     reference's per-GPU recommendations, reference: bench/README.md:22-27).
 
-    * Non-causal: biggest KV block VMEM tolerates (up to 4096; whole-KV
-      single-step when it covers sk), 512-row Q blocks, 128-row sub-tiles,
-      2048-wide chunks.
-    * Causal: equal Q/KV blocks (2048) so the diagonal-split kernel path
-      applies, 1024-wide chunks for finer static diagonal skipping,
-      256-row sub-tiles (fewer merge chains wins once half the chunks are
-      mask-free; measured +20% at 8k over 128-row sub-tiles).
-    * Wide heads (d > 128) halve the KV block to bound VMEM.
-    * ``masked`` (an explicit bool attn_mask rides in the kernel): halve
-      the KV block — the [block_q, block_k] int8 mask block plus its
-      double buffer must also fit VMEM.
+    Round-2 retune: the 16 MB scoped-vmem ceiling the round-1 configs were
+    tuned under is only the compiler's default limit — the chip runs 120 MB
+    of VMEM scratch fine (measured), so the kernel now raises
+    ``vmem_limit_bytes`` and the sweet spot moved to much bigger tiles:
+
+    * Non-causal: whole-KV single-step up to 32k (no online-softmax state,
+      no scratch round-trips), 1024-row Q blocks, 128-row sub-tiles,
+      4096-8192-wide chunks (2 chunks per block; measured 228.9 TOPS at
+      16k/hd128 vs 183.7 for the round-1 512/4096/2048 config).
+    * Causal: equal Q/KV blocks (2048) for the diagonal-split path,
+      full-width 2048 chunks in BOTH regions (measured 149.2 TOPS at
+      16k/hd128 = 1.25x flash vs 138.4 for the round-1 config).
+    * Wide heads (d > 128) halve the caps to bound compile-time unrolls.
+    * ``masked`` (an explicit bool attn_mask rides in the kernel): cap the
+      KV block at 4096 (2048 causal) so the [block_q, block_k] int8 mask
+      block and its double buffer stay modest.
     """
     if is_causal:
         cap = 2048 if d <= 128 else 1024
-        if masked:
-            cap = min(cap, 1024)
         blk = min(cap, _pad128(max(sq, sk)))
         bq = min(blk, _pad128(sq))
-        sub = 256 if bq % 256 == 0 else 128
-        return bq, blk, sub, min(1024, blk)
-    block_q = min(512, _pad128(sq))
-    cap = 4096 if d <= 128 else 2048
+        return bq, blk, 128, blk
+    cap = 32768 if d <= 128 else 8192
     if masked:
-        cap = min(cap, 2048)
+        cap = min(cap, 4096)
+    block_q = min(1024, _pad128(sq))
     block_k = min(cap, _pad128(sk))
-    return block_q, block_k, 128, min(DEFAULT_CHUNK_K, block_k)
+    if block_k <= 4096:
+        chunk = block_k
+    else:
+        chunk = max(4096, min(8192, block_k // 2))
+    return block_q, block_k, 128, chunk
 
 
 def _compute_parts(
@@ -158,6 +164,7 @@ def _compute_parts(
     v_needs_cast: bool,
     rowsum_lane: int | None = None,
     diag_static: bool = False,
+    scale_group: int | None = None,
 ):
     """One KV block: the pipelined (sub-tile x chunk) split-softmax.
 
@@ -169,7 +176,14 @@ def _compute_parts(
     items wholly below run unmasked, and only straddling items get the
     iota mask — the TPU analogue of the reference's two-phase causal
     kernel (reference: triton/attn_qk_int8_per_block_causal.py:28-46,
-    dual _attn_fwd_inner calls :105-115)."""
+    dual _attn_fwd_inner calls :105-115).
+
+    ``scale_group``: the K quantization group width.  Normally equal to
+    ``chunk_k``; the causal diagonal region runs narrower chunks than the
+    quant group (to halve its VMEM so both pl.when regions fit), so the
+    SMEM scale index is derived from the chunk's global column."""
+    if scale_group is None:
+        scale_group = chunk_k
     subs = [q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)]
     qs_subs = [
         qs_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)
@@ -236,7 +250,9 @@ def _compute_parts(
             # row max run in the int32 domain (the positive per-row scale
             # commutes with max), so dequant is one fused multiply feeding
             # exp2.
-            ksc = ks_ref[0, 0, 0, kv_idx * n_chunks + c]
+            ksc = ks_ref[
+                0, 0, 0, (kv_idx * block_k + cb[c][0]) // scale_group
+            ]
             rowscale = qs * ksc  # [sub_q, 1]
             if mask is not None:
                 s_i32 = jnp.where(mask, s_i32, MASK_I32)
@@ -250,7 +266,9 @@ def _compute_parts(
             # smooth_q correction: a per-column bias (qm . k_smoothed,
             # base-2 domain) joins after dequant, so the max runs in f32
             # (the column-varying bias breaks the int-domain commute)
-            ksc = ks_ref[0, 0, 0, kv_idx * n_chunks + c]
+            ksc = ks_ref[
+                0, 0, 0, (kv_idx * block_k + cb[c][0]) // scale_group
+            ]
             rowscale = qs * ksc
             sf = (
                 s_i32.astype(jnp.float32) * rowscale
@@ -346,19 +364,23 @@ def _merge_parts(ps, m_to=None):
     return m, l, acc
 
 
-def _merge_into_scratch(parts, n_sub, sub_q, m_scr, l_scr, acc_scr):
-    """Merge per-sub-tile partials into the running cross-KV-block state."""
+def _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr):
+    """Merge per-sub-tile partials into the running cross-KV-block state.
+
+    ``ml_scr`` packs the running row max (lane 0) and row sum (lane 1)
+    into ONE (block_q, 128) scratch — separate buffers would each pad to
+    128 lanes and waste a megabyte at block_q = 2048."""
     for qi in range(n_sub):
         rows = slice(qi * sub_q, (qi + 1) * sub_q)
         m_blk = parts[qi][0][0]
         for m_c, _, _ in parts[qi][1:]:
             m_blk = jnp.maximum(m_blk, m_c)
-        m_prev = m_scr[rows, :1]
+        m_prev = ml_scr[rows, 0:1]
         m_next = jnp.maximum(m_prev, m_blk)
         _, l_blk, acc_blk = _merge_parts(parts[qi], m_to=m_next)
         alpha = jnp.exp2(m_prev - m_next)
-        m_scr[rows, :1] = m_next
-        l_scr[rows, :1] = alpha * l_scr[rows, :1] + l_blk
+        ml_scr[rows, 0:1] = m_next
+        ml_scr[rows, 1:2] = alpha * ml_scr[rows, 1:2] + l_blk
         acc_scr[rows, :] = acc_scr[rows, :] * alpha[:, :1] + acc_blk
 
 
@@ -379,8 +401,7 @@ def _kernel(
     msum_ref,
     o_ref,
     lse_ref,
-    m_scr,
-    l_scr,
+    ml_scr,
     acc_scr,
     *,
     causal: bool,
@@ -392,6 +413,7 @@ def _kernel(
     return_lse: bool,
     sub_q: int,
     chunk_k: int,
+    diag_chunk_k: int,
     block_q: int,
     block_k: int,
     n_kv: int,
@@ -406,8 +428,8 @@ def _kernel(
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, NEG_INIT)
-        l_scr[...] = jnp.zeros_like(l_scr)
+        ml_scr[...] = jnp.zeros_like(ml_scr)
+        ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], NEG_INIT)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # per-(q block, kv block) liveness from the mask summary: fully-masked
@@ -462,15 +484,24 @@ def _kernel(
             parts = _compute_parts(
                 q_idx=q_idx, kv_idx=kv_idx, causal=False, **common
             )
-            _merge_into_scratch(parts, n_sub, sub_q, m_scr, l_scr, acc_scr)
+            _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
 
         @pl.when(_and_live(kv_idx == q_idx))
         def _diag():
+            # The diagonal region runs half-width chunks: Mosaic allocates
+            # the two pl.when regions' buffers additively, so the diag's
+            # tiles must be smaller for both regions to fit VMEM at the
+            # full below-diagonal chunk width.  The K-scale group stays the
+            # quantizer's (scale_group), indexed by global column.
+            diag = dict(common)
+            diag["scale_group"] = chunk_k
+            diag["chunk_k"] = diag_chunk_k
+            diag["n_chunks"] = -(-block_k // diag_chunk_k)
             parts = _compute_parts(
                 q_idx=q_idx, kv_idx=kv_idx, causal=False, diag_static=True,
-                **common
+                **diag
             )
-            _merge_into_scratch(parts, n_sub, sub_q, m_scr, l_scr, acc_scr)
+            _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
 
     else:
         if causal:
@@ -485,7 +516,7 @@ def _kernel(
             parts = _compute_parts(
                 q_idx=q_idx, kv_idx=kv_idx, causal=causal, **common
             )
-            _merge_into_scratch(parts, n_sub, sub_q, m_scr, l_scr, acc_scr)
+            _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
 
     if causal:
         last_kv = jnp.minimum(
@@ -496,7 +527,7 @@ def _kernel(
 
     @pl.when(kv_idx == last_kv)
     def _epilogue():
-        l = l_scr[:, :1]
+        l = ml_scr[:, 1:2]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         d_out = o_ref.shape[-1]
         o = acc_scr[:, :d_out] * l_inv
@@ -512,7 +543,7 @@ def _kernel(
             lse_ref[0, 0] = (
                 jnp.where(l == 0.0, -jnp.inf,
                           jnp.log2(jnp.maximum(l, 1e-45)))
-                + m_scr[:, :1]
+                + ml_scr[:, 0:1]
             )
 
 
@@ -618,6 +649,7 @@ def _kernel_single(
         "block_k",
         "sub_q",
         "chunk_k",
+        "diag_chunk_k",
         "rowsum_lane",
         "out_dtype",
         "interpret",
@@ -645,6 +677,7 @@ def sage_attention_fused(
     block_k: int = 4096,
     sub_q: int = 128,
     chunk_k: int = 2048,
+    diag_chunk_k: int | None = None,
     rowsum_lane: int | None = None,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
@@ -873,7 +906,10 @@ def sage_attention_fused(
     if single_step:
         inner = functools.partial(_kernel_single, **statics)
     else:
-        inner = functools.partial(_kernel, n_kv=n_kv, **statics)
+        inner = functools.partial(
+            _kernel, n_kv=n_kv,
+            diag_chunk_k=diag_chunk_k or chunk_k, **statics
+        )
 
     def kernel(*refs):
         refs = list(refs)
@@ -906,7 +942,7 @@ def sage_attention_fused(
         if single_step:
             inner(*args)
         else:
-            inner(*args, *refs[-3:])
+            inner(*args, *refs[-2:])
 
     # FLOPs: 2*sq*sk*d (QK) + 2*sq*sk*d (PV) per (b, h); halved by causal.
     flops = 4 * b * hq * sq * sk * d // (2 if is_causal else 1)
@@ -922,12 +958,16 @@ def sage_attention_fused(
         out_shape=out_shape,
         scratch_shapes=[] if single_step else [
             pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
             pltpu.VMEM((block_q, d_v), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3 if single_step
             else ("parallel", "parallel", "parallel", "arbitrary"),
+            # The 16 MB scoped-vmem default is a compiler limit, not the
+            # hardware's (v5e runs 120 MB scratch fine, measured); raise it
+            # so block configs are chosen by measured speed, not the
+            # default's artificial ceiling.
+            vmem_limit_bytes=64 * 2**20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed,

@@ -41,10 +41,12 @@ _Q_ROWS = 16384
 # VMEM budget for the single-pass whole-slab V quantizer: bytes of one
 # (s, d) input slab.  Mosaic's stack allocator keeps ~12x the input slab
 # live for the f32 temporaries (measured: a 2.2 MB slab allocates 25.9 MB
-# scoped), so only ~1 MB slabs are safe under the 16 MB limit.  Larger
-# sequences take the blocked two-pass kernels below (same numerics; mean
-# accumulation order differs at ULP level).
-_V_VMEM_BYTES = 1 * 2**20
+# scoped); with the vmem limit raised to 64 MB (the 16 MB default is a
+# compiler limit, not the chip's — v5e runs 120 MB scratch), slabs to
+# ~4 MB are safe single-pass.  Larger sequences take the blocked
+# two-pass kernels below (same numerics; mean accumulation order differs
+# at ULP level).
+_V_VMEM_BYTES = 4 * 2**20
 # input-slab bytes per grid step of the blocked V kernels
 _V_BLOCK_BYTES = 512 * 2**10
 
@@ -107,7 +109,8 @@ def quant_q_per_token(
             jax.ShapeDtypeStruct((q2.shape[0] // 128, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(q2)
@@ -192,7 +195,8 @@ def quant_k_chunked(
             jax.ShapeDtypeStruct((1, n_groups), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(*inputs)
@@ -328,7 +332,8 @@ def _quant_v_blocked(v, *, dtype, smooth, interpret):
             pltpu.VMEM((1, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(v3)
@@ -355,7 +360,8 @@ def _quant_v_blocked(v, *, dtype, smooth, interpret):
         out_specs=pl.BlockSpec((1, bs, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, s_pad, d), dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(v3, r, mean)
@@ -407,7 +413,8 @@ def quant_v_per_channel(
             jax.ShapeDtypeStruct((b * h, 1, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(v3)
