@@ -1,17 +1,21 @@
 #!/usr/bin/env python
 """Headline benchmark (driver-run).
 
-Prints ONE JSON line to stdout:
+Prints one JSON line PER METRIC to stdout (headline metric first):
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Metric: fused sage-attention kernel throughput (attention-kernel-only TOPS,
-quantization excluded — the reference's protocol, reference:
-bench/README.md:63, flops = 4*h*b*hd*s^2 / time, bench_qk_int8_pv_fp8_cuda
-.py:71) at the reference's sweep shape b=4, h=32, hd=128, s=4096.
+Metrics (the matrix BASELINE.md claims, reference protocol
+bench/README.md:33-63, flops = 4*h*b*hd*s^2/(2 if causal)/time):
+  * kernel-only TOPS, hd128, s in {4096, 16384}, causal and not
+  * kernel-only TOPS, hd64, s=4096, non-causal
+  * op-total TOPS (quant prologue included) at 4k/hd128
+  * the int8-vs-bf16 pure-matmul MXU roofline, and the kernel's
+    ratio-to-ceiling (kernel TOPS / measured int8 matmul TOPS)
 
-Baseline: the best-tuned jax.experimental Pallas flash-attention (bf16) on
-the same chip and shape — the TPU equivalent of the reference's FA2
-baseline (reference: bench/bench_baseline.py).
+vs_baseline = (tuned jax Pallas flash-attention bf16 time) / (sage time)
+on the same shape (the TPU FA2 analogue, reference: bench/bench_baseline
+.py); for the roofline metrics it is the int8/bf16 matmul rate ratio and
+the ratio-to-ceiling respectively.
 
 Detailed per-config numbers go to stderr.
 """
@@ -22,92 +26,170 @@ import sys
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def emit(metric, value, unit, vs_baseline):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(float(value), 2),
+                "unit": unit,
+                "vs_baseline": (
+                    round(float(vs_baseline), 3)
+                    if vs_baseline == vs_baseline
+                    else float("nan")
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
 def device_time(fn_one, args, n=10, reps=3):
-    """Two-point-slope scan-chain timing (see bench/utils.py for the full
-    rationale: fixed ~30 ms tunnel cost per jit call, carry must feed the
-    iteration inputs or XLA hoists the launch)."""
+    """Two-point-slope scan-chain timing (see bench/utils.py)."""
     from bench.utils import device_time as _dt
 
     return _dt(fn_one, args, n=n, reps=reps)
 
 
+def flash_time(q, k, v, causal, n=10):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    s = q.shape[2]
+    bq = min(512, s)
+    bk = min(1024, s)
+    bkm = min(2048, s)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkm,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
+    )
+    fb = functools.partial(flash_attention, causal=causal, block_sizes=bs)
+
+    def one(i, c, q, k, v):
+        return fb(q + c.astype(q.dtype) * 1e-12, k, v)
+
+    return device_time(one, (q, k, v), n=n)
+
+
+def sage_kernel_time(b, h, s, d, causal, n=10):
+    from bench.bench_kernel import bench_one
+    from sageattention_tpu.ops.attention_pallas import default_config
+
+    bq, bk, sub, ck = default_config(s, s, d, causal)
+    tops, t = bench_one(
+        b, h, s, d, causal=causal, pv_dtype="int8", quant_gran="auto",
+        block_q=bq, block_k=bk, chunk_k=ck, sub_q=sub,
+    )
+    return t
+
+
 def main():
-    from sageattention_tpu import quant
-    from sageattention_tpu.ops.attention_pallas import sage_attention_fused
+    b, h = 4, 32
 
-    b, h, s, d = 4, 32, 4096, 128
-    bq, bk = 512, 4096
-    flops = 4 * b * h * d * s * s
+    def flops(s, d, causal):
+        return 4 * b * h * d * s * s // (2 if causal else 1)
 
-    key = jax.random.PRNGKey(0)
-    q = jax.random.normal(key, (b, h, s, d), dtype=jnp.bfloat16)
-    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), dtype=jnp.bfloat16)
-    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), dtype=jnp.bfloat16)
+    results = []  # (metric, tops, ratio)
+    for d, s, causal, n in [
+        (128, 4096, False, 10),
+        (128, 4096, True, 10),
+        (128, 16384, False, 5),
+        (128, 16384, True, 5),
+        (64, 4096, False, 10),
+    ]:
+        q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d),
+                              jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d),
+                              jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d),
+                              jnp.bfloat16)
+        t_sage = sage_kernel_time(b, h, s, d, causal, n=n)
+        tops = flops(s, d, causal) / t_sage / 1e12
+        try:
+            t_base = flash_time(q, k, v, causal, n=n)
+            ratio = t_base / t_sage
+            tops_base = flops(s, d, causal) / t_base / 1e12
+        except Exception as e:
+            log(f"flash baseline failed ({e})")
+            ratio, tops_base = float("nan"), float("nan")
+        tag = f"s{s}_hd{d}" + ("_causal" if causal else "")
+        log(f"kernel {tag}: sage {t_sage*1e3:.3f} ms = {tops:.1f} TOPS, "
+            f"flash {tops_base:.1f}, ratio {ratio:.3f}")
+        results.append((tag, tops, ratio))
 
-    from sageattention_tpu.ops.attention_pallas import effective_chunk_k
+    # headline first (same metric name as round 1 for continuity)
+    head = results[0]
+    emit("sage_attention_kernel_TOPS_b4h32s4096hd128", head[1], "TOPS",
+         head[2])
+    for tag, tops, ratio in results[1:]:
+        emit(f"sage_kernel_TOPS_{tag}", tops, "TOPS", ratio)
 
-    q_i8, qs = quant.quant_int8(
-        q, granularity="per_token", scale_fold=d**-0.5 * 1.4426950408889634
+    # op-total (quant prologue included) at the headline shape
+    from sageattention_tpu import sageattn
+
+    d, s = 128, 4096
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.bfloat16)
+    t_op = device_time(
+        lambda i, c, q, k, v: sageattn(q + (c * 1e-30).astype(q.dtype), k, v),
+        (q, k, v),
     )
-    k_i8, ksb = quant.quant_int8_block_scales(k, group=effective_chunk_k(bk))
-    v_q, vs, _ = quant.per_channel_quant(v, dtype=jnp.int8)
-
-    fo = functools.partial(
-        sage_attention_fused, pv_dtype="int8", block_q=bq, block_k=bk
-    )
-
-    def one(i, c, qi, qss, ki, kss, vq, vsc):
-        # perturb the small scale tensor (not the 64MB q) to keep the scan
-        # iterations dependent without measurable overhead
-        return fo(qi, qss + c * 1e-30, ki, kss, vq, vsc)
-
-    t_sage = device_time(one, (q_i8, qs, k_i8, ksb, v_q, vs), n=10)
-    tops_sage = flops / t_sage / 1e12
-    log(f"sage int8-QK/int8-PV kernel: {t_sage*1e3:.3f} ms = {tops_sage:.1f} TOPS")
-
-    # baseline: tuned jax flash attention (bf16)
+    tops_op = flops(s, d, False) / t_op / 1e12
     try:
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            BlockSizes,
-            flash_attention,
+        t_fl = flash_time(q, k, v, False)
+        ratio_op = t_fl / t_op
+    except Exception:
+        ratio_op = float("nan")
+    log(f"op-total s4096_hd128: {t_op*1e3:.3f} ms = {tops_op:.1f} TOPS, "
+        f"ratio {ratio_op:.3f}")
+    emit("sage_op_total_TOPS_s4096_hd128", tops_op, "TOPS", ratio_op)
+
+    # MXU roofline: pure int8 vs bf16 matmul (max-consumed so XLA cannot
+    # narrow or factor the reduction through the dot)
+    m = 8192
+    a8 = jnp.ones((m, m), jnp.int8)
+    b8 = jnp.ones((m, m), jnp.int8)
+    a16 = jnp.ones((m, m), jnp.bfloat16)
+    b16 = jnp.ones((m, m), jnp.bfloat16)
+
+    def mm_int8(i, c, a, bb):
+        out = jax.lax.dot_general(
+            a + c.astype(jnp.int8) * 0 + i.astype(jnp.int8) % 2, bb,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
+        return jnp.max(out)[None]
 
-        bs = BlockSizes(
-            block_q=512, block_k_major=2048, block_k=1024, block_b=1,
-            block_q_major_dkv=512, block_k_major_dkv=2048,
-            block_k_dkv=1024, block_q_dkv=512,
-            block_k_major_dq=2048, block_k_dq=1024, block_q_dq=512,
+    def mm_bf16(i, c, a, bb):
+        out = jax.lax.dot_general(
+            a + c.astype(jnp.bfloat16) * 1e-12, bb,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        fb = functools.partial(flash_attention, block_sizes=bs)
+        return jnp.max(out)[None]
 
-        def one_base(i, c, q, k, v):
-            return fb(q + c.astype(q.dtype) * 1e-12, k, v)
-
-        t_base = device_time(one_base, (q, k, v), n=10)
-        tops_base = flops / t_base / 1e12
-        log(f"jax flash-attention bf16 baseline: {t_base*1e3:.3f} ms = {tops_base:.1f} TFLOPS")
-        vs_baseline = t_base / t_sage
-    except Exception as e:  # baseline unavailable — report absolute only
-        log(f"baseline failed: {e}")
-        vs_baseline = float("nan")
-
-    print(
-        json.dumps(
-            {
-                "metric": "sage_attention_kernel_TOPS_b4h32s4096hd128",
-                "value": round(tops_sage, 2),
-                "unit": "TOPS",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    mm_flops = 2 * m**3
+    t_i8 = device_time(mm_int8, (a8, b8), n=10)
+    t_bf = device_time(mm_bf16, (a16, b16), n=10)
+    tops_i8 = mm_flops / t_i8 / 1e12
+    tops_bf = mm_flops / t_bf / 1e12
+    log(f"matmul roofline {m}^3: int8 {tops_i8:.1f} TOPS, "
+        f"bf16 {tops_bf:.1f} TFLOPS, ratio {tops_i8/tops_bf:.3f}")
+    emit("mxu_int8_matmul_TOPS", tops_i8, "TOPS", tops_i8 / tops_bf)
+    emit("mxu_bf16_matmul_TOPS", tops_bf, "TFLOPS", 1.0)
+    # ratio-to-ceiling: the headline kernel against the measured int8
+    # matmul rate (the attainable MXU ceiling for this op)
+    emit("sage_kernel_vs_ceiling_s4096_hd128", head[1], "TOPS",
+         head[1] / tops_i8)
 
 
 if __name__ == "__main__":

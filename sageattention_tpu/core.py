@@ -373,6 +373,9 @@ def _sageattn_hnd(
         mask_i8,
         is_causal=is_causal,
         pv_dtype=pv_dtype,
+        # bits=4 quantizers clamp to +-7, so the kernel runs the QK dot on
+        # the native int4 MXU path (~2x the int8 rate, measured)
+        qk_int4=qk_bits == 4,
         return_lse=return_lse,
         block_q=block_q,
         block_k=block_k,

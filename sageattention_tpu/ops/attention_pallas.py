@@ -11,12 +11,21 @@ Architecture — measured-on-TPU redesign of the reference's fused form
 (SURVEY.md §3.2), shaped by three facts of this hardware that differ from
 CUDA tensor cores:
 
-1. int8 MXU matmul is only marginally faster than bf16 (measured ~1.1x, not
-   the 2-4x of GPU int8/fp8 tensor cores), so INT8's value here is halved
-   HBM/VMEM traffic for Q/K/V plus the accuracy machinery (smoothing, scale
-   granularity) — not raw MMA rate.
+1. MXU matmul rooflines (measured, 8192^3): bf16 178, int8 343 (1.93x),
+   int4 725 (3.9x) TFLOPS/TOPS; fp8 e4m3 = 174 == bf16 (NO native fp8 on
+   this generation — fp8 V is storage compression only).
 2. The kernel is jointly MXU- and VPU-bound: the online-softmax VPU work is
    comparable to the matmul time, so the win comes from *overlapping* them.
+   Because the VPU side binds, the faster low-bit MXU rates only pay where
+   they displace MXU time that is NOT hidden: int8 QK^T wins; casting QK
+   operands to int4 in-register (``qk_int4``, 2x MXU) measures as a no-op
+   on the full kernel, and requantizing P to int8 for PV
+   (``pv_compute='int8'``) is a measured 35% LOSS — the quantize +
+   relayout VPU pass on the [sub, chunk] tile costs more than the faster
+   MXU saves (134 vs 205 TOPS at 4k/hd128).  Both paths are kept,
+   measured and documented, as the honest answer to the reference's
+   low-bit PV matrix (reference: csrc/mma.cuh:429-527 s4s4s32,
+   attn_utils.cuh:777-992 compute_fp8_sv).
 3. Cross-lane reductions and elementwise passes over the score tile dominate
    VPU time; transcendentals (exp2) fuse into the dequant chain nearly free.
 
@@ -46,13 +55,13 @@ over jax's flash_attention on the reference's headline shape):
   the end of the KV block, then once more into the running (m, l, acc)
   scratch carried across KV blocks.  Removing the serial rescale-per-chunk
   dependency of the classic online loop is what unlocks the MXU/VPU overlap.
-* P stays **bf16** for the P.V MXU op (no requantization): on TPU the bf16
-  MXU path is the fastest available, so quantizing P to int8/fp8 (the
-  reference's S_FP8_OFFSET trick, attn_utils.cuh:30-32) would cost a VPU
-  relayout pass and *lose* both speed and accuracy.  V may be stored int8 /
-  fp8 (per-channel scales, converted to bf16 in-register) or bf16; the
-  per-channel v_scale multiply and v_mean add stay fused in the epilogue
-  (reference: sm89.cuh:578-624).
+* P stays **bf16** for the P.V MXU op by default: quantizing P (the
+  reference's S_FP8_OFFSET trick, attn_utils.cuh:30-32) costs a VPU
+  quantize + relayout pass that outweighs the 1.9x int8 MXU rate
+  (measured; see fact 2 above — ``pv_compute='int8'`` implements it for
+  the record).  V may be stored int8 / fp8 (per-channel scales, converted
+  to bf16 in-register) or bf16; the per-channel v_scale multiply and
+  v_mean add stay fused in the epilogue (reference: sm89.cuh:578-624).
 * Causal: KV blocks strictly above the diagonal are skipped via clamped
   index maps — no DMA and no compute (reference early-exit:
   sm89.cuh:225-229); diagonal blocks mask per-chunk in the int32 domain.
@@ -162,6 +171,8 @@ def _compute_parts(
     block_q: int,
     block_k: int,
     v_needs_cast: bool,
+    p_int8: bool = False,
+    qk_int4: bool = False,
     rowsum_lane: int | None = None,
     diag_static: bool = False,
     scale_group: int | None = None,
@@ -198,8 +209,16 @@ def _compute_parts(
     def qk(item):
         qi, c = item
         k = k_ref[0, 0, cb[c][0]:cb[c][1], :]
+        qq = subs[qi]
+        if qk_int4:
+            # int4 MXU runs ~2x the int8 rate on this chip (measured 725
+            # vs 343 TOPS roofline); operands are quantized to +-7 by the
+            # bits=4 quantizers, so the in-register s8->s4 cast is exact
+            # (reference int4 MMA: csrc/mma.cuh:429-527 s4s4s32).
+            qq = qq.astype(jnp.int4)
+            k = k.astype(jnp.int4)
         return jax.lax.dot_general(
-            subs[qi],
+            qq,
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -304,20 +323,39 @@ def _compute_parts(
             m_c = jnp.where(dead, NEG_INIT, m_c)
 
         v = v_ref[0, 0, cb[c][0]:cb[c][1], :]
-        if v_needs_cast:
-            v = v.astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16),
-            v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [sub_q, d_v] f32
+        if p_int8:
+            # Quantized-P PV: the int8 MXU runs ~1.9x bf16 on this chip
+            # (measured roofline 343 vs 178 TOPS), so P is requantized
+            # to int8 with the FIXED scale 127 (each chunk's max is
+            # exp2(0) = 1 after the m_c subtraction — no amax pass
+            # needed).  The analogue of the reference's FP8-P MMA
+            # (attn_utils.cuh:777-992 compute_fp8_sv); the 1/127 dequant
+            # folds into one multiply on the small [sub, d] output tile.
+            # p >= 0, so +0.5-and-truncate IS round-to-nearest.
+            p_q = (p * 127.0 + 0.5).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_q,
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (1.0 / 127.0)  # [sub_q, d_v]
+        else:
+            if v_needs_cast:
+                v = v.astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [sub_q, d_v] f32
         if rowsum_lane is not None:
             # d <= 64 pads V to 128 lanes anyway: a ones column planted at
             # ``rowsum_lane`` makes the MXU produce sum(p) for free,
             # removing the VPU cross-lane sum (the reference's
             # rowsum-via-MMA idea, reference: csrc/mma.cuh:683-721
-            # rowsum_f16f16f32/rowsum_f8f8f32).
+            # rowsum_f16f16f32/rowsum_f8f8f32).  With quantized P the
+            # lane carries sum(p_q)/127 — the normalization consistent
+            # with the quantized numerator.
             l_c = pv[:, rowsum_lane:rowsum_lane + 1]
         else:
             l_c = jnp.sum(p, axis=1)[:, None]
@@ -418,6 +456,8 @@ def _kernel(
     block_k: int,
     n_kv: int,
     v_needs_cast: bool,
+    p_int8: bool,
+    qk_int4: bool,
     rowsum_lane: int | None,
     out_dtype,
 ):
@@ -467,6 +507,8 @@ def _kernel(
         block_q=block_q,
         block_k=block_k,
         v_needs_cast=v_needs_cast,
+        p_int8=p_int8,
+        qk_int4=qk_int4,
         rowsum_lane=rowsum_lane,
     )
 
@@ -577,6 +619,8 @@ def _kernel_single(
     block_q: int,
     block_k: int,
     v_needs_cast: bool,
+    p_int8: bool,
+    qk_int4: bool,
     rowsum_lane: int | None,
     out_dtype,
 ):
@@ -615,6 +659,8 @@ def _kernel_single(
         block_q=block_q,
         block_k=block_k,
         v_needs_cast=v_needs_cast,
+        p_int8=p_int8,
+        qk_int4=qk_int4,
         rowsum_lane=rowsum_lane,
     )
     d_out = o_ref.shape[-1]
@@ -644,6 +690,8 @@ def _kernel_single(
     static_argnames=(
         "is_causal",
         "pv_dtype",
+        "pv_compute",
+        "qk_int4",
         "return_lse",
         "block_q",
         "block_k",
@@ -672,6 +720,8 @@ def sage_attention_fused(
     *,
     is_causal: bool = False,
     pv_dtype: str = "int8",
+    pv_compute: str = "bf16",
+    qk_int4: bool = False,
     return_lse: bool = False,
     block_q: int = 512,
     block_k: int = 4096,
@@ -742,6 +792,11 @@ def sage_attention_fused(
     has_col_bias = score_col_bias is not None
     has_mask = attn_mask_i8 is not None
     v_needs_cast = v_q.dtype != jnp.bfloat16
+    p_int8 = pv_compute == "int8"
+    if p_int8 and v_q.dtype != jnp.int8:
+        raise ValueError(
+            "pv_compute='int8' requires int8 V storage (pv_dtype='int8')"
+        )
     if has_mask:
         hm = attn_mask_i8.shape[1]
         assert hm in (1, hq), (hm, hq)
@@ -900,6 +955,8 @@ def sage_attention_fused(
         block_q=block_q,
         block_k=block_k,
         v_needs_cast=v_needs_cast,
+        p_int8=p_int8,
+        qk_int4=qk_int4,
         rowsum_lane=rowsum_lane,
         out_dtype=out_dtype,
     )
