@@ -125,7 +125,13 @@ def _sage_parallel(q, k, v, *, is_causal, sm_scale, **kw):
     key = (is_causal, sm_scale, tuple(sorted(kw.items())))
     if key not in _PARALLEL_CACHE:
         data_axis, ring_axis, ulysses_axis = _MESH_AXES
-        inner = make_parallel_sageattn(
+        # Differentiable as-is: every leaf of make_parallel_sageattn is
+        # the custom-VJP sage attention (fused Pallas backward, per
+        # shard / per ring step), so gradients flow through the ring's
+        # ppermute and the Ulysses all-to-alls without ever building a
+        # global score matrix (the round-1 version substituted an exact
+        # global-reference VJP here, which was OOM-bound at real lengths).
+        _PARALLEL_CACHE[key] = make_parallel_sageattn(
             _MESH,
             data_axis=data_axis,
             ring_axis=ring_axis,
@@ -134,30 +140,6 @@ def _sage_parallel(q, k, v, *, is_causal, sm_scale, **kw):
             sm_scale=sm_scale,
             **kw,
         )
-
-        # quantized parallel forward, exact recomputed backward (the same
-        # straight-through rule as ops/autodiff.py, on global tensors)
-        @jax.custom_vjp
-        def f(q, k, v):
-            return inner(q, k, v)
-
-        def fwd(q, k, v):
-            return f(q, k, v), (q, k, v)
-
-        def bwd(res, ct):
-            q, k, v = res
-            _, vjp = jax.vjp(
-                lambda q, k, v: ref_mod.attention_reference(
-                    q, k, v, is_causal=is_causal, sm_scale=sm_scale
-                ),
-                q,
-                k,
-                v,
-            )
-            return vjp(ct)
-
-        f.defvjp(fwd, bwd)
-        _PARALLEL_CACHE[key] = f
     return _PARALLEL_CACHE[key](q, k, v)
 
 

@@ -23,9 +23,10 @@ straight from the saved LSE — so each (q block, kv block) pair is
 independent MXU work (2 int8/bf16 matmuls + exp2 + 1-2 more matmuls) and
 the kernels are plain block-accumulation loops:
 
-* ``_dq_kernel``  — grid (b, h, nq, nkv), accumulates dQ per Q block.
-* ``_dkv_kernel`` — grid (b, h, nkv, nq), accumulates dK and dV per KV
-  block (GQA handled by repeating K/V and summing outside).
+* ``_dq_kernel``  — grid (b, hq, nq, nkv), accumulates dQ per Q block
+  (GQA: K-side index maps use ih // rep).
+* ``_dkv_kernel`` — grid (b, hkv, nkv, rep*nq): the GQA group rides the
+  4th axis so dK/dV group-sum in scratch — O(hkv) memory.
 
 Causal uses the same clamped-index-map early exit as the forward
 (reference: sm89.cuh:225-229), from below for dq and from above for dkv.
@@ -113,12 +114,17 @@ def _dkv_kernel(
     ki8_ref, ks_ref, qi8_ref, qs_ref, qbf_ref, v_ref, do_ref, lse_ref,
     dvec_ref, dk_ref, dv_ref, dk_acc, dv_acc,
     *, causal, n_q, block_q, block_k, sm_scale, n_chunks, chunk_k,
-    scale_group,
+    scale_group, rep,
 ):
+    """Grid (b, hkv, n_kv, rep * n_q): the GQA group rides the 4th axis
+    (t -> q head ih*rep + t // n_q, q block t % n_q) so dK/dV accumulate
+    over the whole group IN scratch — O(hkv) memory, no jnp.repeat
+    expansion of K/V."""
     kv_idx = pl.program_id(2)
-    q_idx = pl.program_id(3)
+    t_idx = pl.program_id(3)
+    q_idx = t_idx % n_q
 
-    @pl.when(q_idx == 0)
+    @pl.when(t_idx == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -170,7 +176,7 @@ def _dkv_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-    @pl.when(q_idx == n_q - 1)
+    @pl.when(t_idx == rep * n_q - 1)
     def _epi():
         dk_ref[0, 0] = dk_acc[...] * sm_scale
         dv_ref[0, 0] = dv_acc[...]
@@ -185,7 +191,8 @@ def _fit_block(s: int, candidates) -> int | None:
 
 def quantized_attention_vjp(
     q, k, v, do, *, is_causal: bool, sm_scale: float | None,
-    o=None, lse_nat=None, smooth_k: bool = True, interpret: bool = False,
+    o=None, lse_nat=None, dlse=None, smooth_k: bool = True,
+    interpret: bool = False,
 ):
     """Full recomputed backward through the fused kernels.
 
@@ -193,9 +200,20 @@ def quantized_attention_vjp(
     dq/dkv kernels.  When the forward's output ``o`` and natural-log
     ``lse_nat`` (the public corrected LSE) are supplied as residuals,
     the forward recompute is skipped entirely — the kernel's raw base-2
-    LSE is reconstructed by inverting the smooth-k correction.  Returns
-    (dq, dk, dv) in the input dtypes, or None when the shape doesn't
-    fit the kernels (caller falls back to the flash/XLA recompute).
+    LSE is reconstructed by inverting the smooth-k correction.  GQA is
+    native: dK/dV group-sum inside the dkv kernel, O(hkv) memory.
+
+    ``dlse``: optional cotangent of the natural-log LSE output
+    [b, hq, sq].  d(lse)/dS_ij = P_ij, so it enters the kernels as
+    dS = P * (dP - (dvec - dlse)) — a pure input adjustment, no kernel
+    change (this is what makes ``return_lse=True`` differentiable
+    without materializing scores; the ring-attention merge backward
+    rides on it).  Note dlse also contributes dQ += dlse * km * sm_scale
+    through the smooth-k LSE correction term, handled here.
+
+    Returns (dq, dk, dv) in the input dtypes, or None when the shape
+    doesn't fit the kernels (caller falls back to the flash/XLA
+    recompute).
     """
     from sageattention_tpu import quant as quant_mod
     from sageattention_tpu.ops import attention_pallas, quant_pallas
@@ -233,11 +251,7 @@ def quantized_attention_vjp(
     if block_k % chunk_k or scale_group % chunk_k:
         return None
 
-    # GQA: expand K/V so the kernels see matched heads; group-sum after
-    rep = hq // hkv
-    if rep > 1:
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
+    rep = hq // hkv  # GQA handled natively by the dkv kernel grid
 
     km = (
         jnp.mean(k.astype(jnp.float32), axis=-2) if smooth_k else None
@@ -269,8 +283,9 @@ def quantized_attention_vjp(
         # invert the public LSE back to the kernel's raw base-2 form:
         # lse_nat = lse2/log2e + (q.km)*sm_scale  (core.py smooth_k corr)
         if smooth_k:
+            km_q = jnp.repeat(km, rep, axis=1) if rep > 1 else km
             corr = jnp.einsum(
-                "bhqd,bhd->bhq", q.astype(jnp.float32), km
+                "bhqd,bhd->bhq", q.astype(jnp.float32), km_q
             ) * sm_scale
             lse2 = (lse_nat - corr) * LOG2E
         else:
@@ -290,18 +305,23 @@ def quantized_attention_vjp(
     dq, dk, dv = sage_attention_bwd(
         q_i8, q_scale, k_i8, k_scale,
         k_sm, q.astype(jnp.bfloat16),
-        v.astype(jnp.bfloat16), o, lse2, do,
+        v.astype(jnp.bfloat16), o, lse2, do, dlse,
         is_causal=is_causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, chunk_k=chunk_k,
         scale_group=scale_group, interpret=interpret,
     )
-    if rep > 1:
-        dk = dk.reshape(b, hkv, rep, sk, d).sum(axis=2)
-        dv = dv.reshape(b, hkv, rep, sk, d).sum(axis=2)
+    if dlse is not None and smooth_k:
+        # the smooth-k LSE correction term (q . km * sm_scale) contributes
+        # dQ += dlse * km * sm_scale outside the kernels (the km pathway
+        # through K cancels exactly in the lse identity)
+        km_q = jnp.repeat(km, rep, axis=1) if rep > 1 else km
+        dq = dq + dlse[..., None].astype(jnp.float32) * (
+            km_q[:, :, None, :] * sm_scale
+        )
     return (
         dq.astype(q.dtype),
-        dk.astype(q.dtype) if rep > 1 else dk.astype(k.dtype),
-        dv.astype(q.dtype) if rep > 1 else dv.astype(v.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
     )
 
 
@@ -314,6 +334,7 @@ def quantized_attention_vjp(
 )
 def sage_attention_bwd(
     q_i8, q_scale, k_i8, k_scale, k_bf, q_bf, v_bf, o, lse2, do,
+    dlse=None,
     *,
     is_causal: bool,
     sm_scale: float,
@@ -334,7 +355,9 @@ def sage_attention_bwd(
     be pre-expanded (repeat K/V; sum dk/dv over the group outside).
     """
     b, h, sq, d = q_i8.shape
-    sk = k_i8.shape[2]
+    hkv, sk = k_i8.shape[1], k_i8.shape[2]
+    assert h % hkv == 0, (h, hkv)
+    rep = h // hkv
     block_q = min(block_q, sq)
     block_k = min(block_k, sk)
     assert sq % block_q == 0 and sk % block_k == 0
@@ -352,29 +375,35 @@ def sage_attention_bwd(
         k_scale.shape, n_groups_total
     )
 
-    # D = rowsum(dO * O) (natural units)
+    # D = rowsum(dO * O) (natural units); an LSE cotangent enters the
+    # kernels as dS = P * (dP - (D - dlse)) — pure input adjustment
     dvec = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )[..., None]  # [b,h,sq,1]
+    if dlse is not None:
+        dvec = dvec - dlse[..., None].astype(jnp.float32)
     lse_in = lse2[..., None] if lse2.ndim == 3 else lse2
     qs_in = q_scale.astype(jnp.float32)[..., None]
     ks_in = k_scale.astype(jnp.float32)[:, :, None, :]
     do_bf = do.astype(jnp.bfloat16)
 
     qm = lambda ib, ih, iq, ik: (ib, ih, iq, 0)
+    # dkv grid axis 3 enumerates (group member, q block): t -> q head
+    # ih*rep + t // n_q, q block t % n_q (GQA group-sum in scratch)
     if is_causal:
         def km_dq(ib, ih, iq, ik):
-            return (ib, ih, jnp.minimum(
+            return (ib, ih // rep, jnp.minimum(
                 ik, (iq * block_q + block_q - 1) // block_k), 0)
 
-        def qm_dkv(ib, ih, ik, iq):
-            return (ib, ih, jnp.maximum(iq, (ik * block_k) // block_q), 0)
+        def qm_dkv(ib, ih, ik, t):
+            return (ib, ih * rep + t // n_q,
+                    jnp.maximum(t % n_q, (ik * block_k) // block_q), 0)
     else:
         def km_dq(ib, ih, iq, ik):
-            return (ib, ih, ik, 0)
+            return (ib, ih // rep, ik, 0)
 
-        def qm_dkv(ib, ih, ik, iq):
-            return (ib, ih, iq, 0)
+        def qm_dkv(ib, ih, ik, t):
+            return (ib, ih * rep + t // n_q, t % n_q, 0)
 
     # ---- dq ----
     dq = pl.pallas_call(
@@ -389,7 +418,7 @@ def sage_attention_bwd(
             pl.BlockSpec((1, 1, block_q, 1), qm),
             pl.BlockSpec((1, 1, block_k, d), km_dq),
             pl.BlockSpec((1, 1, 1, n_groups_total),
-                         lambda ib, ih, iq, ik: (ib, ih, 0, 0),
+                         lambda ib, ih, iq, ik: (ib, ih // rep, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_k, d), km_dq),
             pl.BlockSpec((1, 1, block_k, d), km_dq),
@@ -413,13 +442,13 @@ def sage_attention_bwd(
         functools.partial(
             _dkv_kernel, causal=is_causal, n_q=n_q, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
-            chunk_k=chunk_k, scale_group=scale_group,
+            chunk_k=chunk_k, scale_group=scale_group, rep=rep,
         ),
-        grid=(b, h, n_kv, n_q),
+        grid=(b, hkv, n_kv, rep * n_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_k, d), kvm),
             pl.BlockSpec((1, 1, 1, n_groups_total),
-                         lambda ib, ih, ik, iq: (ib, ih, 0, 0),
+                         lambda ib, ih, ik, t: (ib, ih, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d), qm_dkv),
             pl.BlockSpec((1, 1, block_q, 1), qm_dkv),
@@ -434,8 +463,8 @@ def sage_attention_bwd(
             pl.BlockSpec((1, 1, block_k, d), kvm),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, sk, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, sk, d), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),

@@ -30,13 +30,18 @@ from sageattention_tpu.ops import reference
 
 
 def _exact_attention_for_bwd(q, k, v, *, is_causal, sm_scale):
-    """Differentiable exact attention used for gradient recomputation."""
+    """Differentiable exact attention used for gradient recomputation.
+
+    Sequence lengths are padded to the flash blocks' multiples with
+    segment-id masking (pads attend nothing; their gradients are zero
+    and cropped), so any length works."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     hq, hkv = q.shape[1], k.shape[1]
     if jax.default_backend() == "tpu":
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             BlockSizes,
+            SegmentIds,
             flash_attention,
         )
 
@@ -45,19 +50,43 @@ def _exact_attention_for_bwd(q, k, v, *, is_causal, sm_scale):
             # VJP sums gradients back over the group automatically
             k = jnp.repeat(k, hq // hkv, axis=1)
             v = jnp.repeat(v, hq // hkv, axis=1)
-        s = k.shape[2]
-        bq = min(512, q.shape[2])
-        bk = min(1024, s)
-        bkm = min(2048, s)
+        b, _, sq, _ = q.shape
+        sk = k.shape[2]
+        sq_p = -(-sq // 128) * 128
+        sk_p = -(-sk // 128) * 128
+        seg = None
+        if sq_p != sq or sk_p != sk:
+            pad = lambda x, to: jnp.pad(
+                x, ((0, 0), (0, 0), (0, to - x.shape[2]), (0, 0))
+            )
+            q, k, v = pad(q, sq_p), pad(k, sk_p), pad(v, sk_p)
+            q_seg = (jnp.arange(sq_p) < sq).astype(jnp.int32)[None]
+            kv_seg = (jnp.arange(sk_p) < sk).astype(jnp.int32)[None]
+            seg = SegmentIds(
+                q=jnp.broadcast_to(q_seg, (b, sq_p)),
+                kv=jnp.broadcast_to(kv_seg, (b, sk_p)),
+            )
+
+        def fit(s, cands):
+            for c in cands:
+                if s % c == 0:
+                    return c
+            return 128
+
+        bq = fit(sq_p, (512, 256, 128))
+        bk = fit(sk_p, (1024, 512, 256, 128))
+        bkm = fit(sk_p, (2048, 1024, 512, 256, 128))
         bs = BlockSizes(
             block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
             block_q_major_dkv=bq, block_k_major_dkv=bkm,
             block_k_dkv=bk, block_q_dkv=bq,
             block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
         )
-        return flash_attention(
-            q, k, v, causal=is_causal, sm_scale=sm_scale, block_sizes=bs
+        o = flash_attention(
+            q, k, v, causal=is_causal, sm_scale=sm_scale,
+            segment_ids=seg, block_sizes=bs,
         )
+        return o[:, :, :sq]
     return reference.attention_reference(
         q, k, v, is_causal=is_causal, sm_scale=sm_scale
     )
@@ -88,51 +117,55 @@ def _cached(fwd_statics, bwd_statics):
         return core._entry(q, k, v, **fwd_kwargs)
 
     def fwd(q, k, v):
-        if return_lse:
-            out = f(q, k, v)
-            return out, (q, k, v, None, None)
-        # run the forward once WITH its LSE and keep (o, lse) as
-        # residuals so the fused backward skips the forward recompute
+        # run the forward WITH its LSE and keep (o, lse) as residuals so
+        # the fused backward skips the forward recompute
         kw = dict(fwd_kwargs)
         kw["return_lse"] = True
         o, lse = core._entry(q, k, v, **kw)
-        return o, (q, k, v, o, lse)
+        out = (o, lse) if return_lse else o
+        return out, (q, k, v, o, lse)
 
     def bwd(res, ct):
         q, k, v, o_saved, lse_saved = res
         if return_lse:
-            # both outputs (o, lse) carry cotangents: use the exact
-            # reference (materializes scores; fine at the sizes where LSE
-            # gradients are wanted)
+            do, dlse = ct
+        else:
+            do, dlse = ct, None
+        # first choice: the fused Pallas backward — the straight-through
+        # gradient of the actual quantized forward; an LSE cotangent
+        # folds into the kernels' D vector (no score materialization)
+        from sageattention_tpu.ops import attention_bwd_pallas
+
+        grads = (
+            attention_bwd_pallas.quantized_attention_vjp(
+                q, k, v, do, is_causal=is_causal, sm_scale=sm_scale,
+                o=o_saved, lse_nat=lse_saved, dlse=dlse,
+                smooth_k=smooth_k,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if fused_bwd_ok
+            else None
+        )
+        if grads is not None:
+            return grads
+
+        if dlse is not None:
             def exact(q, k, v):
                 return reference.attention_reference(
                     q, k, v, is_causal=is_causal, sm_scale=sm_scale,
                     return_lse=True,
                 )
-        else:
-            # first choice: the fused Pallas backward — the straight-
-            # through gradient of the actual quantized forward
-            from sageattention_tpu.ops import attention_bwd_pallas
 
-            grads = (
-                attention_bwd_pallas.quantized_attention_vjp(
-                    q, k, v, ct, is_causal=is_causal, sm_scale=sm_scale,
-                    o=o_saved, lse_nat=lse_saved, smooth_k=smooth_k,
-                    interpret=jax.default_backend() == "cpu",
-                )
-                if fused_bwd_ok
-                else None
+            _, vjp = jax.vjp(exact, q, k, v)
+            return vjp((do, dlse))
+
+        def exact(q, k, v):
+            return _exact_attention_for_bwd(
+                q, k, v, is_causal=is_causal, sm_scale=sm_scale
             )
-            if grads is not None:
-                return grads
-
-            def exact(q, k, v):
-                return _exact_attention_for_bwd(
-                    q, k, v, is_causal=is_causal, sm_scale=sm_scale
-                )
 
         _, vjp = jax.vjp(exact, q, k, v)
-        return vjp(ct)
+        return vjp(do)
 
     f.defvjp(fwd, bwd)
     return f

@@ -13,7 +13,8 @@ from __future__ import annotations
 import jax
 from jax.sharding import PartitionSpec as P
 
-from sageattention_tpu import core
+from sageattention_tpu import core  # noqa: F401  (re-export convenience)
+from sageattention_tpu.ops import autodiff
 from sageattention_tpu.parallel.ring import ring_sageattn
 from sageattention_tpu.parallel.ulysses import ulysses_sageattn
 
@@ -35,6 +36,13 @@ def make_parallel_sageattn(
     ``data_axis`` and sequence-sharded over (ring_axis, ulysses_axis);
     the output is sharded the same way.  Axes with size 1 (or None)
     compose away.
+
+    Differentiable end-to-end: every leaf is the custom-VJP sage
+    attention (fused Pallas backward), the ring rotates KV-shard
+    gradients home through ppermute's transpose, and the Ulysses
+    all-to-alls transpose to all-to-alls — so a training step can
+    jax.grad straight through this function (the round-1 version
+    substituted a score-materializing global reference VJP).
     """
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     ring_n = axis_sizes.get(ring_axis, 1) if ring_axis else 1
@@ -63,8 +71,8 @@ def make_parallel_sageattn(
                         qg, kg, vg, ring_axis,
                         is_causal=is_causal, sm_scale=sm_scale, **attn_kwargs,
                     )
-                return core._entry(
-                    qg, kg, vg, "HND", is_causal, sm_scale, False,
+                return autodiff.differentiable_sageattn(
+                    qg, kg, vg, is_causal=is_causal, sm_scale=sm_scale,
                     **attn_kwargs,
                 )
 
@@ -88,8 +96,9 @@ def make_parallel_sageattn(
                 is_causal=is_causal, sm_scale=sm_scale, **attn_kwargs,
             )
         else:
-            o = core._entry(
-                q, k, v, "HND", is_causal, sm_scale, False, **attn_kwargs
+            o = autodiff.differentiable_sageattn(
+                q, k, v, is_causal=is_causal, sm_scale=sm_scale,
+                **attn_kwargs
             )
         if tensor_layout == "NHD":
             o = jax.numpy.swapaxes(o, 1, 2)

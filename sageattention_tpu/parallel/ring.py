@@ -9,9 +9,21 @@ its local Q against the block in hand, merging partials with the online
 LSE rule.  The ``ppermute`` for step t+1 is issued before step t's compute
 so XLA can overlap the ICI transfer with the attention kernel.
 
-Causal masking across rotated blocks uses the kernel's explicit
-position-id masking (offsets are dynamic per device; the static causal
-early-exit only applies to aligned Q/KV).
+The ring is **differentiable end-to-end**: each step runs the
+``differentiable_sageattn`` custom-VJP (fused Pallas backward, LSE
+cotangent folded into the D vector — see ops/attention_bwd_pallas.py),
+the LSE merge is plain jnp, and ``ppermute`` has a transpose rule, so
+``jax.grad`` through the ring yields per-step fused backwards with the
+KV-shard gradients rotating home automatically.  No global score
+materialization at any point (the reference is forward-only; this is the
+framework's beyond-reference axis).
+
+Causal masking across rotated blocks is a per-step three-way
+``lax.switch``: shards from earlier devices attend fully, the device's
+own shard runs the aligned diagonal-split causal kernel, later shards
+are fully masked (weight-0 in the merge).  This replaces the round-1
+position-id masking — it is faster (the bulk runs unmasked or
+static-diagonal) and keeps every branch differentiable.
 """
 
 from __future__ import annotations
@@ -19,20 +31,26 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sageattention_tpu import core
+from sageattention_tpu.ops import autodiff
+
+# Finite "masked" LSE sentinel: exp(_NEG - m) underflows to exactly 0 for
+# any real m, with zero gradient — unlike -inf, whose (-inf) - (-inf)
+# arithmetic NaN-poisons the backward through jnp.where.
+_NEG = -1e30
 
 
 def _merge(o_acc, lse_acc, o_i, lse_i):
-    """Streaming LSE merge of attention partials (natural log)."""
+    """Streaming LSE merge of attention partials (natural log).
+
+    With finite ``_NEG`` sentinels the weights are plain exponentials
+    (the max's own weight is exactly 1, so denom >= 1: no zero-division
+    and no NaN in either direction of autodiff)."""
     m = jnp.maximum(lse_acc, lse_i)
-    # fully-masked partials carry lse == -inf; exp(-inf - -inf) -> use where
-    w_acc = jnp.where(jnp.isneginf(lse_acc), 0.0, jnp.exp(lse_acc - m))
-    w_i = jnp.where(jnp.isneginf(lse_i), 0.0, jnp.exp(lse_i - m))
+    w_acc = jnp.exp(lse_acc - m)
+    w_i = jnp.exp(lse_i - m)
     denom = w_acc + w_i
-    safe = jnp.where(denom == 0.0, 1.0, denom)
-    o = (o_acc * w_acc[..., None] + o_i * w_i[..., None]) / safe[..., None]
-    lse = m + jnp.log(jnp.maximum(denom, 1e-45))
-    lse = jnp.where(denom == 0.0, -jnp.inf, lse)
+    o = (o_acc * w_acc[..., None] + o_i * w_i[..., None]) / denom[..., None]
+    lse = m + jnp.log(denom)
     return o, lse
 
 
@@ -47,7 +65,7 @@ def ring_sageattn(
     return_lse: bool = False,
     **attn_kwargs,
 ):
-    """Ring attention body — call INSIDE ``shard_map``.
+    """Ring attention body — call INSIDE ``shard_map``.  Differentiable.
 
     q, k, v: local HND shards [b, h, s_local, d]; the global sequence is
     the concatenation over ``axis_name`` in axis-index order.
@@ -59,11 +77,25 @@ def ring_sageattn(
         sm_scale = d_og**-0.5
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    local_pos = jnp.arange(s_loc, dtype=jnp.int32)
-    q_pos = jnp.broadcast_to(idx * s_loc + local_pos, (b, s_loc))
+    def step_full(q, kb, vb):
+        return autodiff.differentiable_sageattn(
+            q, kb, vb, sm_scale=sm_scale, return_lse=True, **attn_kwargs
+        )
+
+    def step_aligned(q, kb, vb):
+        return autodiff.differentiable_sageattn(
+            q, kb, vb, is_causal=True, sm_scale=sm_scale, return_lse=True,
+            **attn_kwargs
+        )
+
+    def step_masked(q, kb, vb):
+        return (
+            jnp.zeros((b, hq, s_loc, d_og), q.dtype),
+            jnp.full((b, hq, s_loc), _NEG, jnp.float32),
+        )
 
     o_acc = jnp.zeros((b, hq, s_loc, d_og), jnp.float32)
-    lse_acc = jnp.full((b, hq, s_loc), -jnp.inf, jnp.float32)
+    lse_acc = jnp.full((b, hq, s_loc), _NEG, jnp.float32)
 
     kb, vb = k, v
     for step in range(n):
@@ -74,23 +106,14 @@ def ring_sageattn(
             vb_next = jax.lax.ppermute(vb, axis_name, perm)
         src = (idx - step) % n  # whose KV shard we hold this step
         if is_causal:
-            kv_pos = jnp.broadcast_to(src * s_loc + local_pos, (b, s_loc))
-            o_i, lse_i = core._entry(
-                q,
-                kb,
-                vb,
-                "HND",
-                False,
-                sm_scale,
-                True,
-                q_positions=q_pos,
-                kv_positions=kv_pos,
-                **attn_kwargs,
+            # earlier shards: full; own shard: aligned diagonal-split
+            # causal; later shards: masked out (weight 0 in the merge)
+            case = jnp.where(src == idx, 1, jnp.where(src < idx, 0, 2))
+            o_i, lse_i = jax.lax.switch(
+                case, (step_full, step_aligned, step_masked), q, kb, vb
             )
         else:
-            o_i, lse_i = core._entry(
-                q, kb, vb, "HND", False, sm_scale, True, **attn_kwargs
-            )
+            o_i, lse_i = step_full(q, kb, vb)
         o_acc, lse_acc = _merge(
             o_acc, lse_acc, o_i.astype(jnp.float32), lse_i
         )
@@ -99,7 +122,9 @@ def ring_sageattn(
 
     o = o_acc.astype(q.dtype)
     if return_lse:
-        return o, lse_acc
+        # restore the public contract: fully-masked rows report -inf
+        lse = jnp.where(lse_acc < _NEG / 2, -jnp.inf, lse_acc)
+        return o, lse
     return o
 
 
@@ -149,7 +174,12 @@ def allgather_sageattn(
 
     Simpler than the ring (one fused all-gather, no per-step merge); best
     when KV fits replicated and the sequence shard per device is small.
+    Causal uses position-id masking (the q offset vs the gathered KV is
+    device-dependent), so this path is forward-only; use the ring for
+    training.
     """
+    from sageattention_tpu import core
+
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, hq, s_loc, d_og = q.shape

@@ -141,6 +141,60 @@ class TestFusedBackward:
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
             )
 
+    def test_gqa_group_sum_in_kernel(self):
+        """GQA backward: dK/dV group-sum inside the dkv kernel grid
+        (O(hkv) memory, no jnp.repeat); must match the exact VJP."""
+        from sageattention_tpu.ops import attention_bwd_pallas, reference
+
+        q = rand(60, (1, 4, 256, 64))
+        k, v = rand(61, (1, 2, 256, 64)), rand(62, (1, 2, 256, 64))
+        do = rand(63, (1, 4, 256, 64))
+        got = attention_bwd_pallas.quantized_attention_vjp(
+            q, k, v, do, is_causal=True, sm_scale=None, interpret=True
+        )
+        assert got is not None
+        assert got[1].shape == k.shape and got[2].shape == v.shape
+
+        def exact(q, k, v):
+            kr = jnp.repeat(k, 2, axis=1)
+            vr = jnp.repeat(v, 2, axis=1)
+            return reference.attention_reference(q, kr, vr, is_causal=True)
+
+        _, vjp = jax.vjp(exact, q, k, v)
+        ref = vjp(do)
+        for g, r in zip(got, ref):
+            c = float(jnp.sum(g * r)
+                      / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
+            assert c > 0.999
+
+    def test_return_lse_gradients_fused(self):
+        """return_lse=True backward rides the fused kernels: the LSE
+        cotangent folds into the D vector (dS = P*(dP - (D - dlse))),
+        plus the smooth-k correction term — no score materialization."""
+        from sageattention_tpu.ops import autodiff, reference
+
+        q, k, v = (rand(i + 70, (1, 2, 256, 64)) for i in range(3))
+        w = rand(73, (1, 2, 256))  # weight so dlse is nontrivial
+
+        def loss_sage(q, k, v):
+            o, lse = autodiff.differentiable_sageattn(
+                q, k, v, return_lse=True
+            )
+            return jnp.sum(o**2) + jnp.sum(w * lse**2)
+
+        def loss_ref(q, k, v):
+            o, lse = reference.attention_reference(q, k, v, return_lse=True)
+            return jnp.sum(o**2) + jnp.sum(w * lse**2)
+
+        g_sage = jax.grad(loss_sage, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gs, gr in zip(g_sage, g_ref):
+            cos = float(
+                jnp.sum(gs * gr)
+                / (jnp.linalg.norm(gs) * jnp.linalg.norm(gr))
+            )
+            assert cos > 0.99
+
     def test_unfit_shape_returns_none(self):
         from sageattention_tpu.ops import attention_bwd_pallas
 

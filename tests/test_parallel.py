@@ -143,3 +143,49 @@ class TestPositions:
             np.asarray(o_causal, np.float32),
             atol=2e-2,
         )
+
+
+class TestParallelGradients:
+    """The ring/composed paths are differentiable end-to-end: per-step
+    fused backwards, KV-shard gradients rotating home through ppermute's
+    transpose (round 1 substituted a score-materializing global VJP)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_ring_grad_matches_global_exact(self, qkv, causal):
+        q, k, v = qkv
+        mesh = make_mesh(data=1, seq=4, heads=1, devices=jax.devices()[:4])
+        fn = make_ring_attention(
+            mesh, "seq", is_causal=causal, data_axis=None, pv_dtype="bf16"
+        )
+
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                reference.attention_reference(q, k, v, is_causal=causal) ** 2
+            )
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, r in zip(g, g_ref):
+            assert cosine(a, r) > 0.99
+
+    def test_composed_parallel_grad(self, qkv):
+        q, k, v = qkv
+        mesh = make_mesh(data=2, seq=2, heads=2)
+        fn = make_parallel_sageattn(mesh, pv_dtype="bf16")
+
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(
+                reference.attention_reference(q, k, v) ** 2
+            )
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, r in zip(g, g_ref):
+            assert cosine(a, r) > 0.99
