@@ -560,6 +560,8 @@ def sageattn_varlen(
     is_causal: bool = False,
     sm_scale: float | None = None,
     return_lse: bool = False,
+    *,
+    smooth_k_mode: str = "global",
     **kwargs,
 ):
     """Ragged-batch attention over FlashAttention-style packed tensors
@@ -568,16 +570,44 @@ def sageattn_varlen(
     q/k/v: [total_tokens, heads, head_dim]; cu_seqlens_*: [batch+1] int32
     cumulative sequence starts.  Internally this is segment-id masking in
     the fused kernel (the splash-attention idiom) rather than cu_seqlens
-    pointer arithmetic — same semantics, TPU-native mechanism.
+    pointer arithmetic; per-block segment ranges feed the kernel's
+    liveness summary so cross-segment blocks are skipped (the band
+    structure the reference gets from cu_seqlens extents).
 
-    Note: like the reference, K-smoothing uses a *global* mean over all
-    packed tokens (reference: core.py:462 and its caveat comment).
+    ``max_seqlen_q/k`` hints cap the kernel block sizes so the block grid
+    tracks the segment granularity (better block skipping for many short
+    segments).
+
+    ``smooth_k_mode``: "global" matches the reference — ONE K mean over
+    all packed tokens (reference: core.py:462 and its caveat comment);
+    "per_segment" centers each sequence by its own K mean (exactly valid:
+    rows only attend within their segment, so the subtracted constant is
+    per-row) — strictly better quantization for heterogeneous batches.
     """
     if is_causal:
         # Causal varlen requires identical packing of q and k so absolute
         # positions order correctly within each segment.
         if q.shape[0] != k.shape[0]:
             raise ValueError("causal varlen requires matching q/k packing")
+        if cu_seqlens_q.shape != cu_seqlens_k.shape:
+            raise ValueError(
+                "causal varlen requires cu_seqlens_q and cu_seqlens_k of "
+                f"the same shape, got {cu_seqlens_q.shape} vs "
+                f"{cu_seqlens_k.shape}"
+            )
+        import numpy as _np
+
+        try:  # concrete cu_seqlens (the common case): check values
+            cq, ck_ = _np.asarray(cu_seqlens_q), _np.asarray(cu_seqlens_k)
+            if not _np.array_equal(cq, ck_):
+                raise ValueError(
+                    "causal varlen requires cu_seqlens_q == cu_seqlens_k "
+                    "(mismatched packings would silently compute wrong "
+                    "causal masks)"
+                )
+        except jax.errors.TracerArrayConversionError:
+            pass  # traced: shape-checked above, values are the caller's
+            # contract
     total_q, h, d = q.shape
     total_k = k.shape[0]
     positions_q = jnp.arange(total_q, dtype=jnp.int32)
@@ -591,6 +621,47 @@ def sageattn_varlen(
     qh = jnp.swapaxes(q, 0, 1)[None]  # [1, h, total_q, d]
     kh = jnp.swapaxes(k, 0, 1)[None]
     vh = jnp.swapaxes(v, 0, 1)[None]
+
+    smooth_k = kwargs.pop("smooth_k", True)
+    lse_corr_seg = None
+    if smooth_k and smooth_k_mode == "per_segment":
+        # center K by per-segment means; exact because attention never
+        # crosses segments (the per-row constant drops in softmax).  The
+        # pipeline then runs with smooth_k=False on pre-centered K.
+        n_seg = cu_seqlens_k.shape[0]  # upper bound on segment count
+        kf = k.astype(jnp.float32)  # [total_k, hkv, d]
+        seg_sum = jax.ops.segment_sum(kf, seg_k, num_segments=n_seg + 1)
+        counts = jax.ops.segment_sum(
+            jnp.ones((total_k,), jnp.float32), seg_k, num_segments=n_seg + 1
+        )
+        km_seg = seg_sum / jnp.maximum(counts, 1.0)[:, None, None]
+        km_rows = km_seg[seg_k]  # [total_k, hkv, d]
+        kh = jnp.swapaxes(kf - km_rows, 0, 1)[None].astype(k.dtype)
+        smooth_k = False
+        if return_lse:
+            # lse correction per row: q_i . km(segment of i) * sm_scale
+            sm = sm_scale if sm_scale is not None else d**-0.5
+            km_q_rows = km_seg[seg_q]  # [total_q, hkv, d]
+            hkv = k.shape[1]
+            km_q_rows = jnp.repeat(km_q_rows, h // hkv, axis=1)
+            lse_corr_seg = (
+                jnp.einsum(
+                    "thd,thd->th", q.astype(jnp.float32), km_q_rows
+                ).T[None]
+                * sm
+            )  # [1, h, total_q]
+    elif smooth_k_mode not in ("global", "per_segment"):
+        raise ValueError(f"unknown smooth_k_mode {smooth_k_mode!r}")
+
+    bq_auto, bk_auto, _, _ = attention_pallas.default_config(
+        total_q, total_k, d, is_causal
+    )
+    # max_seqlen hints: align the block grid with the segment granularity
+    # so the liveness summary can skip cross-segment blocks
+    if max_seqlen_k is not None:
+        bk_auto = min(bk_auto, max(512, -(-int(max_seqlen_k) // 128) * 128))
+    if max_seqlen_q is not None:
+        bq_auto = min(bq_auto, max(256, -(-int(max_seqlen_q) // 128) * 128))
     out = _sageattn_hnd(
         qh,
         kh,
@@ -605,16 +676,16 @@ def sageattn_varlen(
         sm_scale=sm_scale,
         qk_quant_gran=kwargs.pop("qk_quant_gran", "auto"),
         pv_dtype=kwargs.pop("pv_dtype", "int8"),
-        smooth_k=kwargs.pop("smooth_k", True),
+        smooth_k=smooth_k,
         smooth_v=kwargs.pop("smooth_v", False),
         return_lse=return_lse,
-        block_q=kwargs.pop("block_q", None)
-        or attention_pallas.default_config(total_q, total_k, d, is_causal)[0],
-        block_k=kwargs.pop("block_k", None)
-        or attention_pallas.default_config(total_q, total_k, d, is_causal)[1],
+        block_q=kwargs.pop("block_q", None) or bq_auto,
+        block_k=kwargs.pop("block_k", None) or bk_auto,
         impl=kwargs.pop("impl", "auto"),
     )
     if return_lse:
         o, lse = out
+        if lse_corr_seg is not None:
+            lse = lse + lse_corr_seg
         return jnp.swapaxes(o[0], 0, 1), lse[0]
     return jnp.swapaxes(out[0], 0, 1)

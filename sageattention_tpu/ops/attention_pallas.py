@@ -97,7 +97,9 @@ DEFAULT_CHUNK_K = 2048
 def effective_chunk_k(block_k: int) -> int:
     """The kernel's KV chunk width for a given KV block size.  The chunked
     (fast-path) K quantization group in quant.py must equal this."""
-    return min(DEFAULT_CHUNK_K, block_k)
+    if block_k <= 4096:
+        return block_k
+    return max(4096, min(8192, block_k // 2))
 
 
 def _pad128(n: int) -> int:
@@ -919,22 +921,48 @@ def sage_attention_fused(
                 return (ib, mh(ih), iq, ik)
         in_specs.append(mk((1, 1, block_q, block_k), mskm))
         inputs.append(attn_mask_i8)
-        if not single_step:
-            # per-(q block, kv block) any-live summary -> SMEM scalars for
-            # whole-block compute skip in the multi-step kernel; flattened
-            # to [b, hm, 1, n_q*n_kv] to satisfy Mosaic block tiling
-            msum = jnp.max(
+
+    # per-(q block, kv block) any-live summary -> SMEM scalars for
+    # whole-block compute skip in the multi-step kernel.  Built from the
+    # explicit mask and/or the segment-id block ranges: two blocks whose
+    # segment-id ranges are disjoint cannot attend (exact for sorted
+    # varlen packing, conservative for arbitrary ids) — this turns the
+    # segment-masked varlen grid from O(S^2) compute into a band
+    # (the TPU analogue of the reference's cu_seqlens extent skipping,
+    # attn_qk_int8_block_varlen.py:79-96).
+    has_summary = (not single_step) and (has_mask or has_segments)
+    if has_summary:
+        sh = hm if has_mask else 1
+        live = None
+        if has_mask:
+            live = jnp.max(
                 attn_mask_i8.reshape(b, hm, n_q, block_q, n_kv, block_k),
                 axis=(3, 5),
-            ).astype(jnp.int32).reshape(b, hm, 1, n_q * n_kv)
-            in_specs.append(
-                pl.BlockSpec(
-                    (1, 1, 1, n_q * n_kv),
-                    lambda ib, ih, iq, ik: (ib, mh(ih), 0, 0),
-                    memory_space=pltpu.SMEM,
-                )
+            ) > 0  # [b, hm, n_q, n_kv]
+        if has_segments:
+            qsb = q_segment_ids.astype(jnp.int32).reshape(b, n_q, block_q)
+            kvb = kv_segment_ids.astype(jnp.int32).reshape(
+                b, n_kv, block_k
             )
-            inputs.append(msum)
+            qmin, qmax = qsb.min(-1), qsb.max(-1)      # [b, n_q]
+            kvmin, kvmax = kvb.min(-1), kvb.max(-1)    # [b, n_kv]
+            seg_live = jnp.logical_and(
+                qmin[:, :, None] <= kvmax[:, None, :],
+                qmax[:, :, None] >= kvmin[:, None, :],
+            )[:, None]  # [b, 1, n_q, n_kv]
+            live = seg_live if live is None else jnp.logical_and(
+                live, seg_live
+            )
+        msum = live.astype(jnp.int32).reshape(b, sh, 1, n_q * n_kv)
+        smh = (lambda ih: ih) if sh > 1 else (lambda ih: 0)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1, n_q * n_kv),
+                lambda ib, ih, iq, ik: (ib, smh(ih), 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        inputs.append(msum)
 
     out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype)]
     out_specs = [mk((1, 1, block_q, d), qm)]
@@ -986,8 +1014,8 @@ def sage_attention_fused(
         pos += has_col_bias
         mask_ref = refs[pos] if has_mask else None
         pos += has_mask
-        msum_ref = refs[pos] if (has_mask and not single_step) else None
-        pos += has_mask and not single_step
+        msum_ref = refs[pos] if has_summary else None
+        pos += has_summary
         o_ref = refs[pos]
         lse_ref = refs[pos + 1] if return_lse else None
         args = (

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import sageattention_tpu as sa
 from sageattention_tpu.ops import reference
@@ -118,6 +119,69 @@ class TestVarlen:
             )[0]
             got = jnp.swapaxes(o[sl], 0, 1)
             assert cosine(got, o_ref) > 0.999, f"seq at {start}"
+            start += n
+
+    def test_causal_mismatched_cu_seqlens_raises(self):
+        """Regression: equal totals with different packings must raise
+        (would silently compute wrong causal masks)."""
+        q, k, v = (rand(i + 55, (256, 2, 32)) for i in range(3))
+        cu_q = jnp.array([0, 128, 256], jnp.int32)
+        cu_k = jnp.array([0, 100, 256], jnp.int32)
+        with pytest.raises(ValueError, match="cu_seqlens"):
+            sa.sageattn_varlen(q, k, v, cu_q, cu_k, is_causal=True)
+
+    def test_varlen_gqa_ragged(self):
+        """Ragged packing + grouped KV heads through the varlen path."""
+        lens = [70, 130, 56]
+        total = sum(lens)
+        hq, hkv, d = 4, 2, 64
+        q = rand(80, (total, hq, d))
+        k = rand(81, (total, hkv, d))
+        v = rand(82, (total, hkv, d))
+        cu = jnp.array([0, 70, 200, 256], jnp.int32)
+        o = sa.sageattn_varlen(
+            q, k, v, cu, cu, max_seqlen_q=130, max_seqlen_k=130,
+            pv_dtype="bf16", smooth_k=False,
+        )
+        start = 0
+        for n in lens:
+            sl = slice(start, start + n)
+            kr = jnp.repeat(jnp.swapaxes(k[sl], 0, 1)[None], 2, axis=1)
+            vr = jnp.repeat(jnp.swapaxes(v[sl], 0, 1)[None], 2, axis=1)
+            o_ref = reference.attention_reference(
+                jnp.swapaxes(q[sl], 0, 1)[None], kr, vr
+            )[0]
+            assert cosine(jnp.swapaxes(o[sl], 0, 1), o_ref) > 0.999
+            start += n
+
+    def test_varlen_per_segment_smoothing(self):
+        """per-segment K centering: exact (rows never cross segments) and
+        strictly finer than the reference's global-mean caveat; LSE
+        correction per segment."""
+        lens = [100, 156]
+        total = sum(lens)
+        q, kk, v = (rand(i + 90, (total, 2, 64)) for i in range(3))
+        # give segment 1 a big K offset so global smoothing is poor
+        kk = kk.at[100:].add(5.0)
+        cu = jnp.array([0, 100, 256], jnp.int32)
+        o, lse = sa.sageattn_varlen(
+            q, kk, v, cu, cu, pv_dtype="bf16",
+            smooth_k_mode="per_segment", return_lse=True,
+        )
+        start = 0
+        for n in lens:
+            sl = slice(start, start + n)
+            o_ref, lse_ref = reference.attention_reference(
+                jnp.swapaxes(q[sl], 0, 1)[None],
+                jnp.swapaxes(kk[sl], 0, 1)[None],
+                jnp.swapaxes(v[sl], 0, 1)[None],
+                return_lse=True,
+            )
+            assert cosine(jnp.swapaxes(o[sl], 0, 1), o_ref[0]) > 0.999
+            np.testing.assert_allclose(
+                np.asarray(lse[:, sl]), np.asarray(lse_ref[0]),
+                rtol=1e-2, atol=5e-2,
+            )
             start += n
 
     def test_causal_varlen(self):
