@@ -52,6 +52,11 @@ def make_inputs(dist, b, h, s, d):
         )
         k = k + spikes
         v = v + spikes
+    elif dist == "outlier_channel":
+        # a few K channels with 20x variance: mean-smoothing cannot remove
+        # them, so they stress the coarse per-chunk K scales directly
+        chans = jnp.zeros((d,)).at[jnp.array([3, 37, 101 % d])].set(1.0)
+        k = k * (1.0 + 19.0 * chans)[None, None, None, :]
     return (
         q.astype(jnp.bfloat16),
         k.astype(jnp.bfloat16),
