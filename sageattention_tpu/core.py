@@ -177,16 +177,16 @@ def _sageattn_hnd(
     else:
         q_in = q
         score_col_bias = None
+    q_fold = None
     if qk_quant_gran == "auto":
         if impl == "pallas":
-            # fused single-pass prologue kernels (ops/quant_pallas.py; the
-            # reference's _fused extension, csrc/fused/fused.cu)
-            q_i8, q_scale = quant_pallas.quant_q_per_token(
-                q_in,
-                scale_fold=sm_scale * LOG2E,
-                bits=qk_bits,
-                interpret=_on_cpu(),
-            )
+            # Q quantizes INSIDE the attention kernel (bit-identical to
+            # the quant_q_per_token prologue; zero extra HBM traffic —
+            # the kernel reads bf16 Q directly).  K keeps its fused
+            # prologue kernel (ops/quant_pallas.py; the reference's
+            # _fused extension, csrc/fused/fused.cu).
+            q_i8, q_scale = q_in, None  # unquantized; kernel quantizes
+            q_fold = sm_scale * LOG2E
             k_i8, k_scale = quant_pallas.quant_k_chunked(
                 k, km, group=chunk_k, bits=qk_bits, interpret=_on_cpu()
             )
@@ -342,7 +342,8 @@ def _sageattn_hnd(
     if rowsum_lane is not None:
         one = jnp.ones((), v_q.dtype)
         v_q = v_q.at[:, :, :, rowsum_lane].set(one)
-    q_scale = _pad_axis(q_scale, 2, sq_pad)
+    if q_scale is not None:
+        q_scale = _pad_axis(q_scale, 2, sq_pad)
     if k_scale.shape[-1] == sk:
         k_scale = _pad_axis(k_scale, 2, sk_pad)
     else:
@@ -376,6 +377,7 @@ def _sageattn_hnd(
         # bits=4 quantizers clamp to +-7, so the kernel runs the QK dot on
         # the native int4 MXU path (~2x the int8 rate, measured)
         qk_int4=qk_bits == 4,
+        q_fold=q_fold,
         return_lse=return_lse,
         block_q=block_q,
         block_k=block_k,

@@ -138,7 +138,10 @@ def default_config(
     cap = 32768 if d <= 128 else 8192
     if masked:
         cap = min(cap, 4096)
-    block_q = min(1024, _pad128(sq))
+    sq_p = _pad128(sq)
+    # small sequences: half-size Q blocks give the grid pipeline >= 2
+    # steps to overlap DMAs (measured at 512-1024; noise-level above)
+    block_q = max(256, sq_p // 2) if sq_p <= 1024 else 1024
     block_k = min(cap, _pad128(sk))
     if block_k <= 4096:
         chunk = block_k
@@ -175,6 +178,7 @@ def _compute_parts(
     v_needs_cast: bool,
     p_int8: bool = False,
     qk_int4: bool = False,
+    q_fold: float | None = None,
     rowsum_lane: int | None = None,
     diag_static: bool = False,
     scale_group: int | None = None,
@@ -197,10 +201,33 @@ def _compute_parts(
     SMEM scale index is derived from the chunk's global column."""
     if scale_group is None:
         scale_group = chunk_k
-    subs = [q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)]
-    qs_subs = [
-        qs_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)
-    ]
+    if q_fold is not None:
+        # Q arrives UNQUANTIZED (bf16): quantize per row in-register —
+        # bit-identical to the quant_q_per_token prologue (same amax /
+        # inv-scale / round chain) but with zero extra HBM traffic; the
+        # per-row VPU cost is ~d/sk of the softmax work (negligible).
+        from sageattention_tpu.quant import inv_scale, round_half_away
+
+        q_qmax = 7.0 if qk_int4 else 127.0
+        subs, qs_subs = [], []
+        for i in range(n_sub):
+            qb = q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :].astype(
+                jnp.float32
+            )
+            amax = jnp.max(jnp.abs(qb), axis=1)[:, None]
+            scale, r = inv_scale(amax, q_qmax)
+            qi8 = jnp.clip(
+                round_half_away(qb * r), -q_qmax, q_qmax
+            ).astype(jnp.int8)
+            subs.append(qi8)
+            qs_subs.append(scale * q_fold)
+    else:
+        subs = [
+            q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)
+        ]
+        qs_subs = [
+            qs_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)
+        ]
     # chunk column bounds; the last chunk may be ragged (block_k need not
     # be a chunk multiple when the KV row fits one grid step)
     cb = [
@@ -460,6 +487,7 @@ def _kernel(
     v_needs_cast: bool,
     p_int8: bool,
     qk_int4: bool,
+    q_fold: float | None,
     rowsum_lane: int | None,
     out_dtype,
 ):
@@ -511,6 +539,7 @@ def _kernel(
         v_needs_cast=v_needs_cast,
         p_int8=p_int8,
         qk_int4=qk_int4,
+        q_fold=q_fold,
         rowsum_lane=rowsum_lane,
     )
 
@@ -623,6 +652,7 @@ def _kernel_single(
     v_needs_cast: bool,
     p_int8: bool,
     qk_int4: bool,
+    q_fold: float | None,
     rowsum_lane: int | None,
     out_dtype,
 ):
@@ -663,6 +693,7 @@ def _kernel_single(
         v_needs_cast=v_needs_cast,
         p_int8=p_int8,
         qk_int4=qk_int4,
+        q_fold=q_fold,
         rowsum_lane=rowsum_lane,
     )
     d_out = o_ref.shape[-1]
@@ -694,6 +725,7 @@ def _kernel_single(
         "pv_dtype",
         "pv_compute",
         "qk_int4",
+        "q_fold",
         "return_lse",
         "block_q",
         "block_k",
@@ -724,6 +756,7 @@ def sage_attention_fused(
     pv_dtype: str = "int8",
     pv_compute: str = "bf16",
     qk_int4: bool = False,
+    q_fold: float | None = None,
     return_lse: bool = False,
     block_q: int = 512,
     block_k: int = 4096,
@@ -864,16 +897,27 @@ def sage_attention_fused(
     else:
         ks_spec = mk((1, 1, 1, block_k), ksm)
         ks_in = k_scale.astype(jnp.float32)[:, :, None, :]  # [b,hkv,1,sk]
-    in_specs = [
-        mk((1, 1, block_q, d), qm),
-        mk((1, 1, block_q, 1), qm),
+    has_q_scale = q_scale is not None
+    if has_q_scale:
+        assert q_fold is None, "q_fold is for unquantized (bf16) q input"
+    else:
+        assert q_fold is not None, (
+            "unquantized q requires q_fold (sm_scale*log2e)"
+        )
+        assert q_i8.dtype != jnp.int8, (
+            "q_fold given but q is already int8"
+        )
+    in_specs = [mk((1, 1, block_q, d), qm)]
+    inputs = [q_i8]
+    if has_q_scale:
+        in_specs.append(mk((1, 1, block_q, 1), qm))
+        inputs.append(q_scale.astype(jnp.float32)[..., None])  # [b,hq,sq,1]
+    in_specs += [
         mk((1, 1, block_k, d), km),
         ks_spec,
         mk((1, 1, block_k, d_v), km),
     ]
-    inputs = [
-        q_i8,
-        q_scale.astype(jnp.float32)[..., None],          # [b,hq,sq,1]
+    inputs += [
         k_i8,
         ks_in,
         v_q,
@@ -985,6 +1029,7 @@ def sage_attention_fused(
         v_needs_cast=v_needs_cast,
         p_int8=p_int8,
         qk_int4=qk_int4,
+        q_fold=q_fold,
         rowsum_lane=rowsum_lane,
         out_dtype=out_dtype,
     )
@@ -998,8 +1043,13 @@ def sage_attention_fused(
 
     def kernel(*refs):
         refs = list(refs)
-        q_ref, qs_ref, k_ref, ks_ref, v_ref = refs[:5]
-        pos = 5
+        if has_q_scale:
+            q_ref, qs_ref, k_ref, ks_ref, v_ref = refs[:5]
+            pos = 5
+        else:
+            q_ref, k_ref, ks_ref, v_ref = refs[:4]
+            qs_ref = None
+            pos = 4
         vs_ref = refs[pos] if has_v_scale else None
         pos += has_v_scale
         vm_ref = refs[pos] if has_v_mean else None
