@@ -92,20 +92,26 @@ def main():
     ap.add_argument("--block_k", type=int, default=0,
                     help="0 = auto (min(4096, seq); 2048 for causal)")
     ap.add_argument("--chunk_k", type=int, default=0)
-    ap.add_argument("--sub_q", type=int, default=128)
+    ap.add_argument("--sub_q", type=int, default=0)
     args = ap.parse_args()
 
     print(f"# pv={args.pv_dtype} causal={args.causal} "
           f"b={args.batch} h={args.heads} hd={args.head_dim} "
           f"gran={args.quant_gran}")
+    from sageattention_tpu.ops.attention_pallas import default_config
+
     for s in (int(x) for x in args.seqs.split(",")):
-        bk = args.block_k or min(2048 if args.causal else 4096, s)
+        bq_t, bk_t, sub_t, ck_t = default_config(
+            s, s, args.head_dim, args.causal
+        )
         tops, t = bench_one(
             args.batch, args.heads, s, args.head_dim,
             causal=args.causal, pv_dtype=args.pv_dtype,
             quant_gran=args.quant_gran,
-            block_q=min(args.block_q, s), block_k=bk,
-            chunk_k=args.chunk_k or None, sub_q=args.sub_q,
+            block_q=min(args.block_q, s) if args.block_q else bq_t,
+            block_k=args.block_k or bk_t,
+            chunk_k=args.chunk_k or ck_t,
+            sub_q=args.sub_q or sub_t,
         )
         print(f"seq {s:6d}: {t*1e3:8.3f} ms  {tops:7.1f} TOPS", flush=True)
 
