@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Decode latency over the int8 KV cache vs an XLA bf16-cache decode.
+
+The decode step is HBM-bandwidth-bound on the cache read; the int8
+cache halves the bytes (and the footprint).  Reports per-step latency,
+effective cache-read bandwidth, and the ratio to the XLA baseline.
+
+Usage: python bench/bench_decode.py [--batch 4] [--kv_heads 8]
+       [--group 4] [--head_dim 128] [--seqs 8192,32768]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from bench.utils import device_time
+from sageattention_tpu import kvcache
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--kv_heads", type=int, default=8)
+    ap.add_argument("--group", type=int, default=4)
+    ap.add_argument("--head_dim", type=int, default=128)
+    ap.add_argument("--seqs", default="4096,8192,16384,32768")
+    args = ap.parse_args()
+    b, hkv, d = args.batch, args.kv_heads, args.head_dim
+    hq = hkv * args.group
+
+    for S in (int(x) for x in args.seqs.split(",")):
+        rng = lambda i, sh: jax.random.normal(
+            jax.random.PRNGKey(i), sh, jnp.bfloat16
+        )
+        cache = kvcache.init_kv_cache(b, hkv, S, d)
+        lengths = jnp.zeros((b,), jnp.int32)
+        k = rng(1, (b, hkv, S, d))
+        v = rng(2, (b, hkv, S, d))
+        cache, lengths = kvcache.append_kv(cache, lengths, k, v)
+        q = rng(3, (b, hq, 1, d))
+
+        t_sage = device_time(
+            lambda i, c, q, ki, ks, vi, vs: kvcache.sageattn_decode(
+                q + (c * 1e-30).astype(q.dtype),
+                kvcache.QuantKVCache(ki, ks, vi, vs), lengths),
+            (q, cache.k_i8, cache.k_scale, cache.v_i8, cache.v_scale),
+            n=10,
+        )
+
+        def xla_decode(i, c, q, k, v):
+            qf = (q + (c * 1e-30).astype(q.dtype)).astype(jnp.float32)
+            kr = jnp.repeat(k, hq // hkv, axis=1).astype(jnp.float32)
+            vr = jnp.repeat(v, hq // hkv, axis=1).astype(jnp.float32)
+            s = jnp.einsum("bhqd,bhkd->bhqk", qf, kr) * d**-0.5
+            return jnp.einsum(
+                "bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), vr
+            )
+
+        t_xla = device_time(xla_decode, (q, k, v), n=10)
+        cache_bytes = 2 * b * hkv * S * d  # int8 K + V
+        print(
+            f"S={S:6d}: sage {t_sage*1e6:7.0f} us "
+            f"({cache_bytes/t_sage/1e9:5.0f} GB/s cache read)  "
+            f"xla-bf16 {t_xla*1e6:8.0f} us  ratio {t_xla/t_sage:6.2f}x",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

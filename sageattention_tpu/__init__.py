@@ -23,6 +23,12 @@ from sageattention_tpu.core import (
 )
 from sageattention_tpu import quant
 from sageattention_tpu.ops import reference
+from sageattention_tpu.kvcache import (
+    QuantKVCache,
+    append_kv,
+    init_kv_cache,
+    sageattn_decode,
+)
 
 __version__ = "0.1.0"
 
@@ -34,5 +40,9 @@ __all__ = [
     "sageattn_qk_int8_pv_fp8",
     "quant",
     "reference",
+    "QuantKVCache",
+    "init_kv_cache",
+    "append_kv",
+    "sageattn_decode",
     "__version__",
 ]

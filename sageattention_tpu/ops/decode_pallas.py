@@ -1,0 +1,220 @@
+"""Decode attention over a quantized KV cache (Pallas / Mosaic).
+
+Beyond the reference (which covers diffusion + LLM *prefill*): the
+serving decode step.  Decode attention is HBM-bandwidth-bound on the
+cache read, so the int8 cache is worth ~2x latency at long context on
+top of halving the cache footprint (2x batch or context per chip).
+
+Design — shaped for tiny query counts:
+
+* The main fused kernel wastes decode work: its 128-row Q tiles would
+  compute 128x the needed scores and VPU-bind the op.  This kernel packs
+  the whole GQA group x the (few) query tokens into ONE sublane tile of
+  ``rows = hq/hkv * t_q`` (padded to 8) per (b, kv_head) — for the
+  common hq/hkv = 8, t_q = 1 decode that is exactly the 8-row minimum
+  tile, so the VPU work per KV chunk is chunk x 8, far below the DMA
+  bytes (chunk x d), and the op stays bandwidth-bound.
+* K and V both carry **per-token scales** ([b, hkv, S]): cache appends
+  are pure quantized writes — no chunk requantization, no clipping
+  drift, no stale per-channel amax (the problem with per-channel V
+  scales under appends).
+* The V dequant folds into P *before* the PV matmul: pv = (p * vs) @
+  v_i8, and (p * vs) is requantized per ROW to int8 so the PV dot runs
+  int8 x int8 with no in-register V cast (V bytes stream straight from
+  HBM to the MXU).  The row scale rides out of the dot as one multiply.
+* Q is quantized in-register per row (same chain as the main kernel's
+  in-kernel Q quant); lengths mask via iota against an SMEM scalar, and
+  multi-token queries (speculative / chunked decode) get the causal
+  tail mask.
+
+No K-mean smoothing in cache mode: the mean drifts with appends, and
+per-token scales are already the finest granularity (smoothing exists
+to rescue coarse scales from channel bias).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sageattention_tpu.quant import inv_scale, round_half_away
+
+LOG2E = 1.4426950408889634
+NEG_INIT = -1e30
+
+
+def _decode_kernel(
+    q_ref,      # [1, 1, rows8, d] bf16/f32
+    k_ref,      # [1, 1, chunk, d] int8
+    ks_ref,     # [1, 1, 1, chunk] f32 per-token K scales
+    v_ref,      # [1, 1, chunk, d] int8
+    vs_ref,     # [1, 1, 1, chunk] f32 per-token V scales
+    len_ref,    # [1, 1, 1] int32 in SMEM (this batch's live length)
+    o_ref,      # [1, 1, rows8, d]
+    ml_scr,     # [rows8, 128] f32 (m lane 0, l lane 1)
+    acc_scr,    # [rows8, d] f32
+    *,
+    chunk: int,
+    n_kv: int,
+    rows: int,      # live rows = group * t_q (<= rows8)
+    t_q: int,
+    group: int,
+    sm_fold: float,  # sm_scale * log2e
+    out_dtype,
+):
+    kv_idx = pl.program_id(2)
+    length = len_ref[0, 0, 0]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        ml_scr[...] = jnp.zeros_like(ml_scr)
+        ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], NEG_INIT)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # skip chunks entirely beyond the live length
+    @pl.when(kv_idx * chunk < length)
+    def _body():
+        # in-register per-row Q quant (bit-identical to the main kernel)
+        qb = q_ref[0, 0].astype(jnp.float32)            # [rows8, d]
+        amax = jnp.max(jnp.abs(qb), axis=1)[:, None]
+        qscale, r = inv_scale(amax, 127.0)
+        q_i8 = jnp.clip(round_half_away(qb * r), -127, 127).astype(
+            jnp.int8
+        )
+        s_i32 = jax.lax.dot_general(
+            q_i8, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [rows8, chunk]
+        ks = ks_ref[0, 0, 0][None, :]                    # [1, chunk]
+        sf = s_i32.astype(jnp.float32) * (qscale * sm_fold) * ks
+
+        col = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 1) + (
+            kv_idx * chunk
+        )
+        valid = col < length
+        if t_q > 1:
+            # causal tail: query row (h, t) sees keys < length-t_q+1+t
+            trow = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 0) % t_q
+            valid = jnp.logical_and(valid, col < length - (t_q - 1) + trow)
+        sf = jnp.where(valid, sf, NEG_INIT)
+
+        m_c = jnp.max(sf, axis=1)[:, None]
+        m_c = jnp.maximum(m_c, NEG_INIT)  # all-masked chunk stays finite
+        p = jnp.where(valid, jnp.exp2(sf - m_c), 0.0)
+        l_c = jnp.sum(p, axis=1)[:, None]
+
+        # fold the per-token V scales into P, requantize per row, and run
+        # the PV dot int8 x int8 (V streams HBM -> MXU uncast)
+        pe = p * vs_ref[0, 0, 0][None, :]
+        pmax = jnp.max(pe, axis=1)[:, None]
+        psc, pr = inv_scale(pmax, 127.0)
+        p_q = (pe * pr + 0.5).astype(jnp.int8)  # pe >= 0: +0.5 rounds
+        pv = jax.lax.dot_general(
+            p_q, v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * psc  # [rows8, d]
+
+        m_prev = ml_scr[:, 0:1]
+        m_next = jnp.maximum(m_prev, m_c)
+        alpha = jnp.exp2(m_prev - m_next)
+        w = jnp.exp2(m_c - m_next)
+        ml_scr[:, 0:1] = m_next
+        ml_scr[:, 1:2] = alpha * ml_scr[:, 1:2] + w * l_c
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * w[:, :1]
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _epilogue():
+        l = ml_scr[:, 1:2]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "chunk", "out_dtype", "interpret"),
+)
+def sage_decode_attention(
+    q: jax.Array,          # [b, hq, t_q, d]
+    k_i8: jax.Array,       # [b, hkv, S, d] int8
+    k_scale: jax.Array,    # [b, hkv, S] f32 per token
+    v_i8: jax.Array,       # [b, hkv, S, d] int8
+    v_scale: jax.Array,    # [b, hkv, S] f32 per token
+    lengths: jax.Array,    # [b] int32 live lengths (<= S)
+    *,
+    sm_scale: float | None = None,
+    chunk: int = 2048,
+    out_dtype=None,
+    interpret: bool = False,
+):
+    """Decode attention of a few query tokens against the int8 KV cache.
+
+    Queries attend keys [0, length) per batch; with t_q > 1 the t-th
+    query row additionally observes the causal tail (keys
+    < length - t_q + 1 + t) — the speculative/chunked-decode contract.
+    Returns [b, hq, t_q, d] in ``out_dtype`` (default q.dtype).
+    """
+    b, hq, t_q, d = q.shape
+    hkv, S = k_i8.shape[1], k_i8.shape[2]
+    assert hq % hkv == 0
+    group = hq // hkv
+    if sm_scale is None:
+        sm_scale = d**-0.5
+    out_dtype = out_dtype or q.dtype
+    chunk = min(chunk, S)
+    assert S % chunk == 0, (S, chunk)
+    n_kv = S // chunk
+
+    rows = group * t_q
+    rows8 = max(8, -(-rows // 8) * 8)
+    # pack (kv head group, query token) into the row tile, head-major
+    q_pack = q.reshape(b, hkv, group, t_q, d).reshape(
+        b, hkv, rows, d
+    )
+    if rows8 != rows:
+        q_pack = jnp.pad(q_pack, ((0, 0), (0, 0), (0, rows8 - rows),
+                                  (0, 0)))
+
+    grid = (b, hkv, n_kv)
+    o = pl.pallas_call(
+        functools.partial(
+            _decode_kernel, chunk=chunk, n_kv=n_kv, rows=rows, t_q=t_q,
+            group=group, sm_fold=sm_scale * LOG2E, out_dtype=out_dtype,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rows8, d), lambda ib, ih, ik: (ib, ih, 0, 0)),
+            pl.BlockSpec((1, 1, chunk, d), lambda ib, ih, ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, 1, 1, chunk), lambda ib, ih, ik: (ib, ih, 0, ik)),
+            pl.BlockSpec((1, 1, chunk, d), lambda ib, ih, ik: (ib, ih, ik, 0)),
+            pl.BlockSpec((1, 1, 1, chunk), lambda ib, ih, ik: (ib, ih, 0, ik)),
+            pl.BlockSpec((1, 1, 1), lambda ib, ih, ik: (ib, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, rows8, d), lambda ib, ih, ik: (ib, ih, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows8, 128), jnp.float32),
+            pltpu.VMEM((rows8, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 2**20,
+        ),
+        interpret=interpret,
+    )(
+        q_pack,
+        k_i8,
+        k_scale.astype(jnp.float32)[:, :, None, :],
+        v_i8,
+        v_scale.astype(jnp.float32)[:, :, None, :],
+        lengths.astype(jnp.int32)[:, None, None],
+    )
+    return o[:, :, :rows].reshape(b, hkv, group, t_q, d).reshape(
+        b, hq, t_q, d
+    )

@@ -1,0 +1,113 @@
+"""Decode attention over the quantized KV cache (beyond the reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sageattention_tpu import kvcache
+
+
+def rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape).astype(dtype)
+
+
+def cosine(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def oracle(qb, kb, vb, group):
+    """[hq, t, d] x [hkv, L, d] fp32 decode oracle."""
+    kr = jnp.repeat(kb, group, axis=0).astype(jnp.float32)
+    vr = jnp.repeat(vb, group, axis=0).astype(jnp.float32)
+    d = qb.shape[-1]
+    s = jnp.einsum("hqd,hkd->hqk", qb.astype(jnp.float32), kr) * d**-0.5
+    return jnp.einsum("hqk,hkd->hqd", jax.nn.softmax(s, axis=-1), vr)
+
+
+class TestDecode:
+    def test_ragged_lengths_gqa(self):
+        b, hq, hkv, d, S = 2, 8, 2, 64, 512
+        cache = kvcache.init_kv_cache(b, hkv, S, d)
+        lengths = jnp.zeros((b,), jnp.int32)
+        k = rand(1, (b, hkv, 300, d))
+        v = rand(2, (b, hkv, 300, d))
+        cache, lengths = kvcache.append_kv(cache, lengths, k, v)
+        # batch 1 logically holds only 200 tokens
+        lengths = jnp.array([300, 200], jnp.int32)
+        q = rand(3, (b, hq, 1, d))
+        o = kvcache.sageattn_decode(q, cache, lengths)
+        assert o.shape == (b, hq, 1, d)
+        for bi, L in enumerate([300, 200]):
+            ref = oracle(q[bi], k[bi, :, :L], v[bi, :, :L], hq // hkv)
+            assert cosine(o[bi], ref) > 0.999
+
+    def test_incremental_append_equals_prefill(self):
+        """Appending token-by-token must equal one prefill append (the
+        per-token scales make appends exact, no requantization)."""
+        b, hkv, d, S = 1, 2, 32, 256
+        k = rand(10, (b, hkv, 10, d))
+        v = rand(11, (b, hkv, 10, d))
+        c1 = kvcache.init_kv_cache(b, hkv, S, d)
+        c1, l1 = kvcache.append_kv(c1, jnp.zeros((b,), jnp.int32), k, v)
+        c2 = kvcache.init_kv_cache(b, hkv, S, d)
+        l2 = jnp.zeros((b,), jnp.int32)
+        for t in range(10):
+            c2, l2 = kvcache.append_kv(
+                c2, l2, k[:, :, t:t + 1], v[:, :, t:t + 1]
+            )
+        np.testing.assert_array_equal(np.asarray(c1.k_i8),
+                                      np.asarray(c2.k_i8))
+        np.testing.assert_array_equal(np.asarray(c1.v_i8),
+                                      np.asarray(c2.v_i8))
+        np.testing.assert_allclose(np.asarray(c1.k_scale),
+                                   np.asarray(c2.k_scale), rtol=1e-7)
+        assert bool(jnp.all(l1 == l2))
+
+    def test_multi_token_causal_tail(self):
+        """t_q > 1 (speculative / chunked decode): row t attends keys
+        < length - t_q + 1 + t."""
+        b, hq, hkv, d, S, L, T = 1, 4, 2, 64, 256, 100, 4
+        cache = kvcache.init_kv_cache(b, hkv, S, d)
+        k = rand(20, (b, hkv, L, d))
+        v = rand(21, (b, hkv, L, d))
+        cache, lengths = kvcache.append_kv(
+            cache, jnp.zeros((b,), jnp.int32), k, v
+        )
+        q = rand(22, (b, hq, T, d))
+        o = kvcache.sageattn_decode(q, cache, lengths)
+        for t in range(T):
+            Lt = L - (T - 1) + t
+            ref = oracle(q[0, :, t:t + 1], k[0, :, :Lt], v[0, :, :Lt],
+                         hq // hkv)
+            assert cosine(o[0, :, t:t + 1], ref) > 0.999, f"t={t}"
+
+    def test_decode_loop_matches_full_attention(self):
+        """A miniature serving loop: prefill then 4 decode steps; each
+        step's output matches full causal attention's last row."""
+        from sageattention_tpu.ops import reference
+
+        b, hq, hkv, d, S = 1, 4, 4, 32, 128
+        n_prefill, n_steps = 20, 4
+        keys = rand(30, (b, hkv, n_prefill + n_steps, d))
+        vals = rand(31, (b, hkv, n_prefill + n_steps, d))
+        qs = rand(32, (b, hq, n_prefill + n_steps, d))
+
+        cache = kvcache.init_kv_cache(b, hkv, S, d)
+        cache, lengths = kvcache.append_kv(
+            cache, jnp.zeros((b,), jnp.int32),
+            keys[:, :, :n_prefill], vals[:, :, :n_prefill],
+        )
+        for t in range(n_prefill, n_prefill + n_steps):
+            cache, lengths = kvcache.append_kv(
+                cache, lengths, keys[:, :, t:t + 1], vals[:, :, t:t + 1]
+            )
+            o = kvcache.sageattn_decode(
+                qs[:, :, t:t + 1], cache, lengths
+            )
+            ref = oracle(
+                qs[0, :, t:t + 1], keys[0, :, :t + 1], vals[0, :, :t + 1],
+                hq // hkv,
+            )
+            assert cosine(o[0], ref) > 0.999, f"step {t}"
