@@ -1,11 +1,15 @@
-"""Decoder-only LLM (prefill path) — SageAttention's second headline use
-case (causal attention, reference bench sweep: bench_qk_int8_pv_fp8_cuda.py
+"""Decoder-only LLM — SageAttention's second headline use case (causal
+attention, reference bench sweep: bench_qk_int8_pv_fp8_cuda.py
 is_causal=True shapes).
 
 Llama-style: RMSNorm, RoPE, GQA, SwiGLU, causal sage attention via the
-pluggable backend.  This is the *prefill* compute path (full-sequence
-causal attention); decode-time KV caching is out of scope of the
-reference (its kernels are prefill/training-shape only).
+pluggable backend.  Two paths:
+
+* prefill — full-sequence causal attention (the reference's use case),
+  optionally filling the int8 KV caches as it goes;
+* decode — token-at-a-time generation over the quantized KV cache
+  (kvcache.sageattn_decode), beyond the reference (its kernels are
+  prefill/training-shape only).
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sageattention_tpu import kvcache
 from sageattention_tpu.models.attention import (
     attention as _attention,
 )
@@ -42,7 +47,8 @@ class LLMBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, positions):
+    def __call__(self, x, positions, cache=None, lengths=None,
+                 decode=False):
         c = self.cfg
         b, s, _ = x.shape
         h = nn.RMSNorm(dtype=jnp.float32, name="attn_norm")(x).astype(
@@ -58,7 +64,17 @@ class LLMBlock(nn.Module):
         q = rope(to_hnd(q, c.heads), positions)
         k = rope(to_hnd(k, c.kv_heads), positions)
         v = to_hnd(v, c.kv_heads)
-        o = _attention(q, k, v, is_causal=True)
+        new_cache = None
+        if cache is not None:
+            new_cache, new_len = kvcache.append_kv(cache, lengths, k, v)
+            if decode:
+                o = kvcache.sageattn_decode(q, new_cache, new_len)
+            else:
+                # prefill: attend the prompt directly (faster than
+                # reading the cache back); the cache is now filled
+                o = _attention(q, k, v, is_causal=True)
+        else:
+            o = _attention(q, k, v, is_causal=True)
         o = jnp.swapaxes(o, 1, 2).reshape(b, s, c.heads * c.head_dim)
         x = x + nn.Dense(c.hidden, use_bias=False, dtype=self.dtype, name="o_proj")(o)
 
@@ -69,7 +85,7 @@ class LLMBlock(nn.Module):
         down = nn.Dense(
             c.hidden, use_bias=False, dtype=self.dtype, name="down"
         )(nn.silu(gate) * up)
-        return x + down
+        return x + down, new_cache
 
 
 class CausalLM(nn.Module):
@@ -77,14 +93,38 @@ class CausalLM(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, tokens):
+    def __call__(self, tokens, caches=None, lengths=None, decode=False):
+        """Prefill: ``__call__(tokens)`` -> logits; with ``caches`` (a
+        list of per-layer QuantKVCache) the prompt is also written into
+        them.  Decode: ``decode=True`` with the current ``lengths`` ->
+        (logits, new_caches) attending the int8 cache."""
         c = self.cfg
         b, s = tokens.shape
         x = nn.Embed(c.vocab, c.hidden, dtype=self.dtype, name="embed")(tokens)
-        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+        if lengths is None:
+            positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+        else:
+            positions = lengths[:, None] + jnp.arange(s)[None, :]
+        new_caches = [] if caches is not None else None
         for i in range(c.depth):
-            x = LLMBlock(c, self.dtype, name=f"layer_{i}")(x, positions)
+            cache_i = caches[i] if caches is not None else None
+            x, nc = LLMBlock(c, self.dtype, name=f"layer_{i}")(
+                x, positions, cache=cache_i, lengths=lengths,
+                decode=decode,
+            )
+            if new_caches is not None:
+                new_caches.append(nc)
         x = nn.RMSNorm(dtype=jnp.float32, name="final_norm")(x)
-        return nn.Dense(
+        logits = nn.Dense(
             c.vocab, use_bias=False, dtype=jnp.float32, name="lm_head"
         )(x)
+        if caches is not None:
+            return logits, new_caches
+        return logits
+
+    def init_caches(self, b: int, max_len: int):
+        c = self.cfg
+        return [
+            kvcache.init_kv_cache(b, c.kv_heads, max_len, c.head_dim)
+            for _ in range(c.depth)
+        ]

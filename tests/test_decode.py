@@ -111,3 +111,50 @@ class TestDecode:
                 hq // hkv,
             )
             assert cosine(o[0], ref) > 0.999, f"step {t}"
+
+
+class TestCachedGeneration:
+    def test_decode_loop_matches_refeed(self):
+        """Greedy generation with the int8 KV cache must pick the same
+        tokens as re-running the full prefill each step."""
+        from sageattention_tpu import models
+        from sageattention_tpu.models.configs import MODEL_CONFIGS
+
+        cfg = MODEL_CONFIGS["llm-7b"].scaled(
+            depth=2, hidden=128, heads=4, kv_heads=2, head_dim=32,
+            vocab=128, mlp_hidden=256,
+        )
+        model = models.CausalLM(cfg)
+        b, n_prompt, n_gen, max_len = 1, 16, 5, 64
+        toks = jax.random.randint(
+            jax.random.PRNGKey(0), (b, n_prompt), 0, 128
+        )
+        params = model.init(jax.random.PRNGKey(1), toks)
+
+        # cached path: prefill then token-at-a-time decode
+        caches = model.init_caches(b, max_len)
+        lengths = jnp.zeros((b,), jnp.int32)
+        logits, caches = model.apply(
+            params, toks, caches=caches, lengths=lengths
+        )
+        lengths = lengths + n_prompt
+        seq = toks
+        cur = jnp.argmax(logits[:, -1:], axis=-1)
+        for _ in range(n_gen):
+            seq = jnp.concatenate([seq, cur], axis=1)
+            logits_d, caches = model.apply(
+                params, cur, caches=caches, lengths=lengths, decode=True
+            )
+            lengths = lengths + 1
+            cur = jnp.argmax(logits_d[:, -1:], axis=-1)
+
+        # reference path: re-feed the whole sequence each step
+        seq_ref = toks
+        for _ in range(n_gen):
+            logits_f = model.apply(params, seq_ref)
+            nxt = jnp.argmax(logits_f[:, -1:], axis=-1)
+            seq_ref = jnp.concatenate([seq_ref, nxt], axis=1)
+
+        np.testing.assert_array_equal(
+            np.asarray(seq[:, n_prompt:]), np.asarray(seq_ref[:, n_prompt:])
+        )
