@@ -191,6 +191,46 @@ def main():
     emit("sage_kernel_vs_ceiling_s4096_hd128", head[1], "TOPS",
          head[1] / tops_i8)
 
+    # decode over the int8 KV cache (serving path, beyond the reference):
+    # per-token latency at 32k context; vs_baseline = XLA bf16-cache
+    # decode time ratio
+    from sageattention_tpu import kvcache
+
+    db, dhkv, dgroup, dd, dS = 4, 8, 4, 128, 32768
+    dhq = dhkv * dgroup
+    kc = jax.random.normal(jax.random.PRNGKey(5), (db, dhkv, dS, dd),
+                           jnp.bfloat16)
+    vc = jax.random.normal(jax.random.PRNGKey(6), (db, dhkv, dS, dd),
+                           jnp.bfloat16)
+    cache = kvcache.init_kv_cache(db, dhkv, dS, dd)
+    cache, lens = kvcache.append_kv(
+        cache, jnp.zeros((db,), jnp.int32), kc, vc
+    )
+    qd = jax.random.normal(jax.random.PRNGKey(7), (db, dhq, 1, dd),
+                           jnp.bfloat16)
+    t_dec = device_time(
+        lambda i, c, q, ki, ks, vi, vs: kvcache.sageattn_decode(
+            q + (c * 1e-30).astype(q.dtype),
+            kvcache.QuantKVCache(ki, ks, vi, vs), lens),
+        (qd, cache.k_i8, cache.k_scale, cache.v_i8, cache.v_scale), n=10,
+    )
+
+    def xla_decode(i, c, q, k, v):
+        qf = (q + (c * 1e-30).astype(q.dtype)).astype(jnp.float32)
+        kr = jnp.repeat(k, dgroup, axis=1).astype(jnp.float32)
+        vr = jnp.repeat(v, dgroup, axis=1).astype(jnp.float32)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qf, kr) * dd**-0.5
+        return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), vr)
+
+    try:
+        t_xla = device_time(xla_decode, (qd, kc, vc), n=10)
+        dec_ratio = t_xla / t_dec
+    except Exception:
+        dec_ratio = float("nan")
+    log(f"decode 32k int8-cache: {t_dec*1e6:.0f} us "
+        f"({2*db*dhkv*dS*dd/t_dec/1e9:.0f} GB/s), ratio {dec_ratio:.1f}x")
+    emit("sage_decode_us_b4_32k_int8cache", t_dec * 1e6, "us", dec_ratio)
+
 
 if __name__ == "__main__":
     main()

@@ -106,5 +106,20 @@ qt = q[:1, :1, :7, :32]; kt = k[:1, :1, :5, :32]; vt = v[:1, :1, :5, :32]
 o = sa.sageattn(qt, kt, vt)
 ok &= check("tiny 7x5 hd32", o, oracle(qt, kt, vt), 0.995)
 
+# 9. PROBE: decode over the int8 KV cache (GQA group 4, ragged lengths)
+cache = sa.init_kv_cache(2, 2, 1024, 128)
+lens0 = jnp.zeros((2,), jnp.int32)
+kd, vd = k[:2, :2, :700], v[:2, :2, :700]
+cache, lens = sa.append_kv(cache, lens0, kd, vd)
+lens = jnp.array([700, 500], jnp.int32)
+qd = q[:2, :8, :1]
+od = sa.sageattn_decode(qd, cache, lens)
+refs = []
+for bi, L in enumerate([700, 500]):
+    kr = jnp.repeat(kd[bi:bi+1, :, :L], 4, axis=1)
+    vr = jnp.repeat(vd[bi:bi+1, :, :L], 4, axis=1)
+    refs.append(oracle(qd[bi:bi+1], kr, vr))
+ok &= check("decode int8-cache ragged GQA", od, jnp.concatenate(refs))
+
 print("ALL OK" if ok else "SOME FAILED", file=sys.stderr)
 sys.exit(0 if ok else 1)
