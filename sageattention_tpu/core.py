@@ -83,6 +83,7 @@ def _pad_axis(x: jax.Array, axis: int, to: int) -> jax.Array:
         "chunk_k",
         "impl",
         "qk_bits",
+        "window",
     ),
 )
 def _sageattn_hnd(
@@ -110,6 +111,7 @@ def _sageattn_hnd(
     qk_bits: int = 8,
     sub_q: int = 128,
     chunk_k: int | None = None,
+    window: int | None = None,
 ):
     """Quantize-then-attend pipeline on HND tensors (the call sequence of
     reference core.py:655-905, collapsed to quant(Q,K,V) + one fused kernel)."""
@@ -250,7 +252,19 @@ def _sageattn_hnd(
     else:
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
 
+    if window is not None and not is_causal:
+        raise ValueError("window (sliding-window attention) requires "
+                         "is_causal=True")
     if impl == "xla":
+        if window is not None:
+            band = (
+                jnp.arange(sk)[None, :]
+                > jnp.arange(sq)[:, None] - window
+            )[None, None]  # upper edge comes from is_causal
+            attn_mask = (
+                band if attn_mask is None
+                else jnp.logical_and(attn_mask, band)
+            )
         if attn_bias is not None:
             # Additive-bias path: full-precision (unquantized) XLA
             # attention — the bias joins pre-softmax, which the quantized
@@ -378,6 +392,7 @@ def _sageattn_hnd(
         # the native int4 MXU path (~2x the int8 rate, measured)
         qk_int4=qk_bits == 4,
         q_fold=q_fold,
+        window=window,
         return_lse=return_lse,
         block_q=block_q,
         block_k=block_k,
@@ -424,6 +439,7 @@ def _entry(
     block_k: int | None = None,
     impl: str = "auto",
     qk_bits: int = 8,
+    window: int | None = None,
 ):
     q = _to_hnd(q, tensor_layout)
     k = _to_hnd(k, tensor_layout)
@@ -464,6 +480,7 @@ def _entry(
         qk_bits=qk_bits,
         sub_q=sub_q,
         chunk_k=chunk_k,
+        window=window,
     )
     if return_lse:
         o, lse = out

@@ -110,8 +110,6 @@ def sageattn_decode(
     The caller appends the step's K/V first (append_kv), then calls this
     with the updated lengths; with t_q > 1 the causal tail applies
     within the new tokens (speculative / chunked decode)."""
-    import jax as _jax
-
     return decode_pallas.sage_decode_attention(
         q,
         cache.k_i8,
@@ -120,5 +118,5 @@ def sageattn_decode(
         cache.v_scale,
         lengths,
         sm_scale=sm_scale,
-        interpret=interpret or _jax.default_backend() == "cpu",
+        interpret=interpret or jax.default_backend() == "cpu",
     )

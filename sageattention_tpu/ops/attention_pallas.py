@@ -179,6 +179,7 @@ def _compute_parts(
     p_int8: bool = False,
     qk_int4: bool = False,
     q_fold: float | None = None,
+    window: int | None = None,
     rowsum_lane: int | None = None,
     diag_static: bool = False,
     scale_group: int | None = None,
@@ -287,9 +288,12 @@ def _compute_parts(
         elif causal:
             row = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 0)
             col = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
-            cm = (col + kv_idx * block_k + c * chunk_k) <= (
-                row + q_idx * block_q + qi * sub_q
-            )
+            gcol = col + kv_idx * block_k + c * chunk_k
+            grow = row + q_idx * block_q + qi * sub_q
+            cm = gcol <= grow
+            if window is not None:
+                # sliding window: key j visible iff q - W < j <= q
+                cm = jnp.logical_and(cm, gcol > grow - window)
             mask = cm if mask is None else jnp.logical_and(mask, cm)
 
         dead = None
@@ -488,6 +492,7 @@ def _kernel(
     p_int8: bool,
     qk_int4: bool,
     q_fold: float | None,
+    window: int | None,
     rowsum_lane: int | None,
     out_dtype,
 ):
@@ -540,10 +545,11 @@ def _kernel(
         p_int8=p_int8,
         qk_int4=qk_int4,
         q_fold=q_fold,
+        window=window,
         rowsum_lane=rowsum_lane,
     )
 
-    if causal and block_q == block_k:
+    if causal and block_q == block_k and window is None:
         # Diagonal-split causal: blocks strictly below the diagonal
         # (kv_idx < q_idx) run completely unmasked; the diagonal block
         # (kv_idx == q_idx) uses trace-time item skipping and static
@@ -578,9 +584,16 @@ def _kernel(
 
     else:
         if causal:
-            # generic causal (unequal blocks): dynamic masks everywhere
-            # (reference early-exit: sm89.cuh:225-229).
+            # generic causal (unequal blocks / sliding window): dynamic
+            # masks everywhere (reference early-exit: sm89.cuh:225-229).
             should_run = kv_idx * block_k <= q_idx * block_q + (block_q - 1)
+            if window is not None:
+                # left edge: the block must reach past q_start - W
+                should_run = jnp.logical_and(
+                    should_run,
+                    kv_idx * block_k + block_k - 1
+                    > q_idx * block_q - window,
+                )
         else:
             should_run = True
 
@@ -653,6 +666,7 @@ def _kernel_single(
     p_int8: bool,
     qk_int4: bool,
     q_fold: float | None,
+    window: int | None,
     rowsum_lane: int | None,
     out_dtype,
 ):
@@ -694,6 +708,7 @@ def _kernel_single(
         p_int8=p_int8,
         qk_int4=qk_int4,
         q_fold=q_fold,
+        window=window,
         rowsum_lane=rowsum_lane,
     )
     d_out = o_ref.shape[-1]
@@ -726,6 +741,7 @@ def _kernel_single(
         "pv_compute",
         "qk_int4",
         "q_fold",
+        "window",
         "return_lse",
         "block_q",
         "block_k",
@@ -757,6 +773,7 @@ def sage_attention_fused(
     pv_compute: str = "bf16",
     qk_int4: bool = False,
     q_fold: float | None = None,
+    window: int | None = None,
     return_lse: bool = False,
     block_q: int = 512,
     block_k: int = 4096,
@@ -856,13 +873,20 @@ def sage_attention_fused(
         return (ib, ih, iq, 0)
 
     if is_causal:
-        # Clamp the KV block index for steps above the diagonal: the index
-        # map then repeats the previous block and the Pallas pipeline emits
-        # no DMA for it (the compute is skipped by pl.when), making the
-        # causal early-exit free in bandwidth as well as FLOPs
+        # Clamp the KV block index for steps above the diagonal (and, for
+        # sliding windows, below the left edge): the index map then
+        # repeats the previous block and the Pallas pipeline emits no DMA
+        # for it (the compute is skipped by pl.when), making the causal /
+        # window early-exit free in bandwidth as well as FLOPs
         # (reference early-exit: sm89.cuh:225-229).
         def _clamp(iq, ik):
-            return jnp.minimum(ik, (iq * block_q + block_q - 1) // block_k)
+            hi = jnp.minimum(ik, (iq * block_q + block_q - 1) // block_k)
+            if window is None:
+                return hi
+            lo = jnp.maximum(
+                (iq * block_q - (window - 1)) // block_k, 0
+            )
+            return jnp.maximum(hi, lo)
 
         def km(ib, ih, iq, ik):
             return (ib, ih // group, _clamp(iq, ik), 0)
@@ -897,6 +921,11 @@ def sage_attention_fused(
     else:
         ks_spec = mk((1, 1, 1, block_k), ksm)
         ks_in = k_scale.astype(jnp.float32)[:, :, None, :]  # [b,hkv,1,sk]
+    if window is not None:
+        if not is_causal:
+            raise ValueError("window requires is_causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
     has_q_scale = q_scale is not None
     if has_q_scale:
         assert q_fold is None, "q_fold is for unquantized (bf16) q input"
@@ -1030,6 +1059,7 @@ def sage_attention_fused(
         p_int8=p_int8,
         qk_int4=qk_int4,
         q_fold=q_fold,
+        window=window,
         rowsum_lane=rowsum_lane,
         out_dtype=out_dtype,
     )

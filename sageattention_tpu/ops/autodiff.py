@@ -149,15 +149,25 @@ def _cached(fwd_statics, bwd_statics):
         if grads is not None:
             return grads
 
-        if dlse is not None:
+        window = fwd_kwargs.get("window")
+        if dlse is not None or window is not None:
+            # exact reference fallback (materializes scores) — the only
+            # path that models the sliding-window band and LSE cotangents
             def exact(q, k, v):
+                mask = None
+                if window is not None:
+                    sq, sk = q.shape[2], k.shape[2]
+                    mask = (
+                        jnp.arange(sk)[None, :]
+                        > jnp.arange(sq)[:, None] - window
+                    )[None, None]
                 return reference.attention_reference(
                     q, k, v, is_causal=is_causal, sm_scale=sm_scale,
-                    return_lse=True,
+                    attn_mask=mask, return_lse=dlse is not None,
                 )
 
             _, vjp = jax.vjp(exact, q, k, v)
-            return vjp((do, dlse))
+            return vjp((do, dlse) if dlse is not None else do)
 
         def exact(q, k, v):
             return _exact_attention_for_bwd(

@@ -361,3 +361,54 @@ class TestSmoothQ:
             np.asarray(o, np.float32), np.asarray(o_x, np.float32),
             atol=3e-2,
         )
+
+
+class TestSlidingWindow:
+    """Causal sliding-window attention (Mistral/Gemma-style): key j
+    visible iff q - window < j <= q; in-kernel band masks with block
+    skip and DMA clamping from both edges."""
+
+    def _band_ref(self, q, k, v, w):
+        sq, sk = q.shape[2], k.shape[2]
+        band = (jnp.arange(sk)[None, :] > jnp.arange(sq)[:, None] - w)
+        return reference.attention_reference(
+            q, k, v, is_causal=True, attn_mask=band[None, None]
+        )
+
+    def test_window_matches_reference(self):
+        q, k, v = (rand(i + 200, (1, 2, 512, 64)) for i in range(3))
+        o = sa.sageattn(q, k, v, is_causal=True, window=100,
+                        pv_dtype="bf16")
+        assert cosine(o, self._band_ref(q, k, v, 100)) > 0.999
+
+    def test_window_multistep_block_skip(self):
+        """Window smaller than a KV block at a multi-block grid: blocks
+        outside the band must skip without changing results."""
+        q, k, v = (rand(i + 210, (1, 2, 2048, 64)) for i in range(3))
+        o = sa.sageattn(q, k, v, is_causal=True, window=300,
+                        pv_dtype="bf16", block_q=256, block_k=256)
+        assert cosine(o, self._band_ref(q, k, v, 300)) > 0.999
+
+    def test_window_gqa_gradients(self):
+        q = rand(220, (1, 4, 256, 64))
+        k, v = rand(221, (1, 2, 256, 64)), rand(222, (1, 2, 256, 64))
+
+        def loss(q, k, v):
+            return jnp.sum(
+                sa.sageattn(q, k, v, is_causal=True, window=64,
+                            pv_dtype="bf16") ** 2
+            )
+
+        def loss_ref(q, k, v):
+            kr, vr = (jnp.repeat(x, 2, axis=1) for x in (k, v))
+            return jnp.sum(self._band_ref(q, kr, vr, 64) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, r in zip(g, g_ref):
+            assert cosine(a, r) > 0.99
+
+    def test_window_requires_causal(self):
+        q, k, v = (rand(i + 230, (1, 1, 128, 64)) for i in range(3))
+        with pytest.raises(ValueError, match="window"):
+            sa.sageattn(q, k, v, window=32)
