@@ -48,7 +48,7 @@ def _dq_kernel(
     qi8_ref, qs_ref, ki8_ref, ks_ref, kbf_ref, v_ref, do_ref, lse_ref,
     dvec_ref, dq_ref, acc,
     *, causal, n_kv, block_q, block_k, sm_scale, n_chunks, chunk_k,
-    scale_group,
+    scale_group, window,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -59,6 +59,12 @@ def _dq_kernel(
 
     if causal:
         should_run = kv_idx * block_k <= q_idx * block_q + (block_q - 1)
+        if window is not None:
+            should_run = jnp.logical_and(
+                should_run,
+                kv_idx * block_k + block_k - 1
+                > q_idx * block_q - window,
+            )
     else:
         should_run = True
 
@@ -82,9 +88,11 @@ def _dq_kernel(
             if causal:
                 row = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 0)
                 col = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 1)
-                keep = (col + kv_idx * block_k + c * chunk_k) <= (
-                    row + q_idx * block_q
-                )
+                gcol = col + kv_idx * block_k + c * chunk_k
+                grow = row + q_idx * block_q
+                keep = gcol <= grow
+                if window is not None:
+                    keep = jnp.logical_and(keep, gcol > grow - window)
                 p = jnp.where(keep, jnp.exp2(l2 - lse), 0.0)
             else:
                 p = jnp.exp2(l2 - lse)
@@ -114,7 +122,7 @@ def _dkv_kernel(
     ki8_ref, ks_ref, qi8_ref, qs_ref, qbf_ref, v_ref, do_ref, lse_ref,
     dvec_ref, dk_ref, dv_ref, dk_acc, dv_acc,
     *, causal, n_q, block_q, block_k, sm_scale, n_chunks, chunk_k,
-    scale_group, rep,
+    scale_group, rep, window,
 ):
     """Grid (b, hkv, n_kv, rep * n_q): the GQA group rides the 4th axis
     (t -> q head ih*rep + t // n_q, q block t % n_q) so dK/dV accumulate
@@ -132,6 +140,13 @@ def _dkv_kernel(
     if causal:
         # only q blocks intersecting or below the diagonal contribute
         should_run = q_idx * block_q + (block_q - 1) >= kv_idx * block_k
+        if window is not None:
+            # ... and within the sliding window's reach of this KV block
+            should_run = jnp.logical_and(
+                should_run,
+                q_idx * block_q - window
+                < kv_idx * block_k + block_k - 1,
+            )
     else:
         should_run = True
 
@@ -156,9 +171,11 @@ def _dkv_kernel(
             if causal:
                 krow = jax.lax.broadcasted_iota(jnp.int32, l2t.shape, 0)
                 qcol = jax.lax.broadcasted_iota(jnp.int32, l2t.shape, 1)
-                keep = (krow + kv_idx * block_k + c * chunk_k) <= (
-                    qcol + q_idx * block_q
-                )
+                gk = krow + kv_idx * block_k + c * chunk_k
+                gq = qcol + q_idx * block_q
+                keep = gk <= gq
+                if window is not None:
+                    keep = jnp.logical_and(keep, gk > gq - window)
                 pt = jnp.where(keep, jnp.exp2(l2t - lse[:, 0][None, :]), 0.0)
             else:
                 pt = jnp.exp2(l2t - lse[:, 0][None, :])
@@ -192,7 +209,7 @@ def _fit_block(s: int, candidates) -> int | None:
 def quantized_attention_vjp(
     q, k, v, do, *, is_causal: bool, sm_scale: float | None,
     o=None, lse_nat=None, dlse=None, smooth_k: bool = True,
-    interpret: bool = False,
+    window: int | None = None, interpret: bool = False,
 ):
     """Full recomputed backward through the fused kernels.
 
@@ -300,7 +317,7 @@ def quantized_attention_vjp(
             q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
             is_causal=is_causal, pv_dtype="bf16", return_lse=True,
             block_q=fbq, block_k=fbk, sub_q=fsub, chunk_k=fck,
-            interpret=interpret,
+            window=window, interpret=interpret,
         )
     dq, dk, dv = sage_attention_bwd(
         q_i8, q_scale, k_i8, k_scale,
@@ -308,7 +325,7 @@ def quantized_attention_vjp(
         v.astype(jnp.bfloat16), o, lse2, do, dlse,
         is_causal=is_causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, chunk_k=chunk_k,
-        scale_group=scale_group, interpret=interpret,
+        scale_group=scale_group, window=window, interpret=interpret,
     )
     if dlse is not None and smooth_k:
         # the smooth-k LSE correction term (q . km * sm_scale) contributes
@@ -329,7 +346,7 @@ def quantized_attention_vjp(
     jax.jit,
     static_argnames=(
         "is_causal", "sm_scale", "block_q", "block_k", "chunk_k",
-        "scale_group", "interpret",
+        "scale_group", "window", "interpret",
     ),
 )
 def sage_attention_bwd(
@@ -342,6 +359,7 @@ def sage_attention_bwd(
     block_k: int = 1024,
     chunk_k: int | None = None,
     scale_group: int | None = None,
+    window: int | None = None,
     interpret: bool = False,
 ):
     """Fused backward: returns (dq, dk, dv) in f32.
@@ -392,12 +410,25 @@ def sage_attention_bwd(
     # ih*rep + t // n_q, q block t % n_q (GQA group-sum in scratch)
     if is_causal:
         def km_dq(ib, ih, iq, ik):
-            return (ib, ih // rep, jnp.minimum(
-                ik, (iq * block_q + block_q - 1) // block_k), 0)
+            hi = jnp.minimum(
+                ik, (iq * block_q + block_q - 1) // block_k
+            )
+            if window is None:
+                return (ib, ih // rep, hi, 0)
+            lo = jnp.maximum(
+                (iq * block_q - (window - 1)) // block_k, 0
+            )
+            return (ib, ih // rep, jnp.maximum(hi, lo), 0)
 
         def qm_dkv(ib, ih, ik, t):
-            return (ib, ih * rep + t // n_q,
-                    jnp.maximum(t % n_q, (ik * block_k) // block_q), 0)
+            lo = jnp.maximum(t % n_q, (ik * block_k) // block_q)
+            if window is None:
+                return (ib, ih * rep + t // n_q, lo, 0)
+            hi = jnp.minimum(
+                (ik * block_k + block_k - 1 + window - 1) // block_q,
+                n_q - 1,
+            )
+            return (ib, ih * rep + t // n_q, jnp.minimum(lo, hi), 0)
     else:
         def km_dq(ib, ih, iq, ik):
             return (ib, ih // rep, ik, 0)
@@ -410,7 +441,7 @@ def sage_attention_bwd(
         functools.partial(
             _dq_kernel, causal=is_causal, n_kv=n_kv, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
-            chunk_k=chunk_k, scale_group=scale_group,
+            chunk_k=chunk_k, scale_group=scale_group, window=window,
         ),
         grid=(b, h, n_q, n_kv),
         in_specs=[
@@ -443,6 +474,7 @@ def sage_attention_bwd(
             _dkv_kernel, causal=is_causal, n_q=n_q, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
             chunk_k=chunk_k, scale_group=scale_group, rep=rep,
+            window=window,
         ),
         grid=(b, hkv, n_kv, rep * n_q),
         in_specs=[

@@ -99,7 +99,7 @@ def _exact_attention_for_bwd(q, k, v, *, is_causal, sm_scale):
 # implementation sees [b, h, s, d].
 _FUSED_BWD_KWARGS = {
     "is_causal", "sm_scale", "return_lse", "pv_dtype", "smooth_k",
-    "smooth_v",
+    "smooth_v", "window",
 }
 
 
@@ -109,6 +109,7 @@ def _cached(fwd_statics, bwd_statics):
     is_causal, sm_scale, return_lse = bwd_statics
     fused_bwd_ok = set(fwd_kwargs) <= _FUSED_BWD_KWARGS
     smooth_k = fwd_kwargs.get("smooth_k", True)
+    window = fwd_kwargs.get("window")
 
     from sageattention_tpu import core
 
@@ -140,7 +141,7 @@ def _cached(fwd_statics, bwd_statics):
             attention_bwd_pallas.quantized_attention_vjp(
                 q, k, v, do, is_causal=is_causal, sm_scale=sm_scale,
                 o=o_saved, lse_nat=lse_saved, dlse=dlse,
-                smooth_k=smooth_k,
+                smooth_k=smooth_k, window=window,
                 interpret=jax.default_backend() == "cpu",
             )
             if fused_bwd_ok
@@ -149,7 +150,6 @@ def _cached(fwd_statics, bwd_statics):
         if grads is not None:
             return grads
 
-        window = fwd_kwargs.get("window")
         if dlse is not None or window is not None:
             # exact reference fallback (materializes scores) — the only
             # path that models the sliding-window band and LSE cotangents

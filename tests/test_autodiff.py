@@ -203,3 +203,34 @@ class TestFusedBackward:
         assert attention_bwd_pallas.quantized_attention_vjp(
             q, k, v, do, is_causal=False, sm_scale=None, interpret=True
         ) is None
+
+
+class TestWindowedBackward:
+    def test_fused_window_backward_multiblock(self):
+        """Sliding-window gradients through the fused kernels at a
+        multi-q-block shape, vs the banded exact reference."""
+        from sageattention_tpu.ops import attention_bwd_pallas, reference
+
+        q, k, v = (rand(i + 80, (1, 2, 1024, 64)) for i in range(3))
+        do = rand(84, (1, 2, 1024, 64))
+        W = 200
+        got = attention_bwd_pallas.quantized_attention_vjp(
+            q, k, v, do, is_causal=True, sm_scale=None, window=W,
+            interpret=True,
+        )
+        assert got is not None
+
+        band = (jnp.arange(1024)[None, :]
+                > jnp.arange(1024)[:, None] - W)[None, None]
+
+        def exact(q, k, v):
+            return reference.attention_reference(
+                q, k, v, is_causal=True, attn_mask=band
+            )
+
+        _, vjp = jax.vjp(exact, q, k, v)
+        ref = vjp(do)
+        for g, r in zip(got, ref):
+            c = float(jnp.sum(g * r)
+                      / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
+            assert c > 0.999
