@@ -24,10 +24,15 @@ from sageattention_tpu.core import (
 from sageattention_tpu import quant
 from sageattention_tpu.ops import reference
 from sageattention_tpu.kvcache import (
+    PagedKVCache,
     QuantKVCache,
     append_kv,
     init_kv_cache,
+    init_paged_kv_cache,
+    paged_append,
+    paged_prefill,
     sageattn_decode,
+    sageattn_paged_decode,
 )
 
 __version__ = "0.1.0"
@@ -44,5 +49,10 @@ __all__ = [
     "init_kv_cache",
     "append_kv",
     "sageattn_decode",
+    "PagedKVCache",
+    "init_paged_kv_cache",
+    "paged_append",
+    "paged_prefill",
+    "sageattn_paged_decode",
     "__version__",
 ]

@@ -76,7 +76,12 @@ def append_kv(
 ) -> tuple[QuantKVCache, jax.Array]:
     """Quantize and write ``t`` new tokens at each batch's ``lengths``
     offset.  Returns (cache, lengths + t).  Works for prefill (large t)
-    and decode (t = 1) alike."""
+    and decode (t = 1) alike.
+
+    The caller owns capacity: offsets are dynamic-update-slice semantics,
+    so an append past ``max_len`` clamps to the end and overwrites the
+    tail rather than raising (jit-compatible); size the cache for the
+    longest sequence."""
     k_q, k_s = _quant_rows(k_new)
     v_q, v_s = _quant_rows(v_new)
 
@@ -116,6 +121,157 @@ def sageattn_decode(
         cache.k_scale,
         cache.v_i8,
         cache.v_scale,
+        lengths,
+        sm_scale=sm_scale,
+        interpret=interpret or jax.default_backend() == "cpu",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paged cache (vLLM-style): a shared pool of fixed-size pages + per-sequence
+# page tables; the decode kernel gathers physical pages through scalar
+# prefetch (ops/paged_decode_pallas.py).  TPU paging favors coarse pages
+# (default 1024 tokens — chunks below ~1024 starve the VPU).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Page pool [num_pages, h_kv, page, d] int8 + per-token scales and
+    the [b, max_pages] page table.  Physical page assignment is the
+    caller's policy (any permutation works; entries past the live
+    length are DMA'd but masked)."""
+
+    pages_k: jax.Array
+    pages_k_scale: jax.Array
+    pages_v: jax.Array
+    pages_v_scale: jax.Array
+    page_table: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.pages_k.shape[2]
+
+
+def init_paged_kv_cache(
+    num_pages: int, h_kv: int, head_dim: int, page_table: jax.Array,
+    page_size: int = 1024,
+) -> PagedKVCache:
+    return PagedKVCache(
+        pages_k=jnp.zeros((num_pages, h_kv, page_size, head_dim),
+                          jnp.int8),
+        pages_k_scale=jnp.full((num_pages, h_kv, page_size), 1e-30,
+                               jnp.float32),
+        pages_v=jnp.zeros((num_pages, h_kv, page_size, head_dim),
+                          jnp.int8),
+        pages_v_scale=jnp.full((num_pages, h_kv, page_size), 1e-30,
+                               jnp.float32),
+        page_table=page_table.astype(jnp.int32),
+    )
+
+
+@jax.jit
+def paged_append(
+    cache: PagedKVCache,
+    lengths: jax.Array,      # [b]
+    k_new: jax.Array,        # [b, h_kv, t, d]
+    v_new: jax.Array,        # [b, h_kv, t, d]
+) -> tuple[PagedKVCache, jax.Array]:
+    """Quantize and write ``t`` tokens per sequence at ``lengths``,
+    following the page table across page boundaries.  Pure quantized
+    writes (per-token scales), like the dense append."""
+    page = cache.page_size
+    k_q, k_s = _quant_rows(k_new)   # [b,h,t,d], [b,h,t]
+    v_q, v_s = _quant_rows(v_new)
+    b, h, t, d = k_q.shape
+
+    # destination of token j of sequence i: physical page
+    # page_table[i, (lengths[i]+j)//page], row (lengths[i]+j) % page
+    pos = lengths[:, None] + jnp.arange(t)[None, :]        # [b, t]
+    phys = jnp.take_along_axis(
+        cache.page_table, pos // page, axis=1
+    )                                                      # [b, t]
+    off = pos % page                                        # [b, t]
+
+    def scatter_pool(pool, rows):
+        # pool [P, h, page, d?]; rows [b, h, t, (d)] -> scatter (b*t) rows
+        rows_flat = jnp.moveaxis(rows, 1, 2).reshape(
+            (b * t, h) + rows.shape[3:]
+        )  # [(b t), h, d?]
+        return pool.at[phys.reshape(-1), :, off.reshape(-1)].set(
+            rows_flat
+        )
+
+    cache = PagedKVCache(
+        pages_k=scatter_pool(cache.pages_k, k_q),
+        pages_k_scale=scatter_pool(cache.pages_k_scale, k_s),
+        pages_v=scatter_pool(cache.pages_v, v_q),
+        pages_v_scale=scatter_pool(cache.pages_v_scale, v_s),
+        page_table=cache.page_table,
+    )
+    return cache, lengths + t
+
+
+@jax.jit
+def paged_prefill(
+    cache: PagedKVCache,
+    k: jax.Array,            # [b, h_kv, t, d], t a multiple of page_size
+    v: jax.Array,
+) -> tuple[PagedKVCache, jax.Array]:
+    """Bulk-load empty sequences: writes whole pages through the page
+    table (page-granular scatter — token-granular paged_append is for
+    decode steps; a 32k-token prefill would otherwise scatter 32k rows).
+    Requires t % page_size == 0 and empty sequences."""
+    page = cache.page_size
+    b, h, t, d = k.shape
+    assert t % page == 0, (t, page)
+    n_used = t // page
+    k_q, k_s = _quant_rows(k)
+    v_q, v_s = _quant_rows(v)
+
+    ids = cache.page_table[:, :n_used].reshape(-1)  # [b*n_used]
+
+    def put(pool, rows, has_d):
+        # rows [b, h, t, (d)] -> [b*n_used, h, page, (d)]
+        if has_d:
+            r = rows.reshape(b, h, n_used, page, d)
+            r = jnp.moveaxis(r, 2, 1).reshape(b * n_used, h, page, d)
+        else:
+            r = rows.reshape(b, h, n_used, page)
+            r = jnp.moveaxis(r, 2, 1).reshape(b * n_used, h, page)
+        return pool.at[ids].set(r)
+
+    cache = PagedKVCache(
+        pages_k=put(cache.pages_k, k_q, True),
+        pages_k_scale=put(cache.pages_k_scale, k_s, False),
+        pages_v=put(cache.pages_v, v_q, True),
+        pages_v_scale=put(cache.pages_v_scale, v_s, False),
+        page_table=cache.page_table,
+    )
+    return cache, jnp.full((b,), t, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def sageattn_paged_decode(
+    q: jax.Array,            # [b, hq, t_q, d]
+    cache: PagedKVCache,
+    lengths: jax.Array,      # [b]
+    *,
+    sm_scale: float | None = None,
+    interpret: bool = False,
+):
+    """Decode attention through the page table (scalar-prefetch gather;
+    same query semantics as sageattn_decode)."""
+    from sageattention_tpu.ops import paged_decode_pallas
+
+    return paged_decode_pallas.sage_paged_decode_attention(
+        q,
+        cache.pages_k,
+        cache.pages_k_scale,
+        cache.pages_v,
+        cache.pages_v_scale,
+        cache.page_table,
         lengths,
         sm_scale=sm_scale,
         interpret=interpret or jax.default_backend() == "cpu",

@@ -96,8 +96,11 @@ class CausalLM(nn.Module):
     def __call__(self, tokens, caches=None, lengths=None, decode=False):
         """Prefill: ``__call__(tokens)`` -> logits; with ``caches`` (a
         list of per-layer QuantKVCache) the prompt is also written into
-        them.  Decode: ``decode=True`` with the current ``lengths`` ->
-        (logits, new_caches) attending the int8 cache."""
+        them (expects lengths == 0 — the non-decode path attends only
+        the given tokens).  Decode/continuation: ``decode=True`` with
+        the current ``lengths`` -> (logits, new_caches) attending the
+        int8 cache (t > 1 gets the causal tail, so chunked prefill
+        continuation also goes through decode=True)."""
         c = self.cfg
         b, s = tokens.shape
         x = nn.Embed(c.vocab, c.hidden, dtype=self.dtype, name="embed")(tokens)

@@ -158,3 +158,68 @@ class TestCachedGeneration:
         np.testing.assert_array_equal(
             np.asarray(seq[:, n_prompt:]), np.asarray(seq_ref[:, n_prompt:])
         )
+
+
+class TestPagedDecode:
+    """vLLM-style paged cache: scalar-prefetch page-table gather."""
+
+    def test_scrambled_pages_match_dense(self):
+        b, hq, hkv, d, page = 2, 8, 2, 64, 128
+        pt = jnp.array([[7, 3, 11, 0], [2, 9, 5, 14]], jnp.int32)
+        cache = kvcache.init_paged_kv_cache(16, hkv, d, pt,
+                                            page_size=page)
+        k = rand(1, (b, hkv, 300, d))
+        v = rand(2, (b, hkv, 300, d))
+        cache, lengths = kvcache.paged_append(
+            cache, jnp.zeros((b,), jnp.int32), k, v
+        )
+        lengths = jnp.array([300, 200], jnp.int32)
+        q = rand(3, (b, hq, 1, d))
+        o = kvcache.sageattn_paged_decode(q, cache, lengths)
+        for bi, L in enumerate([300, 200]):
+            ref = oracle(q[bi], k[bi, :, :L], v[bi, :, :L], hq // hkv)
+            assert cosine(o[bi], ref) > 0.999
+
+    def test_paged_prefill_equals_token_appends(self):
+        """Page-granular bulk prefill writes the same quantized pages as
+        token-granular appends."""
+        b, hkv, d, page = 1, 2, 32, 64
+        pt = jnp.array([[5, 1, 3, 7]], jnp.int32)
+        k = rand(10, (b, hkv, 128, d))
+        v = rand(11, (b, hkv, 128, d))
+        c1 = kvcache.init_paged_kv_cache(8, hkv, d, pt, page_size=page)
+        c1, l1 = kvcache.paged_prefill(c1, k, v)
+        c2 = kvcache.init_paged_kv_cache(8, hkv, d, pt, page_size=page)
+        c2, l2 = kvcache.paged_append(
+            c2, jnp.zeros((b,), jnp.int32), k, v
+        )
+        np.testing.assert_array_equal(np.asarray(c1.pages_k),
+                                      np.asarray(c2.pages_k))
+        np.testing.assert_array_equal(np.asarray(c1.pages_v),
+                                      np.asarray(c2.pages_v))
+        assert bool(jnp.all(l1 == l2))
+
+    def test_paged_decode_step_appends_across_page_boundary(self):
+        """Decode appends that cross a page boundary land in the right
+        physical page."""
+        b, hq, hkv, d, page = 1, 4, 2, 32, 64
+        pt = jnp.array([[3, 0, 2, 1]], jnp.int32)
+        cache = kvcache.init_paged_kv_cache(4, hkv, d, pt, page_size=page)
+        k = rand(20, (b, hkv, 63, d))
+        v = rand(21, (b, hkv, 63, d))
+        cache, lengths = kvcache.paged_append(
+            cache, jnp.zeros((b,), jnp.int32), k, v
+        )
+        ks, vs_, qs = [k], [v], []
+        for t in range(3):  # appends at 63, 64, 65 (boundary at 64)
+            kn, vn = rand(30 + t, (b, hkv, 1, d)), rand(40 + t,
+                                                        (b, hkv, 1, d))
+            cache, lengths = kvcache.paged_append(cache, lengths, kn, vn)
+            ks.append(kn)
+            vs_.append(vn)
+            q = rand(50 + t, (b, hq, 1, d))
+            o = kvcache.sageattn_paged_decode(q, cache, lengths)
+            kf = jnp.concatenate(ks, axis=2)
+            vf = jnp.concatenate(vs_, axis=2)
+            ref = oracle(q[0], kf[0], vf[0], hq // hkv)
+            assert cosine(o[0], ref) > 0.999, f"append {t}"
