@@ -88,7 +88,8 @@ def main():
     ap.add_argument("--pv_dtype", default="int8",
                     choices=["int8", "bf16", "fp8"])
     ap.add_argument("--quant_gran", default="auto")
-    ap.add_argument("--block_q", type=int, default=512)
+    ap.add_argument("--block_q", type=int, default=0,
+                    help="0 = tuned default_config")
     ap.add_argument("--block_k", type=int, default=0,
                     help="0 = auto (min(4096, seq); 2048 for causal)")
     ap.add_argument("--chunk_k", type=int, default=0)

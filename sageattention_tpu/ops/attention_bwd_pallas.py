@@ -254,6 +254,10 @@ def quantized_attention_vjp(
         return None
     if sk <= scale_group:
         scale_group = sk  # single group covers the whole row
+    if sq % 128 or sk % 128:
+        # unaligned user shapes go to the padded flash/exact fallback
+        # (the fused kernels expect the forward's padded tile discipline)
+        return None
     block_q = _fit_block(sq, (512, 256, 128))
     if sk <= 4096:
         block_k = sk
@@ -313,6 +317,10 @@ def quantized_attention_vjp(
         fbq, fbk, fsub, fck = attention_pallas.default_config(
             sq, sk, d, is_causal
         )
+        if sq % fbq or sk % fbk:
+            # the unpadded shape doesn't tile the forward config; decline
+            # gracefully (the caller falls back) instead of assert-crashing
+            return None
         o, lse2 = attention_pallas.sage_attention_fused(
             q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
             is_causal=is_causal, pv_dtype="bf16", return_lse=True,
@@ -369,8 +377,10 @@ def sage_attention_bwd(
     (one scale per ``scale_group`` columns == the FORWARD's quant group), k_bf (smoothed or
     raw K, bf16), q_bf (raw Q), v_bf (raw V), o (forward output), lse2
     (raw base-2 LSE from the kernel), do (output cotangent).  All
-    sequence dims must already be padded to block multiples.  GQA must
-    be pre-expanded (repeat K/V; sum dk/dv over the group outside).
+    sequence dims must already be padded to block multiples.  GQA is
+    native: K/V arrive at h_kv heads and dK/dV return at h_kv heads —
+    the dkv grid folds the query-head group into its 4th axis and
+    group-sums in scratch.
     """
     b, h, sq, d = q_i8.shape
     hkv, sk = k_i8.shape[1], k_i8.shape[2]

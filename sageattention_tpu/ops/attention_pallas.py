@@ -141,7 +141,7 @@ def default_config(
     sq_p = _pad128(sq)
     # small sequences: half-size Q blocks give the grid pipeline >= 2
     # steps to overlap DMAs (measured at 512-1024; noise-level above)
-    block_q = max(256, sq_p // 2) if sq_p <= 1024 else 1024
+    block_q = min(sq_p, max(256, sq_p // 2)) if sq_p <= 1024 else 1024
     block_k = min(cap, _pad128(sk))
     if block_k <= 4096:
         chunk = block_k

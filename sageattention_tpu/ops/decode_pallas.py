@@ -47,6 +47,74 @@ LOG2E = 1.4426950408889634
 NEG_INIT = -1e30
 
 
+
+def decode_step_body(
+    q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
+    *, base_col, length, t_q: int, sm_fold: float,
+):
+    """One KV chunk/page of the bandwidth-shaped decode step: in-register
+    per-row Q quant, int8 QK^T, length (+ causal-tail) masking, online
+    merge into the (m, l, acc) scratch, and the P*vs -> int8 PV dot.
+
+    SHARED by the dense (_decode_kernel) and paged (_paged_kernel)
+    kernels — one copy of the numerics, two block-index sources.
+    ``base_col`` is the chunk's first global token index.  A fully
+    masked chunk yields m_c == NEG_INIT exactly (sf is set to the
+    finite sentinel, never -inf), so the merge stays NaN-free."""
+    qb = q_ref[0, 0].astype(jnp.float32)            # [rows8, d]
+    amax = jnp.max(jnp.abs(qb), axis=1)[:, None]
+    qscale, r = inv_scale(amax, 127.0)
+    q_i8 = jnp.clip(round_half_away(qb * r), -127, 127).astype(jnp.int8)
+    s_i32 = jax.lax.dot_general(
+        q_i8, k_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [rows8, chunk]
+    ks = ks_ref[0, 0, 0][None, :]                    # [1, chunk]
+    sf = s_i32.astype(jnp.float32) * (qscale * sm_fold) * ks
+
+    col = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 1) + base_col
+    valid = col < length
+    if t_q > 1:
+        # causal tail: query row (h, t) sees keys < length - t_q + 1 + t
+        trow = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 0) % t_q
+        valid = jnp.logical_and(valid, col < length - (t_q - 1) + trow)
+    sf = jnp.where(valid, sf, NEG_INIT)
+
+    m_c = jnp.max(sf, axis=1)[:, None]
+    p = jnp.where(valid, jnp.exp2(sf - m_c), 0.0)
+    l_c = jnp.sum(p, axis=1)[:, None]
+
+    # fold the per-token V scales into P, requantize per row, and run
+    # the PV dot int8 x int8 (V streams HBM -> MXU uncast)
+    pe = p * vs_ref[0, 0, 0][None, :]
+    pmax = jnp.max(pe, axis=1)[:, None]
+    psc, pr = inv_scale(pmax, 127.0)
+    p_q = (pe * pr + 0.5).astype(jnp.int8)  # pe >= 0: +0.5 rounds
+    pv = jax.lax.dot_general(
+        p_q, v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * psc  # [rows8, d]
+
+    m_prev = ml_scr[:, 0:1]
+    m_next = jnp.maximum(m_prev, m_c)
+    alpha = jnp.exp2(m_prev - m_next)
+    w = jnp.exp2(m_c - m_next)
+    ml_scr[:, 0:1] = m_next
+    ml_scr[:, 1:2] = alpha * ml_scr[:, 1:2] + w * l_c
+    acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * w[:, :1]
+
+
+def decode_init_scratch(ml_scr, acc_scr):
+    ml_scr[...] = jnp.zeros_like(ml_scr)
+    ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], NEG_INIT)
+    acc_scr[...] = jnp.zeros_like(acc_scr)
+
+
+def decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype):
+    l = ml_scr[:, 1:2]
+    l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+    o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
+
 def _decode_kernel(
     q_ref,      # [1, 1, rows8, d] bf16/f32
     k_ref,      # [1, 1, chunk, d] int8
@@ -60,9 +128,7 @@ def _decode_kernel(
     *,
     chunk: int,
     n_kv: int,
-    rows: int,      # live rows = group * t_q (<= rows8)
     t_q: int,
-    group: int,
     sm_fold: float,  # sm_scale * log2e
     out_dtype,
 ):
@@ -71,66 +137,20 @@ def _decode_kernel(
 
     @pl.when(kv_idx == 0)
     def _init():
-        ml_scr[...] = jnp.zeros_like(ml_scr)
-        ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], NEG_INIT)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+        decode_init_scratch(ml_scr, acc_scr)
 
     # skip chunks entirely beyond the live length
     @pl.when(kv_idx * chunk < length)
     def _body():
-        # in-register per-row Q quant (bit-identical to the main kernel)
-        qb = q_ref[0, 0].astype(jnp.float32)            # [rows8, d]
-        amax = jnp.max(jnp.abs(qb), axis=1)[:, None]
-        qscale, r = inv_scale(amax, 127.0)
-        q_i8 = jnp.clip(round_half_away(qb * r), -127, 127).astype(
-            jnp.int8
+        decode_step_body(
+            q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
+            base_col=kv_idx * chunk, length=length, t_q=t_q,
+            sm_fold=sm_fold,
         )
-        s_i32 = jax.lax.dot_general(
-            q_i8, k_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # [rows8, chunk]
-        ks = ks_ref[0, 0, 0][None, :]                    # [1, chunk]
-        sf = s_i32.astype(jnp.float32) * (qscale * sm_fold) * ks
-
-        col = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 1) + (
-            kv_idx * chunk
-        )
-        valid = col < length
-        if t_q > 1:
-            # causal tail: query row (h, t) sees keys < length-t_q+1+t
-            trow = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 0) % t_q
-            valid = jnp.logical_and(valid, col < length - (t_q - 1) + trow)
-        sf = jnp.where(valid, sf, NEG_INIT)
-
-        m_c = jnp.max(sf, axis=1)[:, None]
-        m_c = jnp.maximum(m_c, NEG_INIT)  # all-masked chunk stays finite
-        p = jnp.where(valid, jnp.exp2(sf - m_c), 0.0)
-        l_c = jnp.sum(p, axis=1)[:, None]
-
-        # fold the per-token V scales into P, requantize per row, and run
-        # the PV dot int8 x int8 (V streams HBM -> MXU uncast)
-        pe = p * vs_ref[0, 0, 0][None, :]
-        pmax = jnp.max(pe, axis=1)[:, None]
-        psc, pr = inv_scale(pmax, 127.0)
-        p_q = (pe * pr + 0.5).astype(jnp.int8)  # pe >= 0: +0.5 rounds
-        pv = jax.lax.dot_general(
-            p_q, v_ref[0, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * psc  # [rows8, d]
-
-        m_prev = ml_scr[:, 0:1]
-        m_next = jnp.maximum(m_prev, m_c)
-        alpha = jnp.exp2(m_prev - m_next)
-        w = jnp.exp2(m_c - m_next)
-        ml_scr[:, 0:1] = m_next
-        ml_scr[:, 1:2] = alpha * ml_scr[:, 1:2] + w * l_c
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * w[:, :1]
 
     @pl.when(kv_idx == n_kv - 1)
     def _epilogue():
-        l = ml_scr[:, 1:2]
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
+        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
 
 
 @functools.partial(
@@ -184,8 +204,8 @@ def sage_decode_attention(
     grid = (b, hkv, n_kv)
     o = pl.pallas_call(
         functools.partial(
-            _decode_kernel, chunk=chunk, n_kv=n_kv, rows=rows, t_q=t_q,
-            group=group, sm_fold=sm_scale * LOG2E, out_dtype=out_dtype,
+            _decode_kernel, chunk=chunk, n_kv=n_kv, t_q=t_q,
+            sm_fold=sm_scale * LOG2E, out_dtype=out_dtype,
         ),
         grid=grid,
         in_specs=[

@@ -34,10 +34,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sageattention_tpu.quant import inv_scale, round_half_away
+from sageattention_tpu.ops.decode_pallas import (
+    decode_epilogue,
+    decode_init_scratch,
+    decode_step_body,
+)
 
 LOG2E = 1.4426950408889634
-NEG_INIT = -1e30
 
 
 def _paged_kernel(
@@ -58,68 +61,29 @@ def _paged_kernel(
     sm_fold: float,
     out_dtype,
 ):
+    """The page-table variant of decode_pallas._decode_kernel: identical
+    numerics (the shared decode_step_body), with the KV block coming
+    from the physical page the index maps selected via scalar prefetch
+    and the length read from the prefetched scalar array."""
     b_idx = pl.program_id(0)
     p_idx = pl.program_id(2)
     length = len_ref[b_idx]
 
     @pl.when(p_idx == 0)
     def _init():
-        ml_scr[...] = jnp.zeros_like(ml_scr)
-        ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], NEG_INIT)
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+        decode_init_scratch(ml_scr, acc_scr)
 
     @pl.when(p_idx * page < length)
     def _body():
-        qb = q_ref[0, 0].astype(jnp.float32)
-        amax = jnp.max(jnp.abs(qb), axis=1)[:, None]
-        qscale, r = inv_scale(amax, 127.0)
-        q_i8 = jnp.clip(round_half_away(qb * r), -127, 127).astype(
-            jnp.int8
+        decode_step_body(
+            q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
+            base_col=p_idx * page, length=length, t_q=t_q,
+            sm_fold=sm_fold,
         )
-        s_i32 = jax.lax.dot_general(
-            q_i8, k_ref[0, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        ks = ks_ref[0, 0, 0][None, :]
-        sf = s_i32.astype(jnp.float32) * (qscale * sm_fold) * ks
-
-        col = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 1) + (
-            p_idx * page
-        )
-        valid = col < length
-        if t_q > 1:
-            trow = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 0) % t_q
-            valid = jnp.logical_and(
-                valid, col < length - (t_q - 1) + trow
-            )
-        sf = jnp.where(valid, sf, NEG_INIT)
-
-        m_c = jnp.max(sf, axis=1)[:, None]
-        p = jnp.where(valid, jnp.exp2(sf - m_c), 0.0)
-        l_c = jnp.sum(p, axis=1)[:, None]
-
-        pe = p * vs_ref[0, 0, 0][None, :]
-        pmax = jnp.max(pe, axis=1)[:, None]
-        psc, pr = inv_scale(pmax, 127.0)
-        p_q = (pe * pr + 0.5).astype(jnp.int8)
-        pv = jax.lax.dot_general(
-            p_q, v_ref[0, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * psc
-
-        m_prev = ml_scr[:, 0:1]
-        m_next = jnp.maximum(m_prev, m_c)
-        alpha = jnp.exp2(m_prev - m_next)
-        w = jnp.exp2(m_c - m_next)
-        ml_scr[:, 0:1] = m_next
-        ml_scr[:, 1:2] = alpha * ml_scr[:, 1:2] + w * l_c
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * w[:, :1]
 
     @pl.when(p_idx == n_pages - 1)
     def _epilogue():
-        l = ml_scr[:, 1:2]
-        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
+        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
 
 
 @functools.partial(

@@ -242,18 +242,20 @@ class TestQuantPallasV:
                                            atol=1e-6)
 
     def test_v_blocked_two_pass_matches_spec(self):
-        """Slabs over the VMEM gate run the blocked two-pass kernels; amax
+        """The blocked two-pass kernels (slabs over the VMEM gate); amax
         is exact (max/min commute with blocking), the mean differs only in
         summation order, so int8 outputs match the spec up to possible
-        half-ULP rounding flips (none expected on random data)."""
+        half-ULP rounding flips (none expected on random data).  Calls
+        _quant_v_blocked directly so the test keeps exercising the
+        blocked path regardless of where the size gate sits."""
         from sageattention_tpu.ops import quant_pallas
 
-        # s * d * 2 bytes > 1 MB gate, ragged vs the 2048-row block
+        # ragged vs the 2048-row block (forces the tail mask)
         v = (jax.random.normal(jax.random.PRNGKey(9), (1, 1, 4500, 128))
              + 0.3).astype(jnp.bfloat16)
         for smooth in (False, True):
             ref = quant.per_channel_quant(v, dtype=jnp.int8, smooth=smooth)
-            got = quant_pallas.quant_v_per_channel(
+            got = quant_pallas._quant_v_blocked(
                 v, dtype=jnp.int8, smooth=smooth, interpret=True
             )
             a = np.asarray(got[0]).astype(np.int32)
