@@ -53,6 +53,15 @@ def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
     else:
         dt = jnp.int8 if pv_dtype == "int8" else jnp.float8_e4m3fn
         v_q, vs, _ = quant.per_channel_quant(v, dtype=dt)
+    rowsum_lane = None
+    if d <= 64:
+        # mirror core.py's production path: V pads to 128 lanes anyway, so
+        # a ones column at lane 64 makes the PV matmul emit sum(p) for free
+        rowsum_lane = 64
+        v_q = jnp.pad(v_q, ((0, 0), (0, 0), (0, 0), (0, 128 - v_q.shape[-1])))
+        v_q = v_q.at[:, :, :, rowsum_lane].set(jnp.ones((), v_q.dtype))
+        if vs is not None:
+            vs = jnp.pad(vs, ((0, 0), (0, 0), (0, 128 - vs.shape[-1])))
 
     fo = functools.partial(
         sage_attention_fused,
@@ -62,6 +71,7 @@ def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
         block_k=block_k,
         chunk_k=chunk_k,
         sub_q=sub_q,
+        rowsum_lane=rowsum_lane,
         **fused_kwargs,
     )
 

@@ -140,8 +140,12 @@ def default_config(
         cap = min(cap, 4096)
     sq_p = _pad128(sq)
     # small sequences: half-size Q blocks give the grid pipeline >= 2
-    # steps to overlap DMAs (measured at 512-1024; noise-level above)
-    block_q = min(sq_p, max(256, sq_p // 2)) if sq_p <= 1024 else 1024
+    # steps to overlap DMAs (measured at 512-1024; noise-level above);
+    # keep the block a multiple of the 128-row sub-tile
+    block_q = (
+        min(sq_p, max(256, sq_p // 2 // 128 * 128))
+        if sq_p <= 1024 else 1024
+    )
     block_k = min(cap, _pad128(sk))
     if block_k <= 4096:
         chunk = block_k
