@@ -36,10 +36,10 @@ def main():
         rng = lambda i, sh: jax.random.normal(
             jax.random.PRNGKey(i), sh, jnp.bfloat16
         )
-        cache = kvcache.init_kv_cache(b, hkv, S, d)
+        cache = kvcache.init_kv_cache(b, args.kv_heads, S, d)
         lengths = jnp.zeros((b,), jnp.int32)
-        k = rng(1, (b, hkv, S, d))
-        v = rng(2, (b, hkv, S, d))
+        k = rng(1, (b, args.kv_heads, S, d))
+        v = rng(2, (b, args.kv_heads, S, d))
         cache, lengths = kvcache.append_kv(cache, lengths, k, v)
         q = rng(3, (b, hq, 1, d))
 
@@ -61,10 +61,32 @@ def main():
             )
 
         t_xla = device_time(xla_decode, (q, k, v), n=10)
+
+        # paged variant: scrambled physical pages, 4096-token pages
+        page = min(4096, S)
+        n_pg = S // page
+        pt = jax.random.permutation(
+            jax.random.PRNGKey(9), b * n_pg
+        ).reshape(b, n_pg).astype(jnp.int32)
+        pcache = kvcache.init_paged_kv_cache(
+            b * n_pg, hkv, d, pt, page_size=page
+        )
+        pcache, plens = kvcache.paged_prefill(pcache, k, v)
+        t_paged = device_time(
+            lambda i, c, q, pk, pks, pv, pvs:
+            kvcache.sageattn_paged_decode(
+                q + (c * 1e-30).astype(q.dtype),
+                kvcache.PagedKVCache(pk, pks, pv, pvs, pt), plens),
+            (q, pcache.pages_k, pcache.pages_k_scale, pcache.pages_v,
+             pcache.pages_v_scale),
+            n=10,
+        )
         cache_bytes = 2 * b * hkv * S * d  # int8 K + V
         print(
             f"S={S:6d}: sage {t_sage*1e6:7.0f} us "
             f"({cache_bytes/t_sage/1e9:5.0f} GB/s cache read)  "
+            f"paged {t_paged*1e6:7.0f} us "
+            f"({cache_bytes/t_paged/1e9:5.0f} GB/s)  "
             f"xla-bf16 {t_xla*1e6:8.0f} us  ratio {t_xla/t_sage:6.2f}x",
             flush=True,
         )
