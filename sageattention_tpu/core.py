@@ -180,15 +180,24 @@ def _sageattn_hnd(
         q_in = q
         score_col_bias = None
     q_fold = None
+    k_inkernel = False  # see the measured-neutral note below
     if qk_quant_gran == "auto":
         if impl == "pallas":
             # Q quantizes INSIDE the attention kernel (bit-identical to
             # the quant_q_per_token prologue; zero extra HBM traffic —
-            # the kernel reads bf16 Q directly).  K keeps its fused
-            # prologue kernel (ops/quant_pallas.py; the reference's
-            # _fused extension, csrc/fused/fused.cu).
+            # the kernel reads bf16 Q directly).  When the whole KV row
+            # is one grid step, K does too (its block is resident across
+            # q blocks, so a q_idx==0 scratch quant replaces the whole
+            # K prologue) — the remaining prologue is then just the
+            # K-mean reduction (+ V quant for int8 V).
             q_i8, q_scale = q_in, None  # unquantized; kernel quantizes
             q_fold = sm_scale * LOG2E
+            # K keeps its prologue kernel: fusing K quant into the
+            # single-step kernel (k_inkernel, implemented and tested)
+            # measured op-total-NEUTRAL at 4k-8k — the quant moves onto
+            # the kernel's q_idx==0 critical path instead of
+            # overlapping — and pushes 16k past the VMEM budget, so the
+            # prologue stays the default.
             k_i8, k_scale = quant_pallas.quant_k_chunked(
                 k, km, group=chunk_k, bits=qk_bits, interpret=_on_cpu()
             )
@@ -346,6 +355,9 @@ def _sageattn_hnd(
             )
     q_i8 = _pad_axis(_pad_axis(q_i8, 3, d_pad), 2, sq_pad)
     k_i8 = _pad_axis(_pad_axis(k_i8, 3, d_pad), 2, sk_pad)
+    km_pad = (
+        _pad_axis(km, 2, d_pad) if (k_inkernel and km is not None) else None
+    )
     # Free-lane rowsum: head_dim <= 64 pads V to 128 lanes anyway, so a
     # ones column at lane 64 makes the PV matmul emit sum(p) and the
     # kernel skips its VPU cross-lane sum (reference rowsum-via-MMA:
@@ -358,13 +370,14 @@ def _sageattn_hnd(
         v_q = v_q.at[:, :, :, rowsum_lane].set(one)
     if q_scale is not None:
         q_scale = _pad_axis(q_scale, 2, sq_pad)
-    if k_scale.shape[-1] == sk:
-        k_scale = _pad_axis(k_scale, 2, sk_pad)
-    else:
-        # chunked K scales [b,hkv,ceil(sk/chunk_k)]: extend to the padded
-        # chunk count (pad chunks are masked out via the segment ids added
-        # above, so the value is irrelevant).
-        k_scale = _pad_axis(k_scale, 2, -(-sk_pad // chunk_k))
+    if k_scale is not None:
+        if k_scale.shape[-1] == sk:
+            k_scale = _pad_axis(k_scale, 2, sk_pad)
+        else:
+            # chunked K scales [b,hkv,ceil(sk/chunk_k)]: extend to the
+            # padded chunk count (pad chunks are masked out via the
+            # segment ids added above, so the value is irrelevant).
+            k_scale = _pad_axis(k_scale, 2, -(-sk_pad // chunk_k))
     if v_scale is not None:
         v_scale = _pad_axis(v_scale, 2, d_v)
     if v_mean is not None:
@@ -386,6 +399,8 @@ def _sageattn_hnd(
         kv_positions,
         score_col_bias,
         mask_i8,
+        km_pad,
+        k_inkernel=k_inkernel,
         is_causal=is_causal,
         pv_dtype=pv_dtype,
         # bits=4 quantizers clamp to +-7, so the kernel runs the QK dot on

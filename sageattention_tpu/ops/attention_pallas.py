@@ -184,6 +184,7 @@ def _compute_parts(
     qk_int4: bool = False,
     q_fold: float | None = None,
     window: int | None = None,
+    k_from_scratch: bool = False,
     rowsum_lane: int | None = None,
     diag_static: bool = False,
     scale_group: int | None = None,
@@ -242,7 +243,10 @@ def _compute_parts(
 
     def qk(item):
         qi, c = item
-        k = k_ref[0, 0, cb[c][0]:cb[c][1], :]
+        if k_from_scratch:
+            k = k_ref[cb[c][0]:cb[c][1], :]   # 2D VMEM scratch
+        else:
+            k = k_ref[0, 0, cb[c][0]:cb[c][1], :]
         qq = subs[qi]
         if qk_int4:
             # int4 MXU runs ~2x the int8 rate on this chip (measured 725
@@ -652,9 +656,13 @@ def _kernel_single(
     cbias_ref,
     mask_ref,
     msum_ref,
+    km_ref,
     o_ref,
     lse_ref,
+    kq_scr=None,
+    kss_scr=None,
     *,
+    k_inkernel: bool = False,
     causal: bool,
     k_scale_blocked: bool,
     has_v_scale: bool,
@@ -684,13 +692,46 @@ def _kernel_single(
         has_segments or has_positions or causal or mask_ref is not None
     )
 
+    if k_inkernel:
+        # Quantize K ONCE per (b, kv head) into scratch: the K block's
+        # DMA already happens once (its index map is constant across q
+        # blocks), so quantizing at q_idx == 0 moves the whole K-quant
+        # prologue into the kernel with zero extra HBM traffic (the same
+        # trick as the in-kernel Q quant, amortized via scratch).  The
+        # chain is bit-identical to quant_k_chunked's.  MEASURED
+        # op-total-NEUTRAL at 4k-8k (the quant sits on the q_idx==0
+        # critical path instead of overlapping) and VMEM-heavy at 16k,
+        # so core.py keeps the K prologue; the mode stays available and
+        # tested.
+        from sageattention_tpu.quant import inv_scale, round_half_away
+
+        @pl.when(q_idx == 0)
+        def _quant_k():
+            x = k_ref[0, 0].astype(jnp.float32)  # [block_k, d]
+            if km_ref is not None:
+                x = x - km_ref[0, 0]
+            for c in range(n_chunks):
+                rows = slice(c * chunk_k, min((c + 1) * chunk_k, block_k))
+                xc = x[rows, :]
+                amax = jnp.max(jnp.abs(xc))
+                scale, r = inv_scale(amax, 127.0)
+                kq_scr[rows, :] = jnp.clip(
+                    round_half_away(xc * r), -127, 127
+                ).astype(jnp.int8)
+                kss_scr[0, 0, 0, c] = scale
+
+        k_ref_eff, ks_ref_eff = kq_scr, kss_scr
+    else:
+        k_ref_eff, ks_ref_eff = k_ref, ks_ref
+
     parts = _compute_parts(
         q_idx=q_idx,
         kv_idx=0,
         q_ref=q_ref,
         qs_ref=qs_ref,
-        k_ref=k_ref,
-        ks_ref=ks_ref,
+        k_ref=k_ref_eff,
+        ks_ref=ks_ref_eff,
+        k_from_scratch=k_inkernel,
         v_ref=v_ref,
         qseg_ref=qseg_ref,
         kseg_ref=kseg_ref,
@@ -746,6 +787,7 @@ def _kernel_single(
         "qk_int4",
         "q_fold",
         "window",
+        "k_inkernel",
         "return_lse",
         "block_q",
         "block_k",
@@ -771,7 +813,9 @@ def sage_attention_fused(
     kv_positions: jax.Array | None = None,
     score_col_bias: jax.Array | None = None,
     attn_mask_i8: jax.Array | None = None,
+    k_mean: jax.Array | None = None,
     *,
+    k_inkernel: bool = False,
     is_causal: bool = False,
     pv_dtype: str = "int8",
     pv_compute: str = "bf16",
@@ -831,15 +875,19 @@ def sage_attention_fused(
     assert block_k % chunk_k == 0 or n_kv == 1, (block_k, chunk_k, n_kv)
     n_chunks_total = -(-sk // chunk_k)
     # k_scale layout: per-row vector [b, hkv, sk] (reference-parity modes)
-    # or one scalar per chunk [b, hkv, n_chunks_total] (fast path).
-    k_scale_blocked = (
-        k_scale.shape[-1] == n_chunks_total and n_chunks_total != sk
-    )
-    if k_scale.shape[-1] not in (sk, n_chunks_total):
-        raise ValueError(
-            f"k_scale last dim {k_scale.shape[-1]} must be kv_len {sk} "
-            f"(per-row) or n_chunks {n_chunks_total} (per-chunk)"
+    # or one scalar per chunk [b, hkv, n_chunks_total] (fast path); with
+    # k_inkernel the scales live in kernel scratch instead.
+    if k_inkernel:
+        k_scale_blocked = True
+    else:
+        k_scale_blocked = (
+            k_scale.shape[-1] == n_chunks_total and n_chunks_total != sk
         )
+        if k_scale.shape[-1] not in (sk, n_chunks_total):
+            raise ValueError(
+                f"k_scale last dim {k_scale.shape[-1]} must be kv_len "
+                f"{sk} (per-row) or n_chunks {n_chunks_total} (per-chunk)"
+            )
 
     has_v_scale = v_scale is not None
     has_v_mean = v_mean is not None
@@ -864,6 +912,11 @@ def sage_attention_fused(
     # pl.when regions, and the 4th grid dimension all drop away (measured
     # ~10% on the headline shape).
     single_step = n_kv == 1
+    if k_inkernel:
+        assert single_step, (
+            "k_inkernel requires the whole-KV single-step grid (the K "
+            "block must be resident across q blocks)"
+        )
     grid = (b, hq, n_q) if single_step else (b, hq, n_q, n_kv)
 
     def mk(shape, f4, **kw):
@@ -916,7 +969,9 @@ def sage_attention_fused(
     # Scale/segment operands are reshaped so their trailing two dims satisfy
     # Mosaic's tile rules AND land in the kernel in broadcast-ready form:
     # Q-side vectors as columns [s, 1], KV-side vectors as rows [1, s].
-    if k_scale_blocked:
+    if k_inkernel:
+        ks_spec = ks_in = None  # scales live in kernel scratch
+    elif k_scale_blocked:
         # the whole per-chunk scale row rides in SMEM (tiny)
         ks_spec = mk(
             (1, 1, 1, n_chunks_total), ksm_all, memory_space=pltpu.SMEM
@@ -940,21 +995,22 @@ def sage_attention_fused(
         assert q_i8.dtype != jnp.int8, (
             "q_fold given but q is already int8"
         )
+    if k_inkernel:
+        assert k_scale is None and k_i8.dtype != jnp.int8, (
+            "k_inkernel takes unquantized K and no k_scale"
+        )
     in_specs = [mk((1, 1, block_q, d), qm)]
     inputs = [q_i8]
     if has_q_scale:
         in_specs.append(mk((1, 1, block_q, 1), qm))
         inputs.append(q_scale.astype(jnp.float32)[..., None])  # [b,hq,sq,1]
-    in_specs += [
-        mk((1, 1, block_k, d), km),
-        ks_spec,
-        mk((1, 1, block_k, d_v), km),
-    ]
-    inputs += [
-        k_i8,
-        ks_in,
-        v_q,
-    ]
+    in_specs.append(mk((1, 1, block_k, d), km))
+    inputs.append(k_i8)
+    if not k_inkernel:
+        in_specs.append(ks_spec)
+        inputs.append(ks_in)
+    in_specs.append(mk((1, 1, block_k, d_v), km))
+    inputs.append(v_q)
     vchan_spec = mk(
         (1, 1, 1, d_v), lambda ib, ih, iq, ik: (ib, ih // group, 0, 0)
     )
@@ -1040,6 +1096,13 @@ def sage_attention_fused(
             )
         )
         inputs.append(msum)
+    has_km = k_inkernel and k_mean is not None
+    if has_km:
+        in_specs.append(
+            mk((1, 1, 1, d),
+               lambda ib, ih, iq, ik: (ib, ih // group, 0, 0))
+        )
+        inputs.append(k_mean.astype(jnp.float32)[:, :, None, :])
 
     out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype)]
     out_specs = [mk((1, 1, block_q, d), qm)]
@@ -1068,7 +1131,9 @@ def sage_attention_fused(
         out_dtype=out_dtype,
     )
     if single_step:
-        inner = functools.partial(_kernel_single, **statics)
+        inner = functools.partial(
+            _kernel_single, k_inkernel=k_inkernel, **statics
+        )
     else:
         inner = functools.partial(
             _kernel, n_kv=n_kv,
@@ -1077,13 +1142,14 @@ def sage_attention_fused(
 
     def kernel(*refs):
         refs = list(refs)
-        if has_q_scale:
-            q_ref, qs_ref, k_ref, ks_ref, v_ref = refs[:5]
-            pos = 5
-        else:
-            q_ref, k_ref, ks_ref, v_ref = refs[:4]
-            qs_ref = None
-            pos = 4
+        pos = 0
+        q_ref = refs[pos]; pos += 1
+        qs_ref = refs[pos] if has_q_scale else None
+        pos += has_q_scale
+        k_ref = refs[pos]; pos += 1
+        ks_ref = refs[pos] if not k_inkernel else None
+        pos += not k_inkernel
+        v_ref = refs[pos]; pos += 1
         vs_ref = refs[pos] if has_v_scale else None
         pos += has_v_scale
         vm_ref = refs[pos] if has_v_mean else None
@@ -1100,18 +1166,20 @@ def sage_attention_fused(
         pos += has_mask
         msum_ref = refs[pos] if has_summary else None
         pos += has_summary
+        km_ref = refs[pos] if has_km else None
+        pos += has_km
         o_ref = refs[pos]
         lse_ref = refs[pos + 1] if return_lse else None
         args = (
             q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, vm_ref,
             qseg_ref, kseg_ref, qpos_ref, kpos_ref, cbias_ref,
             mask_ref, msum_ref,
-            o_ref, lse_ref,
         )
         if single_step:
-            inner(*args)
+            scr = refs[-2:] if k_inkernel else ()
+            inner(*args, km_ref, o_ref, lse_ref, *scr)
         else:
-            inner(*args, *refs[-2:])
+            inner(*args, o_ref, lse_ref, *refs[-2:])
 
     # FLOPs: 2*sq*sk*d (QK) + 2*sq*sk*d (PV) per (b, h); halved by causal.
     flops = 4 * b * hq * sq * sk * d // (2 if is_causal else 1)
@@ -1125,13 +1193,27 @@ def sage_attention_fused(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[] if single_step else [
-            pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-            pltpu.VMEM((block_q, d_v), jnp.float32),
-        ],
+        scratch_shapes=(
+            (
+                [
+                    pltpu.VMEM((block_k, d), jnp.int8),
+                    pltpu.SMEM((1, 1, 1, n_chunks_total), jnp.float32),
+                ]
+                if k_inkernel else []
+            )
+            if single_step else [
+                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                pltpu.VMEM((block_q, d_v), jnp.float32),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",) * 3 if single_step
-            else ("parallel", "parallel", "parallel", "arbitrary"),
+            # with in-kernel K quant the q axis carries scratch state
+            dimension_semantics=(
+                ("parallel", "parallel",
+                 "arbitrary" if k_inkernel else "parallel")
+                if single_step
+                else ("parallel", "parallel", "parallel", "arbitrary")
+            ),
             # The 16 MB scoped-vmem default is a compiler limit, not the
             # hardware's (v5e runs 120 MB scratch fine, measured); raise it
             # so block configs are chosen by measured speed, not the

@@ -161,3 +161,38 @@ class TestFusedVsOracle:
             q_i8, qs, k_i8, ks, v_q, out_dtype=jnp.float32
         )
         np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), atol=2e-2)
+
+
+class TestInKernelKQuant:
+    """k_inkernel: single-step kernels can quantize K from bf16 in
+    scratch (bit-identical chain to quant_k_chunked).  Measured
+    op-total-neutral, so core keeps the prologue; the capability stays
+    tested here."""
+
+    def test_matches_prologue_path(self):
+        import numpy as np
+        from sageattention_tpu import quant
+        from sageattention_tpu.ops import attention_pallas as ap
+
+        LOG2E = 1.4426950408889634
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 512, 64))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 512, 64)) + 1.0
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 512, 64))
+        km = jnp.mean(k.astype(jnp.float32), axis=-2)
+        sm = 64 ** -0.5
+        k_sm = k.astype(jnp.float32) - km[..., None, :]
+        ki, ks = quant.quant_int8_block_scales(k_sm, group=512)
+        o_ref = ap.sage_attention_fused(
+            q.astype(jnp.float32), None, ki, ks, v.astype(jnp.bfloat16),
+            q_fold=sm * LOG2E, pv_dtype="bf16",
+            block_q=256, block_k=512, chunk_k=512, interpret=True,
+        )
+        o_fused = ap.sage_attention_fused(
+            q.astype(jnp.float32), None, k.astype(jnp.float32), None,
+            v.astype(jnp.bfloat16), k_mean=km, k_inkernel=True,
+            q_fold=sm * LOG2E, pv_dtype="bf16",
+            block_q=256, block_k=512, chunk_k=512, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(o_fused, np.float32), np.asarray(o_ref, np.float32)
+        )
