@@ -99,7 +99,9 @@ def main():
     def flops(s, d, causal):
         return 4 * b * h * d * s * s // (2 if causal else 1)
 
-    results = []  # (metric, tops, ratio)
+    # each metric emits AS SOON as it is measured (headline first), so a
+    # driver-side timeout still captures everything finished so far
+    head = None
     for d, s, causal, n in [
         (128, 4096, False, 10),
         (128, 4096, True, 10),
@@ -125,14 +127,13 @@ def main():
         tag = f"s{s}_hd{d}" + ("_causal" if causal else "")
         log(f"kernel {tag}: sage {t_sage*1e3:.3f} ms = {tops:.1f} TOPS, "
             f"flash {tops_base:.1f}, ratio {ratio:.3f}")
-        results.append((tag, tops, ratio))
-
-    # headline first (same metric name as round 1 for continuity)
-    head = results[0]
-    emit("sage_attention_kernel_TOPS_b4h32s4096hd128", head[1], "TOPS",
-         head[2])
-    for tag, tops, ratio in results[1:]:
-        emit(f"sage_kernel_TOPS_{tag}", tops, "TOPS", ratio)
+        if head is None:
+            head = (tag, tops, ratio)
+            # headline keeps the round-1 metric name for continuity
+            emit("sage_attention_kernel_TOPS_b4h32s4096hd128", tops,
+                 "TOPS", ratio)
+        else:
+            emit(f"sage_kernel_TOPS_{tag}", tops, "TOPS", ratio)
 
     # op-total (quant prologue included) at the headline shape
     from sageattention_tpu import sageattn
