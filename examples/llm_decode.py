@@ -6,8 +6,12 @@ The decode step streams the quantized cache once per token — int8 K/V
 halves the bytes and the footprint vs a bf16 cache, which is the decode
 bottleneck at long context.
 
+``--paged`` switches the per-layer caches to the vLLM-style paged pool
+(page-table appends + scalar-prefetch decode gather) — same loop, same
+tokens, pages can live anywhere in the pool.
+
 Usage: python examples/llm_decode.py [--scale 0.1] [--prompt_len 512]
-       [--gen 32] [--max_len 4096]
+       [--gen 32] [--max_len 4096] [--paged] [--page_size 1024]
 """
 
 import argparse
@@ -31,6 +35,9 @@ def main():
     ap.add_argument("--gen", type=int, default=32)
     ap.add_argument("--max_len", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--paged", action="store_true",
+                    help="serve from the paged KV pool (vLLM-style)")
+    ap.add_argument("--page_size", type=int, default=1024)
     args = ap.parse_args()
 
     base = MODEL_CONFIGS["llm-7b"]
@@ -51,7 +58,12 @@ def main():
     )
     params = model.init(jax.random.PRNGKey(1), toks[:, :8])
 
-    caches = model.init_caches(b, args.max_len)
+    if args.paged:
+        caches = model.init_paged_caches(
+            b, args.max_len, page_size=args.page_size
+        )
+    else:
+        caches = model.init_caches(b, args.max_len)
     lengths = jnp.zeros((b,), jnp.int32)
 
     prefill = jax.jit(
@@ -84,9 +96,11 @@ def main():
     cur.block_until_ready()
     dt = time.time() - t0
     n = args.gen - 1
+    kind = (f"paged int8 cache, {args.page_size}-token pages"
+            if args.paged else "int8 KV cache")
     print(f"decode: {n} tokens in {dt:.3f}s = "
           f"{n * b / max(dt, 1e-9):.1f} tok/s "
-          f"(int8 KV cache, context {int(lengths[0])})")
+          f"({kind}, context {int(lengths[0])})")
     print("generated token ids:", [int(t[0, 0]) for t in out][:16], "...")
 
 

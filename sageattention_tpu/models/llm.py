@@ -65,7 +65,15 @@ class LLMBlock(nn.Module):
         k = rope(to_hnd(k, c.kv_heads), positions)
         v = to_hnd(v, c.kv_heads)
         new_cache = None
-        if cache is not None:
+        if isinstance(cache, kvcache.PagedKVCache):
+            # vLLM-style paged serving: appends follow the page table,
+            # decode gathers physical pages via scalar prefetch
+            new_cache, new_len = kvcache.paged_append(cache, lengths, k, v)
+            if decode:
+                o = kvcache.sageattn_paged_decode(q, new_cache, new_len)
+            else:
+                o = _attention(q, k, v, is_causal=True)
+        elif cache is not None:
             new_cache, new_len = kvcache.append_kv(cache, lengths, k, v)
             if decode:
                 o = kvcache.sageattn_decode(q, new_cache, new_len)
@@ -129,5 +137,25 @@ class CausalLM(nn.Module):
         c = self.cfg
         return [
             kvcache.init_kv_cache(b, c.kv_heads, max_len, c.head_dim)
+            for _ in range(c.depth)
+        ]
+
+    def init_paged_caches(
+        self, b: int, max_len: int, page_size: int = 1024,
+        page_table: jax.Array | None = None,
+    ):
+        """Per-layer paged pools sized for ``b`` sequences of ``max_len``
+        tokens.  Default policy: a linear page table (sequence i owns
+        pages [i*n, (i+1)*n)); pass ``page_table`` [b, n] for any other
+        physical assignment — the kernel gathers through it either way."""
+        c = self.cfg
+        n = -(-max_len // page_size)
+        if page_table is None:
+            page_table = jnp.arange(b * n, dtype=jnp.int32).reshape(b, n)
+        return [
+            kvcache.init_paged_kv_cache(
+                b * n, c.kv_heads, c.head_dim, page_table,
+                page_size=page_size,
+            )
             for _ in range(c.depth)
         ]

@@ -557,7 +557,7 @@ def _kernel(
         rowsum_lane=rowsum_lane,
     )
 
-    if causal and block_q == block_k and window is None:
+    if causal and block_q == block_k:
         # Diagonal-split causal: blocks strictly below the diagonal
         # (kv_idx < q_idx) run completely unmasked; the diagonal block
         # (kv_idx == q_idx) uses trace-time item skipping and static
@@ -566,29 +566,60 @@ def _kernel(
         # VPU masking pass from the sub-diagonal bulk of the work —
         # the reference's two-phase causal structure
         # (reference: triton/attn_qk_int8_per_block_causal.py:105-115).
-        @pl.when(_and_live(kv_idx < q_idx))
+        if window is None:
+            interior = kv_idx < q_idx
+            edge = kv_idx == q_idx  # handled by the static-diag region
+        else:
+            # sliding window: a block is mask-free only when every row of
+            # the q block sees every column — strictly below the diagonal
+            # AND past the window's left edge for the block's LAST row.
+            # The diagonal and both straddles share one dynamic-mask
+            # region (the same band formula covers top and bottom edges).
+            live = jnp.logical_and(
+                kv_idx <= q_idx,
+                kv_idx * block_k + block_k - 1 > q_idx * block_q - window,
+            )
+            interior = jnp.logical_and(
+                kv_idx < q_idx,
+                kv_idx * block_k >= q_idx * block_q + block_q - window,
+            )
+            edge = jnp.logical_and(live, jnp.logical_not(interior))
+
+        @pl.when(_and_live(interior))
         def _below():
             parts = _compute_parts(
                 q_idx=q_idx, kv_idx=kv_idx, causal=False, **common
             )
             _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
 
-        @pl.when(_and_live(kv_idx == q_idx))
-        def _diag():
-            # The diagonal region runs half-width chunks: Mosaic allocates
-            # the two pl.when regions' buffers additively, so the diag's
-            # tiles must be smaller for both regions to fit VMEM at the
-            # full below-diagonal chunk width.  The K-scale group stays the
-            # quantizer's (scale_group), indexed by global column.
-            diag = dict(common)
-            diag["scale_group"] = chunk_k
-            diag["chunk_k"] = diag_chunk_k
-            diag["n_chunks"] = -(-block_k // diag_chunk_k)
-            parts = _compute_parts(
-                q_idx=q_idx, kv_idx=kv_idx, causal=False, diag_static=True,
-                **diag
-            )
-            _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
+        if window is not None:
+            @pl.when(_and_live(edge))
+            def _edge():
+                parts = _compute_parts(
+                    q_idx=q_idx, kv_idx=kv_idx, causal=True, **common
+                )
+                _merge_into_scratch(
+                    parts, n_sub, sub_q, ml_scr, acc_scr
+                )
+
+        if window is None:
+            @pl.when(_and_live(edge))
+            def _diag():
+                # The diagonal region runs half-width chunks: Mosaic
+                # allocates the two pl.when regions' buffers additively,
+                # so the diag's tiles must be smaller for both regions to
+                # fit VMEM at the full below-diagonal chunk width.  The
+                # K-scale group stays the quantizer's (scale_group),
+                # indexed by global column.
+                diag = dict(common)
+                diag["scale_group"] = chunk_k
+                diag["chunk_k"] = diag_chunk_k
+                diag["n_chunks"] = -(-block_k // diag_chunk_k)
+                parts = _compute_parts(
+                    q_idx=q_idx, kv_idx=kv_idx, causal=False,
+                    diag_static=True, **diag
+                )
+                _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
 
     else:
         if causal:

@@ -389,6 +389,16 @@ class TestSlidingWindow:
                         pv_dtype="bf16", block_q=256, block_k=256)
         assert cosine(o, self._band_ref(q, k, v, 300)) > 0.999
 
+    def test_window_diag_split_interior_blocks(self):
+        """Window wide enough (W > 2*block) that the diagonal-split path
+        runs fully-unmasked interior blocks between the two band edges;
+        checks interior / edge / dead-block classification at equal
+        Q/KV blocks."""
+        q, k, v = (rand(i + 240, (1, 2, 2048, 64)) for i in range(3))
+        o = sa.sageattn(q, k, v, is_causal=True, window=1024,
+                        pv_dtype="bf16", block_q=256, block_k=256)
+        assert cosine(o, self._band_ref(q, k, v, 1024)) > 0.999
+
     def test_window_gqa_gradients(self):
         q = rand(220, (1, 4, 256, 64))
         k, v = rand(221, (1, 2, 256, 64)), rand(222, (1, 2, 256, 64))

@@ -160,6 +160,54 @@ class TestCachedGeneration:
         )
 
 
+    def test_paged_loop_matches_dense_loop(self):
+        """The generate loop over paged caches (page-table appends +
+        scalar-prefetch decode) must produce the same tokens as the
+        dense int8-cache loop."""
+        from sageattention_tpu import models
+        from sageattention_tpu.models.configs import MODEL_CONFIGS
+
+        cfg = MODEL_CONFIGS["llm-7b"].scaled(
+            depth=2, hidden=128, heads=4, kv_heads=2, head_dim=32,
+            vocab=128, mlp_hidden=256,
+        )
+        model = models.CausalLM(cfg)
+        b, n_prompt, n_gen, max_len = 2, 12, 5, 64
+        toks = jax.random.randint(
+            jax.random.PRNGKey(3), (b, n_prompt), 0, 128
+        )
+        params = model.init(jax.random.PRNGKey(4), toks)
+
+        def run(caches):
+            lengths = jnp.zeros((b,), jnp.int32)
+            logits, caches = model.apply(
+                params, toks, caches=caches, lengths=lengths
+            )
+            lengths = lengths + n_prompt
+            out = []
+            cur = jnp.argmax(logits[:, -1:], axis=-1)
+            for _ in range(n_gen):
+                out.append(cur)
+                logits_d, caches = model.apply(
+                    params, cur, caches=caches, lengths=lengths,
+                    decode=True,
+                )
+                lengths = lengths + 1
+                cur = jnp.argmax(logits_d[:, -1:], axis=-1)
+            return np.asarray(jnp.concatenate(out, axis=1))
+
+        dense = run(model.init_caches(b, max_len))
+        # scrambled physical pages: permute the default linear table
+        n_pages = -(-max_len // 16)
+        perm = jax.random.permutation(
+            jax.random.PRNGKey(5), b * n_pages
+        ).reshape(b, n_pages).astype(jnp.int32)
+        paged = run(model.init_paged_caches(
+            b, max_len, page_size=16, page_table=perm
+        ))
+        np.testing.assert_array_equal(dense, paged)
+
+
 class TestPagedDecode:
     """vLLM-style paged cache: scalar-prefetch page-table gather."""
 
