@@ -192,6 +192,27 @@ def main():
     emit("sage_kernel_vs_ceiling_s4096_hd128", head[1], "TOPS",
          head[1] / tops_i8)
 
+    # sliding-window causal (Mistral/Gemma prefill shape): block-aligned
+    # windows ride the static-edge band grid; vs_baseline here is the
+    # speedup over the full-causal sage kernel at the same shape (flash
+    # has no window mode to compare against)
+    s, d, W = 16384, 128, 4096
+    from bench.bench_kernel import bench_one
+    from sageattention_tpu.ops.attention_pallas import default_config
+
+    bq, bk, sub, ck = default_config(s, s, d, True)
+    _, t_win = bench_one(
+        b, h, s, d, causal=True, pv_dtype="int8", quant_gran="auto",
+        block_q=bq, block_k=bk, chunk_k=ck, sub_q=sub, window=W,
+    )
+    t_full = sage_kernel_time(b, h, s, d, True, n=5)
+    band = W * (W + 1) // 2 + (s - W) * W
+    tops_win = 4 * b * h * d * band / t_win / 1e12
+    log(f"window s{s} W{W}: {t_win*1e3:.3f} ms = {tops_win:.1f} band-TOPS, "
+        f"{t_full/t_win:.2f}x full causal")
+    emit("sage_window_TOPS_s16384_W4096", tops_win, "TOPS",
+         t_full / t_win)
+
     # decode over the int8 KV cache (serving path, beyond the reference):
     # per-token latency at 32k context; vs_baseline = XLA bf16-cache
     # decode time ratio

@@ -150,6 +150,22 @@ class TestFusedVsOracle:
         o_ref = reference.attention_reference(q, k, v, is_causal=True)
         assert cosine(o, o_ref) > 0.999
 
+    def test_causal_fold_grid_multiblock(self):
+        """Plain causal at equal multi-blocks rides the fold grid (q rows
+        f and n_q-1-f packed into one grid row, every step live); odd
+        n_q falls back to the rectangular grid.  Both must match the
+        fp32 reference."""
+        for sq, blk in ((512, 128), (640, 128)):  # n_q = 4 (fold), 5 (rect)
+            q, k, v = make_inputs(sq=sq, sk=sq, seed=80)
+            q_i8, qs, k_i8, ks, v_q, _, _ = quantize_all(q, k, v)
+            o = sage_attention_fused(
+                q_i8, qs, k_i8, ks, v_q,
+                is_causal=True, pv_dtype="bf16", block_q=blk, block_k=blk,
+                chunk_k=blk, interpret=True, out_dtype=jnp.float32,
+            )
+            o_ref = reference.attention_reference(q, k, v, is_causal=True)
+            assert cosine(o, o_ref) > 0.999, (sq, blk)
+
     def test_rectangular_kv(self):
         q, k, v = make_inputs(sq=128, sk=384, seed=70)
         q_i8, qs, k_i8, ks, v_q, _, _ = quantize_all(q, k, v)
