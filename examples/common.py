@@ -116,12 +116,22 @@ def run_video_example(name: str, args, model_cls=None) -> None:
           f"({args.steps} steps, seq {cfg.seq_len})")
 
     if args.compare:
-        models.set_attention_backend("sdpa")
-        eps_ref = model.apply(params, lat, txt, jnp.array([500] * b))
-        models.set_attention_backend(args.attention_type)
-        eps = model.apply(params, lat, txt, jnp.array([500] * b))
-        print(f"output parity vs sdpa: cosine="
-              f"{cosine_similarity(eps, eps_ref):.6f}")
+        try:
+            models.set_attention_backend("sdpa")
+            eps_ref = model.apply(params, lat, txt, jnp.array([500] * b))
+            models.set_attention_backend(args.attention_type)
+            eps = model.apply(params, lat, txt, jnp.array([500] * b))
+            print(f"output parity vs sdpa: cosine="
+                  f"{cosine_similarity(eps, eps_ref):.6f}")
+        except Exception as e:
+            # at full video geometry XLA SDPA materializes the
+            # [b, h, s, s] score tensor (38 GB at CogVideoX's 17776 —
+            # more than HBM); the sage kernel has no such tensor, which
+            # is the point.  Compare at --scale <= 0.5 instead.
+            models.set_attention_backend(args.attention_type)
+            print(f"sdpa comparison unavailable at this shape "
+                  f"({type(e).__name__}: score tensor exceeds HBM? "
+                  f"use a smaller --scale to compare)")
 
     # peak memory, where the backend exposes it
     try:

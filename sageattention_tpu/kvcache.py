@@ -100,7 +100,9 @@ def append_kv(
     return cache, lengths + k_new.shape[2]
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "window", "interpret")
+)
 def sageattn_decode(
     q: jax.Array,            # [b, hq, t_q, d]
     cache: QuantKVCache,
@@ -108,13 +110,17 @@ def sageattn_decode(
                              # tokens q corresponds to
     *,
     sm_scale: float | None = None,
+    window: int | None = None,
     interpret: bool = False,
 ):
     """Decode attention of the current query tokens against the cache.
 
     The caller appends the step's K/V first (append_kv), then calls this
     with the updated lengths; with t_q > 1 the causal tail applies
-    within the new tokens (speculative / chunked decode)."""
+    within the new tokens (speculative / chunked decode).  ``window``
+    (Mistral/Gemma-style sliding window): each query attends only its
+    last ``window`` keys, and the kernel reads only the cache chunks the
+    window reaches — per-step cost O(window) at any context length."""
     return decode_pallas.sage_decode_attention(
         q,
         cache.k_i8,
@@ -123,6 +129,7 @@ def sageattn_decode(
         cache.v_scale,
         lengths,
         sm_scale=sm_scale,
+        window=window,
         interpret=interpret or jax.default_backend() == "cpu",
     )
 
@@ -252,17 +259,21 @@ def paged_prefill(
     return cache, jnp.full((b,), t, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "window", "interpret")
+)
 def sageattn_paged_decode(
     q: jax.Array,            # [b, hq, t_q, d]
     cache: PagedKVCache,
     lengths: jax.Array,      # [b]
     *,
     sm_scale: float | None = None,
+    window: int | None = None,
     interpret: bool = False,
 ):
     """Decode attention through the page table (scalar-prefetch gather;
-    same query semantics as sageattn_decode)."""
+    same query semantics as sageattn_decode, including ``window``:
+    only the pages the sliding window reaches are read)."""
     from sageattention_tpu.ops import paged_decode_pallas
 
     return paged_decode_pallas.sage_paged_decode_attention(
@@ -274,5 +285,6 @@ def sageattn_paged_decode(
         cache.page_table,
         lengths,
         sm_scale=sm_scale,
+        window=window,
         interpret=interpret or jax.default_backend() == "cpu",
     )

@@ -56,6 +56,10 @@ class LLMConfig:
     depth: int
     vocab: int = 32000
     mlp_hidden: int | None = None
+    # Mistral/Gemma-style sliding-window attention: each token attends
+    # its last `window` positions (prefill: in-kernel band; decode: the
+    # cache read is clipped to the window — O(window) per step)
+    window: int | None = None
 
     def scaled(self, **overrides) -> "LLMConfig":
         return dataclasses.replace(self, **overrides)

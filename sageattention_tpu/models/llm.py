@@ -64,25 +64,29 @@ class LLMBlock(nn.Module):
         q = rope(to_hnd(q, c.heads), positions)
         k = rope(to_hnd(k, c.kv_heads), positions)
         v = to_hnd(v, c.kv_heads)
+        W = c.window
+        wkw = {} if W is None else {"window": W}
         new_cache = None
         if isinstance(cache, kvcache.PagedKVCache):
             # vLLM-style paged serving: appends follow the page table,
             # decode gathers physical pages via scalar prefetch
             new_cache, new_len = kvcache.paged_append(cache, lengths, k, v)
             if decode:
-                o = kvcache.sageattn_paged_decode(q, new_cache, new_len)
+                o = kvcache.sageattn_paged_decode(q, new_cache, new_len,
+                                                  window=W)
             else:
-                o = _attention(q, k, v, is_causal=True)
+                o = _attention(q, k, v, is_causal=True, **wkw)
         elif cache is not None:
             new_cache, new_len = kvcache.append_kv(cache, lengths, k, v)
             if decode:
-                o = kvcache.sageattn_decode(q, new_cache, new_len)
+                o = kvcache.sageattn_decode(q, new_cache, new_len,
+                                            window=W)
             else:
                 # prefill: attend the prompt directly (faster than
                 # reading the cache back); the cache is now filled
-                o = _attention(q, k, v, is_causal=True)
+                o = _attention(q, k, v, is_causal=True, **wkw)
         else:
-            o = _attention(q, k, v, is_causal=True)
+            o = _attention(q, k, v, is_causal=True, **wkw)
         o = jnp.swapaxes(o, 1, 2).reshape(b, s, c.heads * c.head_dim)
         x = x + nn.Dense(c.hidden, use_bias=False, dtype=self.dtype, name="o_proj")(o)
 

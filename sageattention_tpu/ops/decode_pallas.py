@@ -51,6 +51,7 @@ NEG_INIT = -1e30
 def decode_step_body(
     q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
     *, base_col, length, t_q: int, sm_fold: float,
+    window: int | None = None,
 ):
     """One KV chunk/page of the bandwidth-shaped decode step: in-register
     per-row Q quant, int8 QK^T, length (+ causal-tail) masking, online
@@ -78,6 +79,13 @@ def decode_step_body(
         # causal tail: query row (h, t) sees keys < length - t_q + 1 + t
         trow = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 0) % t_q
         valid = jnp.logical_and(valid, col < length - (t_q - 1) + trow)
+        if window is not None:
+            # sliding window: row at position p sees keys > p - window
+            valid = jnp.logical_and(
+                valid, col > length - t_q + trow - window
+            )
+    elif window is not None:
+        valid = jnp.logical_and(valid, col > length - 1 - window)
     sf = jnp.where(valid, sf, NEG_INIT)
 
     m_c = jnp.max(sf, axis=1)[:, None]
@@ -153,9 +161,48 @@ def _decode_kernel(
         decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
 
 
+def _decode_kernel_window(
+    start_ref,  # [b] int32 scalar-prefetch: first live chunk per batch
+    q_ref, k_ref, ks_ref, v_ref, vs_ref, len_ref, o_ref, ml_scr, acc_scr,
+    *,
+    chunk: int,
+    n_live: int,
+    t_q: int,
+    sm_fold: float,
+    window: int,
+    out_dtype,
+):
+    """Sliding-window variant: the kv grid covers only the ``n_live``
+    chunks that can intersect the window (index maps add the per-batch
+    prefetched start chunk), so decode cost is O(window), not
+    O(context) — the Mistral/Gemma serving shape.  The cache itself
+    stays linear (O(context) footprint); only the read is windowed."""
+    b_idx = pl.program_id(0)
+    g_idx = pl.program_id(2)
+    length = len_ref[0, 0, 0]
+    kv_idx = start_ref[b_idx] + g_idx
+
+    @pl.when(g_idx == 0)
+    def _init():
+        decode_init_scratch(ml_scr, acc_scr)
+
+    @pl.when(kv_idx * chunk < length)
+    def _body():
+        decode_step_body(
+            q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
+            base_col=kv_idx * chunk, length=length, t_q=t_q,
+            sm_fold=sm_fold, window=window,
+        )
+
+    @pl.when(g_idx == n_live - 1)
+    def _epilogue():
+        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "chunk", "out_dtype", "interpret"),
+    static_argnames=("sm_scale", "chunk", "window", "out_dtype",
+                     "interpret"),
 )
 def sage_decode_attention(
     q: jax.Array,          # [b, hq, t_q, d]
@@ -167,6 +214,7 @@ def sage_decode_attention(
     *,
     sm_scale: float | None = None,
     chunk: int = 4096,
+    window: int | None = None,
     out_dtype=None,
     interpret: bool = False,
 ):
@@ -175,7 +223,11 @@ def sage_decode_attention(
     Queries attend keys [0, length) per batch; with t_q > 1 the t-th
     query row additionally observes the causal tail (keys
     < length - t_q + 1 + t) — the speculative/chunked-decode contract.
-    Returns [b, hq, t_q, d] in ``out_dtype`` (default q.dtype).
+    ``window``: sliding-window serving (each query position p attends
+    keys in (p - window, p]); the kernel reads only the cache chunks
+    intersecting the window, so the per-step cost is O(window)
+    regardless of context length.  Returns [b, hq, t_q, d] in
+    ``out_dtype`` (default q.dtype).
     """
     b, hq, t_q, d = q.shape
     hkv, S = k_i8.shape[1], k_i8.shape[2]
@@ -201,6 +253,72 @@ def sage_decode_attention(
         q_pack = jnp.pad(q_pack, ((0, 0), (0, 0), (0, rows8 - rows),
                                   (0, 0)))
 
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 2**20,
+    )
+    scratch_shapes = [
+        pltpu.VMEM((rows8, 128), jnp.float32),
+        pltpu.VMEM((rows8, d), jnp.float32),
+    ]
+    operands = (
+        q_pack,
+        k_i8,
+        k_scale.astype(jnp.float32)[:, :, None, :],
+        v_i8,
+        v_scale.astype(jnp.float32)[:, :, None, :],
+        lengths.astype(jnp.int32)[:, None, None],
+    )
+
+    if window is not None:
+        # the kv grid covers only the chunks the window can reach; the
+        # per-batch start chunk rides in as a scalar-prefetch operand so
+        # the index maps (and the kernel, identically) offset by it
+        span = window + t_q - 1   # oldest key any query row can see
+        n_live = min(n_kv, -(-span // chunk) + 1)
+        start = jnp.clip(
+            (lengths.astype(jnp.int32) - span) // chunk, 0, n_kv - n_live
+        )
+
+        def kvm(ib, ih, ik, st):
+            return (ib, ih, st[ib] + ik, 0)
+
+        def ksm(ib, ih, ik, st):
+            return (ib, ih, 0, st[ib] + ik)
+
+        def qm(ib, ih, ik, st):
+            return (ib, ih, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, hkv, n_live),
+            in_specs=[
+                pl.BlockSpec((1, 1, rows8, d), qm),
+                pl.BlockSpec((1, 1, chunk, d), kvm),
+                pl.BlockSpec((1, 1, 1, chunk), ksm),
+                pl.BlockSpec((1, 1, chunk, d), kvm),
+                pl.BlockSpec((1, 1, 1, chunk), ksm),
+                pl.BlockSpec((1, 1, 1), lambda ib, ih, ik, st: (ib, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, rows8, d), qm),
+            scratch_shapes=scratch_shapes,
+        )
+        o = pl.pallas_call(
+            functools.partial(
+                _decode_kernel_window, chunk=chunk, n_live=n_live,
+                t_q=t_q, sm_fold=sm_scale * LOG2E, window=window,
+                out_dtype=out_dtype,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(start, *operands)
+        return o[:, :, :rows].reshape(b, hkv, group, t_q, d).reshape(
+            b, hq, t_q, d
+        )
+
     grid = (b, hkv, n_kv)
     o = pl.pallas_call(
         functools.partial(
@@ -221,23 +339,10 @@ def sage_decode_attention(
             (1, 1, rows8, d), lambda ib, ih, ik: (ib, ih, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((rows8, 128), jnp.float32),
-            pltpu.VMEM((rows8, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 2**20,
-        ),
+        scratch_shapes=scratch_shapes,
+        compiler_params=compiler_params,
         interpret=interpret,
-    )(
-        q_pack,
-        k_i8,
-        k_scale.astype(jnp.float32)[:, :, None, :],
-        v_i8,
-        v_scale.astype(jnp.float32)[:, :, None, :],
-        lengths.astype(jnp.int32)[:, None, None],
-    )
+    )(*operands)
     return o[:, :, :rows].reshape(b, hkv, group, t_q, d).reshape(
         b, hq, t_q, d
     )

@@ -86,9 +86,47 @@ def _paged_kernel(
         decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
 
 
+def _paged_kernel_window(
+    pt_ref,     # [b, max_pages] int32 scalar-prefetch page table
+    len_ref,    # [b] int32 scalar-prefetch live lengths
+    start_ref,  # [b] int32 scalar-prefetch first live logical page
+    q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, ml_scr, acc_scr,
+    *,
+    page: int,
+    n_live: int,
+    t_q: int,
+    sm_fold: float,
+    window: int,
+    out_dtype,
+):
+    """Sliding-window paged decode: the grid covers only the ``n_live``
+    logical pages the window can reach (the index maps gather
+    ``pt[b, start[b] + g]``) — O(window) per step at any context."""
+    b_idx = pl.program_id(0)
+    g_idx = pl.program_id(2)
+    length = len_ref[b_idx]
+    p_idx = start_ref[b_idx] + g_idx
+
+    @pl.when(g_idx == 0)
+    def _init():
+        decode_init_scratch(ml_scr, acc_scr)
+
+    @pl.when(p_idx * page < length)
+    def _body():
+        decode_step_body(
+            q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
+            base_col=p_idx * page, length=length, t_q=t_q,
+            sm_fold=sm_fold, window=window,
+        )
+
+    @pl.when(g_idx == n_live - 1)
+    def _epilogue():
+        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "out_dtype", "interpret"),
+    static_argnames=("sm_scale", "window", "out_dtype", "interpret"),
 )
 def sage_paged_decode_attention(
     q: jax.Array,            # [b, hq, t_q, d]
@@ -100,6 +138,7 @@ def sage_paged_decode_attention(
     lengths: jax.Array,      # [b] int32 live token counts
     *,
     sm_scale: float | None = None,
+    window: int | None = None,
     out_dtype=None,
     interpret: bool = False,
 ):
@@ -108,7 +147,9 @@ def sage_paged_decode_attention(
     Logical chunk j of sequence b lives in physical page
     ``page_table[b, j]``; entries past the live length may be anything
     valid (they are DMA'd but masked).  Same query semantics as the
-    dense decode kernel (t_q causal tail, GQA packing)."""
+    dense decode kernel (t_q causal tail, GQA packing).  ``window``
+    clips both the mask and the page reads to the sliding window —
+    O(window) pages per step at any context length."""
     b, hq, t_q, d = q.shape
     num_pages, hkv, page, _ = pages_k.shape
     max_pages = page_table.shape[1]
@@ -124,6 +165,70 @@ def sage_paged_decode_attention(
     if rows8 != rows:
         q_pack = jnp.pad(
             q_pack, ((0, 0), (0, 0), (0, rows8 - rows), (0, 0))
+        )
+
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 2**20,
+    )
+    scratch_shapes = [
+        pltpu.VMEM((rows8, 128), jnp.float32),
+        pltpu.VMEM((rows8, d), jnp.float32),
+    ]
+    pool_operands = (
+        q_pack,
+        pages_k,
+        pages_k_scale.astype(jnp.float32)[:, :, None, :],
+        pages_v,
+        pages_v_scale.astype(jnp.float32)[:, :, None, :],
+    )
+
+    if window is not None:
+        span = window + t_q - 1
+        n_live = min(max_pages, -(-span // page) + 1)
+        start = jnp.clip(
+            (lengths.astype(jnp.int32) - span) // page,
+            0, max_pages - n_live,
+        )
+
+        # index maps receive (grid indices..., scalar-prefetch refs...)
+        def page_map_w(ib, ih, ip, pt, lens, st):
+            return (pt[ib, st[ib] + ip], ih, 0, 0)
+
+        def q_map_w(ib, ih, ip, pt, lens, st):
+            return (ib, ih, 0, 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(b, hkv, n_live),
+            in_specs=[
+                pl.BlockSpec((1, 1, rows8, d), q_map_w),
+                pl.BlockSpec((1, 1, page, d), page_map_w),
+                pl.BlockSpec((1, 1, 1, page), page_map_w),
+                pl.BlockSpec((1, 1, page, d), page_map_w),
+                pl.BlockSpec((1, 1, 1, page), page_map_w),
+            ],
+            out_specs=pl.BlockSpec((1, 1, rows8, d), q_map_w),
+            scratch_shapes=scratch_shapes,
+        )
+        o = pl.pallas_call(
+            functools.partial(
+                _paged_kernel_window, page=page, n_live=n_live, t_q=t_q,
+                sm_fold=sm_scale * LOG2E, window=window,
+                out_dtype=out_dtype,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype),
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(
+            page_table.astype(jnp.int32),
+            lengths.astype(jnp.int32),
+            start,
+            *pool_operands,
+        )
+        return o[:, :, :rows].reshape(b, hkv, group, t_q, d).reshape(
+            b, hq, t_q, d
         )
 
     # index maps receive (grid indices..., scalar-prefetch refs...)
@@ -144,10 +249,7 @@ def sage_paged_decode_attention(
             pl.BlockSpec((1, 1, 1, page), page_map),
         ],
         out_specs=pl.BlockSpec((1, 1, rows8, d), q_map),
-        scratch_shapes=[
-            pltpu.VMEM((rows8, 128), jnp.float32),
-            pltpu.VMEM((rows8, d), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     o = pl.pallas_call(
         functools.partial(
@@ -156,19 +258,12 @@ def sage_paged_decode_attention(
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=64 * 2**20,
-        ),
+        compiler_params=compiler_params,
         interpret=interpret,
     )(
         page_table.astype(jnp.int32),
         lengths.astype(jnp.int32),
-        q_pack,
-        pages_k,
-        pages_k_scale.astype(jnp.float32)[:, :, None, :],
-        pages_v,
-        pages_v_scale.astype(jnp.float32)[:, :, None, :],
+        *pool_operands,
     )
     return o[:, :, :rows].reshape(b, hkv, group, t_q, d).reshape(
         b, hq, t_q, d

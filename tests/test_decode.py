@@ -113,6 +113,140 @@ class TestDecode:
             assert cosine(o[0], ref) > 0.999, f"step {t}"
 
 
+class TestWindowedDecode:
+    """Sliding-window decode: only the last `window` keys attend, and
+    the kernel reads only the chunks the window reaches."""
+
+    def test_window_matches_truncated_oracle(self):
+        b, hq, hkv, d, S, W = 2, 8, 2, 64, 1024, 200
+        cache = kvcache.init_kv_cache(b, hkv, S, d)
+        lengths = jnp.zeros((b,), jnp.int32)
+        k = rand(40, (b, hkv, 700, d))
+        v = rand(41, (b, hkv, 700, d))
+        cache, lengths = kvcache.append_kv(cache, lengths, k, v)
+        lengths = jnp.array([700, 350], jnp.int32)
+        q = rand(42, (b, hq, 1, d))
+        o = kvcache.sageattn_decode(q, cache, lengths, window=W)
+        for bi, L in enumerate([700, 350]):
+            ref = oracle(
+                q[bi], k[bi, :, L - W:L], v[bi, :, L - W:L], hq // hkv
+            )
+            assert cosine(o[bi], ref) > 0.999, bi
+
+    def test_window_multitoken_causal_tail(self):
+        """t_q > 1: each query row's window slides with its position."""
+        b, hq, hkv, d, S, W, t = 1, 4, 2, 32, 512, 100, 3
+        cache = kvcache.init_kv_cache(b, hkv, S, d)
+        lengths = jnp.zeros((b,), jnp.int32)
+        k = rand(43, (b, hkv, 300, d))
+        v = rand(44, (b, hkv, 300, d))
+        cache, lengths = kvcache.append_kv(cache, lengths, k, v)
+        q = rand(45, (b, hq, t, d))
+        o = kvcache.sageattn_decode(q, cache, lengths, window=W)
+        L = 300
+        for ti in range(t):
+            p = L - t + ti  # this query row's position (0-indexed)
+            ref = oracle(
+                q[0, :, ti:ti + 1],
+                k[0, :, p + 1 - W:p + 1],
+                v[0, :, p + 1 - W:p + 1],
+                hq // hkv,
+            )
+            assert cosine(o[0, :, ti], ref[:, 0]) > 0.999, ti
+
+    def test_window_wider_than_context_equals_full(self):
+        b, hq, hkv, d, S = 1, 4, 2, 32, 256
+        cache = kvcache.init_kv_cache(b, hkv, S, d)
+        lengths = jnp.zeros((b,), jnp.int32)
+        k = rand(46, (b, hkv, 150, d))
+        v = rand(47, (b, hkv, 150, d))
+        cache, lengths = kvcache.append_kv(cache, lengths, k, v)
+        q = rand(48, (b, hq, 1, d))
+        o_w = kvcache.sageattn_decode(q, cache, lengths, window=4096)
+        o_f = kvcache.sageattn_decode(q, cache, lengths)
+        np.testing.assert_allclose(
+            np.asarray(o_w, np.float32), np.asarray(o_f, np.float32),
+            atol=1e-5,
+        )
+
+    def test_paged_window_matches_dense_window(self):
+        """Windowed decode through scrambled pages == windowed dense."""
+        b, hq, hkv, d, S, W, page = 2, 8, 2, 64, 512, 100, 64
+        n_pages = S // page
+        k = rand(50, (b, hkv, 448, d))
+        v = rand(51, (b, hkv, 448, d))
+        q = rand(52, (b, hq, 1, d))
+
+        dense = kvcache.init_kv_cache(b, hkv, S, d)
+        lengths = jnp.zeros((b,), jnp.int32)
+        dense, lengths = kvcache.append_kv(dense, lengths, k, v)
+        lengths = jnp.array([448, 320], jnp.int32)
+        o_d = kvcache.sageattn_decode(q, dense, lengths, window=W)
+
+        perm = jax.random.permutation(
+            jax.random.PRNGKey(53), b * n_pages
+        ).reshape(b, n_pages).astype(jnp.int32)
+        paged = kvcache.init_paged_kv_cache(
+            b * n_pages, hkv, d, perm, page_size=page
+        )
+        paged, pl_ = kvcache.paged_append(
+            paged, jnp.zeros((b,), jnp.int32), k, v
+        )
+        o_p = kvcache.sageattn_paged_decode(q, paged, lengths, window=W)
+        # different chunk partitioning (3 pages of 64 vs one 512 chunk)
+        # reorders the online merge, so agreement is fp32-roundoff-level,
+        # not bitwise
+        assert cosine(o_p, o_d) > 0.9999
+        np.testing.assert_allclose(
+            np.asarray(o_p, np.float32), np.asarray(o_d, np.float32),
+            atol=2e-2,
+        )
+
+    def test_windowed_llm_loop_matches_band_refeed(self):
+        """CausalLM with cfg.window: the cached decode loop must pick
+        the same tokens as re-running windowed prefill each step."""
+        from sageattention_tpu import models
+        from sageattention_tpu.models.configs import MODEL_CONFIGS
+
+        cfg = MODEL_CONFIGS["llm-7b"].scaled(
+            depth=2, hidden=128, heads=4, kv_heads=2, head_dim=32,
+            vocab=128, mlp_hidden=256, window=24,
+        )
+        model = models.CausalLM(cfg)
+        b, n_prompt, n_gen, max_len = 1, 40, 4, 96
+        toks = jax.random.randint(
+            jax.random.PRNGKey(7), (b, n_prompt), 0, 128
+        )
+        params = model.init(jax.random.PRNGKey(8), toks)
+
+        caches = model.init_caches(b, max_len)
+        lengths = jnp.zeros((b,), jnp.int32)
+        logits, caches = model.apply(
+            params, toks, caches=caches, lengths=lengths
+        )
+        lengths = lengths + n_prompt
+        seq = toks
+        cur = jnp.argmax(logits[:, -1:], axis=-1)
+        for _ in range(n_gen):
+            seq = jnp.concatenate([seq, cur], axis=1)
+            logits_d, caches = model.apply(
+                params, cur, caches=caches, lengths=lengths, decode=True
+            )
+            lengths = lengths + 1
+            cur = jnp.argmax(logits_d[:, -1:], axis=-1)
+
+        seq_ref = toks
+        for _ in range(n_gen):
+            logits_f = model.apply(params, seq_ref)
+            nxt = jnp.argmax(logits_f[:, -1:], axis=-1)
+            seq_ref = jnp.concatenate([seq_ref, nxt], axis=1)
+
+        np.testing.assert_array_equal(
+            np.asarray(seq[:, n_prompt:]),
+            np.asarray(seq_ref[:, n_prompt:]),
+        )
+
+
 class TestCachedGeneration:
     def test_decode_loop_matches_refeed(self):
         """Greedy generation with the int8 KV cache must pick the same

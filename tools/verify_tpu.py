@@ -121,5 +121,15 @@ for bi, L in enumerate([700, 500]):
     refs.append(oracle(qd[bi:bi+1], kr, vr))
 ok &= check("decode int8-cache ragged GQA", od, jnp.concatenate(refs))
 
+# 10. PROBE: sliding-window decode (reads only the window's chunks)
+W = 256
+odw = sa.sageattn_decode(qd, cache, lens, window=W)
+refs_w = []
+for bi, L in enumerate([700, 500]):
+    kr = jnp.repeat(kd[bi:bi+1, :, L - W:L], 4, axis=1)
+    vr = jnp.repeat(vd[bi:bi+1, :, L - W:L], 4, axis=1)
+    refs_w.append(oracle(qd[bi:bi+1], kr, vr))
+ok &= check("decode window=256 ragged", odw, jnp.concatenate(refs_w))
+
 print("ALL OK" if ok else "SOME FAILED", file=sys.stderr)
 sys.exit(0 if ok else 1)
