@@ -48,12 +48,36 @@ def _dq_kernel(
     qi8_ref, qs_ref, ki8_ref, ks_ref, kbf_ref, v_ref, do_ref, lse_ref,
     dvec_ref, dq_ref, acc,
     *, causal, n_kv, block_q, block_k, sm_scale, n_chunks, chunk_k,
-    scale_group, window,
+    scale_group, window, fold_r=None, n_q=None, band_kv_grid=False,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
+    init = kv_idx == 0
+    if fold_r is not None:
+        # causal fold grid (see the forward's fold): q rows f and
+        # n_q-1-f pack into one row of n_kv+1 all-live steps; row f's
+        # last kv block is f // fold_r, so step j <= f//fold_r belongs
+        # to row f and the rest to the complement row.  The decoded
+        # kv_idx == 0 at both segment starts, so the init condition is
+        # the decoded one; the epilogue (kv_idx == last_kv) holds
+        # unchanged on the decoded indices.
+        c1m1 = q_idx // fold_r
+        first = kv_idx <= c1m1
+        q_idx, kv_idx = (
+            jnp.where(first, q_idx, n_q - 1 - q_idx),
+            jnp.where(first, kv_idx, kv_idx - c1m1 - 1),
+        )
+        init = kv_idx == 0
+    elif band_kv_grid:
+        # sliding band grid (window): the kv axis covers only the blocks
+        # the window can reach, offset per q row (init on the RAW first
+        # step — the offset row never visits kv 0); steps past the
+        # diagonal fail should_run (the index maps clamp their DMAs)
+        kv_idx = kv_idx + jnp.maximum(
+            (q_idx * block_q - (window - 1)) // block_k, 0
+        )
 
-    @pl.when(kv_idx == 0)
+    @pl.when(init)
     def _init():
         acc[...] = jnp.zeros_like(acc)
 
@@ -122,15 +146,24 @@ def _dkv_kernel(
     ki8_ref, ks_ref, qi8_ref, qs_ref, qbf_ref, v_ref, do_ref, lse_ref,
     dvec_ref, dk_ref, dv_ref, dk_acc, dv_acc,
     *, causal, n_q, block_q, block_k, sm_scale, n_chunks, chunk_k,
-    scale_group, rep, window,
+    scale_group, rep, window, band_q=None,
 ):
     """Grid (b, hkv, n_kv, rep * n_q): the GQA group rides the 4th axis
     (t -> q head ih*rep + t // n_q, q block t % n_q) so dK/dV accumulate
     over the whole group IN scratch — O(hkv) memory, no jnp.repeat
-    expansion of K/V."""
+    expansion of K/V.
+
+    ``band_q`` (window): the per-member q range shrinks to the blocks
+    within the window's reach of this KV block, starting at the
+    diagonal — grid axis 3 becomes rep * band_q."""
     kv_idx = pl.program_id(2)
     t_idx = pl.program_id(3)
-    q_idx = t_idx % n_q
+    if band_q is None:
+        q_idx = t_idx % n_q
+        n_steps = rep * n_q
+    else:
+        q_idx = (kv_idx * block_k) // block_q + t_idx % band_q
+        n_steps = rep * band_q
 
     @pl.when(t_idx == 0)
     def _init():
@@ -147,6 +180,9 @@ def _dkv_kernel(
                 q_idx * block_q - window
                 < kv_idx * block_k + block_k - 1,
             )
+        if band_q is not None:
+            # band steps can overshoot the last real q block
+            should_run = jnp.logical_and(should_run, q_idx < n_q)
     else:
         should_run = True
 
@@ -193,7 +229,7 @@ def _dkv_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-    @pl.when(t_idx == rep * n_q - 1)
+    @pl.when(t_idx == n_steps - 1)
     def _epi():
         dk_ref[0, 0] = dk_acc[...] * sm_scale
         dv_ref[0, 0] = dv_acc[...]
@@ -415,6 +451,48 @@ def sage_attention_bwd(
     ks_in = k_scale.astype(jnp.float32)[:, :, None, :]
     do_bf = do.astype(jnp.bfloat16)
 
+    # dq fold grid (the forward's causal triangle packing): q rows f and
+    # n_q-1-f share one grid row of n_kv+1 all-live steps.  Needs the
+    # row's last-kv formula f // r to be exact (block_k a multiple of
+    # block_q) and an even pairing.
+    fold_r = None
+    if (
+        is_causal and window is None and n_q >= 2 and n_q % 2 == 0
+        and block_k % block_q == 0
+        and n_q % (block_k // block_q) == 0
+    ):
+        fold_r = block_k // block_q
+
+    # window band grids: both backward kernels shrink their inner axis
+    # to the blocks the window can reach, sliding with the outer block
+    # (the backward analogue of the forward's band grid)
+    band_dq = band_kv = None
+    if is_causal and window is not None:
+        nl = min(n_kv, (block_q + window - 2) // block_k + 2)
+        if nl < n_kv:
+            band_dq = nl
+        nlq = min(n_q, (block_k + window - 2) // block_q + 2)
+        if nlq < n_q:
+            band_kv = nlq
+
+    def _dec_dq(iq, ik):
+        if fold_r is not None:
+            c1m1 = iq // fold_r
+            first = ik <= c1m1
+            return (
+                jnp.where(first, iq, n_q - 1 - iq),
+                jnp.where(first, ik, ik - c1m1 - 1),
+            )
+        # band: offset by the row's first in-window kv block; clamp the
+        # DMA in range (overshoot steps fail the kernel's should_run)
+        lo = jnp.maximum((iq * block_q - (window - 1)) // block_k, 0)
+        return iq, jnp.minimum(lo + ik, n_kv - 1)
+
+    def dqmap(f4):
+        if fold_r is None and band_dq is None:
+            return f4
+        return lambda ib, ih, iq, ik: f4(ib, ih, *_dec_dq(iq, ik))
+
     qm = lambda ib, ih, iq, ik: (ib, ih, iq, 0)
     # dkv grid axis 3 enumerates (group member, q block): t -> q head
     # ih*rep + t // n_q, q block t % n_q (GQA group-sum in scratch)
@@ -447,27 +525,34 @@ def sage_attention_bwd(
             return (ib, ih * rep + t // n_q, t % n_q, 0)
 
     # ---- dq ----
+    if fold_r is not None:
+        dq_grid = (b, h, n_q // 2, n_kv + 1)
+    elif band_dq is not None:
+        dq_grid = (b, h, n_q, band_dq)
+    else:
+        dq_grid = (b, h, n_q, n_kv)
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel, causal=is_causal, n_kv=n_kv, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
             chunk_k=chunk_k, scale_group=scale_group, window=window,
+            fold_r=fold_r, n_q=n_q, band_kv_grid=band_dq is not None,
         ),
-        grid=(b, h, n_q, n_kv),
+        grid=dq_grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), qm),
-            pl.BlockSpec((1, 1, block_q, 1), qm),
-            pl.BlockSpec((1, 1, block_k, d), km_dq),
+            pl.BlockSpec((1, 1, block_q, d), dqmap(qm)),
+            pl.BlockSpec((1, 1, block_q, 1), dqmap(qm)),
+            pl.BlockSpec((1, 1, block_k, d), dqmap(km_dq)),
             pl.BlockSpec((1, 1, 1, n_groups_total),
                          lambda ib, ih, iq, ik: (ib, ih // rep, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_k, d), km_dq),
-            pl.BlockSpec((1, 1, block_k, d), km_dq),
-            pl.BlockSpec((1, 1, block_q, d), qm),
-            pl.BlockSpec((1, 1, block_q, 1), qm),
-            pl.BlockSpec((1, 1, block_q, 1), qm),
+            pl.BlockSpec((1, 1, block_k, d), dqmap(km_dq)),
+            pl.BlockSpec((1, 1, block_k, d), dqmap(km_dq)),
+            pl.BlockSpec((1, 1, block_q, d), dqmap(qm)),
+            pl.BlockSpec((1, 1, block_q, 1), dqmap(qm)),
+            pl.BlockSpec((1, 1, block_q, 1), dqmap(qm)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), qm),
+        out_specs=pl.BlockSpec((1, 1, block_q, d), dqmap(qm)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), jnp.float32),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -479,26 +564,41 @@ def sage_attention_bwd(
 
     # ---- dk, dv ----
     kvm = lambda ib, ih, ik, iq: (ib, ih, ik, 0)
+
+    def dkvmap(f4):
+        # band grid (window): axis 3 step t -> (member, q block within
+        # the window's reach of kv block ik), re-encoded as the t the
+        # plain map expects; the clamp keeps overshoot DMAs in range
+        # (the kernel's should_run skips their compute)
+        if band_kv is None:
+            return f4
+        def g(ib, ih, ik, t):
+            member = t // band_kv
+            qe = (ik * block_k) // block_q + t % band_kv
+            return f4(ib, ih, ik,
+                      member * n_q + jnp.minimum(qe, n_q - 1))
+        return g
+
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, causal=is_causal, n_q=n_q, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
             chunk_k=chunk_k, scale_group=scale_group, rep=rep,
-            window=window,
+            window=window, band_q=band_kv,
         ),
-        grid=(b, hkv, n_kv, rep * n_q),
+        grid=(b, hkv, n_kv, rep * (band_kv or n_q)),
         in_specs=[
             pl.BlockSpec((1, 1, block_k, d), kvm),
             pl.BlockSpec((1, 1, 1, n_groups_total),
                          lambda ib, ih, ik, t: (ib, ih, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q, d), qm_dkv),
-            pl.BlockSpec((1, 1, block_q, 1), qm_dkv),
-            pl.BlockSpec((1, 1, block_q, d), qm_dkv),
+            pl.BlockSpec((1, 1, block_q, d), dkvmap(qm_dkv)),
+            pl.BlockSpec((1, 1, block_q, 1), dkvmap(qm_dkv)),
+            pl.BlockSpec((1, 1, block_q, d), dkvmap(qm_dkv)),
             pl.BlockSpec((1, 1, block_k, d), kvm),
-            pl.BlockSpec((1, 1, block_q, d), qm_dkv),
-            pl.BlockSpec((1, 1, block_q, 1), qm_dkv),
-            pl.BlockSpec((1, 1, block_q, 1), qm_dkv),
+            pl.BlockSpec((1, 1, block_q, d), dkvmap(qm_dkv)),
+            pl.BlockSpec((1, 1, block_q, 1), dkvmap(qm_dkv)),
+            pl.BlockSpec((1, 1, block_q, 1), dkvmap(qm_dkv)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), kvm),

@@ -275,6 +275,16 @@ def sage_decode_attention(
         # per-batch start chunk rides in as a scalar-prefetch operand so
         # the index maps (and the kernel, identically) offset by it
         span = window + t_q - 1   # oldest key any query row can see
+        # tighten the chunk to the window: with the full-cache 4096
+        # sweet spot a small window would read up to `chunk` extra
+        # tokens of slack; half-span chunks cap the overread at ~50%
+        # (floor 1024 — narrower chunks pay per-step overheads)
+        target = max(1024, 1 << max((span - 1).bit_length() - 1, 0))
+        if chunk > target:
+            chunk = target
+            while S % chunk:
+                chunk //= 2
+            n_kv = S // chunk
         n_live = min(n_kv, -(-span // chunk) + 1)
         start = jnp.clip(
             (lengths.astype(jnp.int32) - span) // chunk, 0, n_kv - n_live

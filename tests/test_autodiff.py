@@ -206,6 +206,83 @@ class TestFusedBackward:
 
 
 class TestWindowedBackward:
+    def test_fused_window_backward_band_grids(self):
+        """Window backward with blocks chosen so BOTH band grids engage
+        (dq kv-axis 3 of 4 blocks, dkv q-axis 6 of 8): the shrunk grids
+        must reproduce the banded exact gradients."""
+        from sageattention_tpu import quant as quant_mod
+        from sageattention_tpu.ops import (
+            attention_bwd_pallas,
+            attention_pallas,
+            reference,
+        )
+
+        s, W, d = 1024, 300, 64
+        q, k, v = (rand(i + 95, (1, 2, s, d)) for i in range(3))
+        do = rand(99, (1, 2, s, d))
+        sm = d**-0.5
+        LOG2E = 1.4426950408889634
+
+        km = jnp.mean(k, axis=-2)
+        k_sm = (k - km[..., None, :])
+        q_i8, q_scale = quant_mod.quant_int8(
+            q, granularity="per_token", scale_fold=sm * LOG2E
+        )
+        k_i8, k_scale = quant_mod.quant_int8_block_scales(
+            k_sm, group=256
+        )
+        o, lse2 = attention_pallas.sage_attention_fused(
+            q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
+            is_causal=True, pv_dtype="bf16", return_lse=True,
+            block_q=256, block_k=256, chunk_k=256, window=W,
+            interpret=True,
+        )
+        dq, dk, dv = attention_bwd_pallas.sage_attention_bwd(
+            q_i8, q_scale, k_i8, k_scale,
+            k_sm.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), o, lse2, do,
+            is_causal=True, sm_scale=sm, block_q=128, block_k=256,
+            chunk_k=256, scale_group=256, window=W, interpret=True,
+        )
+
+        band = (jnp.arange(s)[None, :] > jnp.arange(s)[:, None] - W)
+        band = band[None, None]
+
+        def exact(q, k, v):
+            return reference.attention_reference(
+                q, k, v, is_causal=True, attn_mask=band
+            )
+
+        _, vjp = jax.vjp(exact, q, k, v)
+        ref = vjp(do)
+        for g, r in zip((dq, dk, dv), ref):
+            c = float(jnp.sum(g * r)
+                      / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
+            assert c > 0.999
+
+    def test_fused_causal_backward_fold_grid(self):
+        """Causal dq at a shape that rides the fold grid (n_q=4, r=4:
+        q rows pack pairwise into all-live grid rows) vs the exact
+        reference."""
+        from sageattention_tpu.ops import attention_bwd_pallas, reference
+
+        q, k, v = (rand(i + 90, (1, 2, 2048, 64)) for i in range(3))
+        do = rand(94, (1, 2, 2048, 64))
+        got = attention_bwd_pallas.quantized_attention_vjp(
+            q, k, v, do, is_causal=True, sm_scale=None, interpret=True,
+        )
+        assert got is not None
+
+        def exact(q, k, v):
+            return reference.attention_reference(q, k, v, is_causal=True)
+
+        _, vjp = jax.vjp(exact, q, k, v)
+        ref = vjp(do)
+        for g, r in zip(got, ref):
+            c = float(jnp.sum(g * r)
+                      / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
+            assert c > 0.999
+
     def test_fused_window_backward_multiblock(self):
         """Sliding-window gradients through the fused kernels at a
         multi-q-block shape, vs the banded exact reference."""
