@@ -231,10 +231,9 @@ def main():
     qd = jax.random.normal(jax.random.PRNGKey(7), (db, dhq, 1, dd),
                            jnp.bfloat16)
     t_dec = device_time(
-        lambda i, c, q, ki, ks, vi, vs: kvcache.sageattn_decode(
-            q + (c * 1e-30).astype(q.dtype),
-            kvcache.QuantKVCache(ki, ks, vi, vs), lens),
-        (qd, cache.k_i8, cache.k_scale, cache.v_i8, cache.v_scale), n=10,
+        lambda i, c, q, cache: kvcache.sageattn_decode(
+            q + (c * 1e-30).astype(q.dtype), cache, lens),
+        (qd, cache), n=10,
     )
 
     def xla_decode(i, c, q, k, v):
@@ -252,6 +251,65 @@ def main():
     log(f"decode 32k int8-cache: {t_dec*1e6:.0f} us "
         f"({2*db*dhkv*dS*dd/t_dec/1e9:.0f} GB/s), ratio {dec_ratio:.1f}x")
     emit("sage_decode_us_b4_32k_int8cache", t_dec * 1e6, "us", dec_ratio)
+
+    # packed-int4 cache: half the cache bytes on the bandwidth-bound
+    # read; vs_baseline = int8-cache decode time / int4 time
+    c4 = kvcache.init_kv_cache(db, dhkv, dS, dd, bits=4)
+    c4, _ = kvcache.append_kv(c4, jnp.zeros((db,), jnp.int32), kc, vc)
+    t_d4 = device_time(
+        lambda i, c, q, cache: kvcache.sageattn_decode(
+            q + (c * 1e-30).astype(q.dtype), cache, lens),
+        (qd, c4), n=10,
+    )
+    log(f"decode 32k int4-cache: {t_d4*1e6:.0f} us "
+        f"({db*dhkv*dS*dd/t_d4/1e9:.0f} GB/s), {t_dec/t_d4:.2f}x int8")
+    emit("sage_decode_us_b4_32k_int4cache", t_d4 * 1e6, "us",
+         t_dec / t_d4)
+
+    # training step (fused quantized forward + fused Pallas backward) vs
+    # jax's flash fwd+bwd at the same shape
+    from sageattention_tpu.ops import attention_bwd_pallas
+
+    tb, th, ts, td = 4, 16, 4096, 128
+    qt = jax.random.normal(jax.random.PRNGKey(8), (tb, th, ts, td))
+    kt = jax.random.normal(jax.random.PRNGKey(9), (tb, th, ts, td))
+    vt = jax.random.normal(jax.random.PRNGKey(10), (tb, th, ts, td))
+    dot = jax.random.normal(jax.random.PRNGKey(11), (tb, th, ts, td))
+
+    def train_one(i, c, q, k, v, do):
+        dq, dk, dv = attention_bwd_pallas.quantized_attention_vjp(
+            q + c * 1e-9, k, v, do, is_causal=True, sm_scale=None)
+        return dq
+
+    t_train = device_time(train_one, (qt, kt, vt, dot), n=5)
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+    bs = BlockSizes(
+        block_q=512, block_k_major=1024, block_k=1024, block_b=1,
+        block_q_major_dkv=512, block_k_major_dkv=1024,
+        block_k_dkv=1024, block_q_dkv=512,
+        block_k_major_dq=1024, block_k_dq=1024, block_q_dq=512,
+    )
+
+    def flash_train(i, c, q, k, v, do):
+        f = lambda q, k, v: flash_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), causal=True, block_sizes=bs)
+        _, vjp = jax.vjp(f, q + c * 1e-9, k, v)
+        return vjp(do.astype(jnp.bfloat16))[0]
+
+    try:
+        t_ftrain = device_time(flash_train, (qt, kt, vt, dot), n=5)
+        train_ratio = t_ftrain / t_train
+    except Exception as e:
+        log(f"flash fwd+bwd baseline failed ({e})")
+        t_ftrain, train_ratio = float("nan"), float("nan")
+    log(f"train fwd+bwd causal s4096 hd128: sage {t_train*1e3:.2f} ms, "
+        f"flash {t_ftrain*1e3:.2f} ms, ratio {train_ratio:.2f}")
+    emit("sage_fwdbwd_ms_b4h16s4096hd128_causal", t_train * 1e3, "ms",
+         train_ratio)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--group", type=int, default=4)
     ap.add_argument("--head_dim", type=int, default=128)
     ap.add_argument("--seqs", default="4096,8192,16384,32768")
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4),
+                    help="cache storage width (4 = packed int4: half "
+                         "the bytes, ±7 levels)")
     args = ap.parse_args()
     b, hkv, d = args.batch, args.kv_heads, args.head_dim
     hq = hkv * args.group
@@ -36,7 +39,9 @@ def main():
         rng = lambda i, sh: jax.random.normal(
             jax.random.PRNGKey(i), sh, jnp.bfloat16
         )
-        cache = kvcache.init_kv_cache(b, args.kv_heads, S, d)
+        cache = kvcache.init_kv_cache(
+            b, args.kv_heads, S, d, bits=args.bits
+        )
         lengths = jnp.zeros((b,), jnp.int32)
         k = rng(1, (b, args.kv_heads, S, d))
         v = rng(2, (b, args.kv_heads, S, d))
@@ -44,10 +49,9 @@ def main():
         q = rng(3, (b, hq, 1, d))
 
         t_sage = device_time(
-            lambda i, c, q, ki, ks, vi, vs: kvcache.sageattn_decode(
-                q + (c * 1e-30).astype(q.dtype),
-                kvcache.QuantKVCache(ki, ks, vi, vs), lengths),
-            (q, cache.k_i8, cache.k_scale, cache.v_i8, cache.v_scale),
+            lambda i, c, q, cache: kvcache.sageattn_decode(
+                q + (c * 1e-30).astype(q.dtype), cache, lengths),
+            (q, cache),
             n=10,
         )
 
@@ -69,19 +73,16 @@ def main():
             jax.random.PRNGKey(9), b * n_pg
         ).reshape(b, n_pg).astype(jnp.int32)
         pcache = kvcache.init_paged_kv_cache(
-            b * n_pg, hkv, d, pt, page_size=page
+            b * n_pg, hkv, d, pt, page_size=page, bits=args.bits
         )
         pcache, plens = kvcache.paged_prefill(pcache, k, v)
         t_paged = device_time(
-            lambda i, c, q, pk, pks, pv, pvs:
-            kvcache.sageattn_paged_decode(
-                q + (c * 1e-30).astype(q.dtype),
-                kvcache.PagedKVCache(pk, pks, pv, pvs, pt), plens),
-            (q, pcache.pages_k, pcache.pages_k_scale, pcache.pages_v,
-             pcache.pages_v_scale),
+            lambda i, c, q, pcache: kvcache.sageattn_paged_decode(
+                q + (c * 1e-30).astype(q.dtype), pcache, plens),
+            (q, pcache),
             n=10,
         )
-        cache_bytes = 2 * b * hkv * S * d  # int8 K + V
+        cache_bytes = 2 * b * hkv * S * d * args.bits // 8  # K + V
         print(
             f"S={S:6d}: sage {t_sage*1e6:7.0f} us "
             f"({cache_bytes/t_sage/1e9:5.0f} GB/s cache read)  "

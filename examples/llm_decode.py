@@ -12,6 +12,7 @@ tokens, pages can live anywhere in the pool.
 
 Usage: python examples/llm_decode.py [--scale 0.1] [--prompt_len 512]
        [--gen 32] [--max_len 4096] [--paged] [--page_size 1024]
+       [--bits 4]
 """
 
 import argparse
@@ -38,6 +39,10 @@ def main():
     ap.add_argument("--paged", action="store_true",
                     help="serve from the paged KV pool (vLLM-style)")
     ap.add_argument("--page_size", type=int, default=1024)
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4),
+                    help="cache storage width (4 = packed int4: half "
+                         "the footprint and cache-read bytes; means "
+                         "auto-calibrated on the prompt)")
     args = ap.parse_args()
 
     base = MODEL_CONFIGS["llm-7b"]
@@ -60,10 +65,10 @@ def main():
 
     if args.paged:
         caches = model.init_paged_caches(
-            b, args.max_len, page_size=args.page_size
+            b, args.max_len, page_size=args.page_size, bits=args.bits
         )
     else:
-        caches = model.init_caches(b, args.max_len)
+        caches = model.init_caches(b, args.max_len, bits=args.bits)
     lengths = jnp.zeros((b,), jnp.int32)
 
     prefill = jax.jit(
@@ -96,8 +101,8 @@ def main():
     cur.block_until_ready()
     dt = time.time() - t0
     n = args.gen - 1
-    kind = (f"paged int8 cache, {args.page_size}-token pages"
-            if args.paged else "int8 KV cache")
+    kind = (f"paged int{args.bits} cache, {args.page_size}-token pages"
+            if args.paged else f"int{args.bits} KV cache")
     print(f"decode: {n} tokens in {dt:.3f}s = "
           f"{n * b / max(dt, 1e-9):.1f} tok/s "
           f"({kind}, context {int(lengths[0])})")

@@ -27,6 +27,7 @@ from sageattention_tpu.kvcache import (
     PagedKVCache,
     QuantKVCache,
     append_kv,
+    calibrate,
     init_kv_cache,
     init_paged_kv_cache,
     paged_append,
@@ -46,6 +47,7 @@ __all__ = [
     "quant",
     "reference",
     "QuantKVCache",
+    "calibrate",
     "init_kv_cache",
     "append_kv",
     "sageattn_decode",

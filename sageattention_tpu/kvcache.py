@@ -32,39 +32,90 @@ from sageattention_tpu.ops import decode_pallas
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuantKVCache:
-    """int8 K/V with per-token scales; [b, h_kv, max_len, d] + [b, h_kv,
-    max_len]."""
+    """int8 (or int4, ``bits=4``) K/V with per-token scales;
+    [b, h_kv, max_len, d] + [b, h_kv, max_len].
+
+    ``k_mean`` / ``v_mean`` ([b, h_kv, 1, d], default zero) hold fixed
+    per-channel means subtracted before quantization (``calibrate``):
+    the K shift is softmax-invariant (every key's score moves by the
+    same q·km), and the V shift adds back exactly because softmax rows
+    sum to one — so both corrections are FREE, and the quantizer only
+    has to cover the residual range.  The means must be frozen before
+    the first append (mixing means across appends would break the K
+    invariance)."""
 
     k_i8: jax.Array
     k_scale: jax.Array
     v_i8: jax.Array
     v_scale: jax.Array
+    k_mean: jax.Array
+    v_mean: jax.Array
 
     @property
     def max_len(self) -> int:
         return self.k_i8.shape[2]
 
+    @property
+    def bits(self) -> int:
+        return 4 if self.k_i8.dtype == jnp.int4 else 8
+
+
+def _cache_zeros(shape, bits: int) -> jax.Array:
+    if bits == 4:
+        # int4 constants must be materialized ON device (a host-side
+        # jnp.zeros(..., int4) trips the axon transfer path); a jitted
+        # producer compiles the packed buffer directly
+        return jax.jit(lambda: jnp.zeros(shape, jnp.int4))()
+    return jnp.zeros(shape, jnp.int8)
+
 
 def init_kv_cache(
-    b: int, h_kv: int, max_len: int, head_dim: int
+    b: int, h_kv: int, max_len: int, head_dim: int, bits: int = 8
 ) -> QuantKVCache:
+    """``bits=4`` stores the cache in packed int4 (2 tokens' worth of
+    channel data per byte): half the HBM footprint AND roughly half the
+    bandwidth-bound decode read time, at ±7 quantization levels (see
+    bench_decode --bits 4 for the measured accuracy/latency trade)."""
+    assert bits in (8, 4), bits
     return QuantKVCache(
-        k_i8=jnp.zeros((b, h_kv, max_len, head_dim), jnp.int8),
+        k_i8=_cache_zeros((b, h_kv, max_len, head_dim), bits),
         k_scale=jnp.full((b, h_kv, max_len), 1e-30, jnp.float32),
-        v_i8=jnp.zeros((b, h_kv, max_len, head_dim), jnp.int8),
+        v_i8=_cache_zeros((b, h_kv, max_len, head_dim), bits),
         v_scale=jnp.full((b, h_kv, max_len), 1e-30, jnp.float32),
+        k_mean=jnp.zeros((b, h_kv, 1, head_dim), jnp.float32),
+        v_mean=jnp.zeros((b, h_kv, 1, head_dim), jnp.float32),
     )
 
 
-def _quant_rows(x: jax.Array):
-    """Per-token (row) int8 quantization of [b, h, t, d]."""
+@jax.jit
+def calibrate(cache, k_sample: jax.Array, v_sample: jax.Array):
+    """Freeze per-channel K/V means from sample tokens [b, h_kv, t, d]
+    (typically the prompt, before the prefill append).  Subtracting a
+    fixed channel mean rescues coarse quantizers (esp. ``bits=4``) from
+    channel bias — the corrections are mathematically free (see
+    QuantKVCache).  Works on QuantKVCache and PagedKVCache alike; must
+    run on an EMPTY cache."""
+    return dataclasses.replace(
+        cache,
+        k_mean=jnp.mean(
+            k_sample.astype(jnp.float32), axis=2, keepdims=True
+        ),
+        v_mean=jnp.mean(
+            v_sample.astype(jnp.float32), axis=2, keepdims=True
+        ),
+    )
+
+
+def _quant_rows(x: jax.Array, bits: int = 8):
+    """Per-token (row) int8/int4 quantization of [b, h, t, d]."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
-    scale, r = quant_mod.inv_scale(amax, 127.0)
+    qmax = 127.0 if bits == 8 else 7.0
+    scale, r = quant_mod.inv_scale(amax, qmax)
     q = jnp.clip(
-        quant_mod.round_half_away(xf * r[..., None]), -127, 127
-    ).astype(jnp.int8)
-    return q, scale
+        quant_mod.round_half_away(xf * r[..., None]), -qmax, qmax
+    )
+    return q.astype(jnp.int8 if bits == 8 else jnp.int4), scale
 
 
 @jax.jit
@@ -82,8 +133,12 @@ def append_kv(
     so an append past ``max_len`` clamps to the end and overwrites the
     tail rather than raising (jit-compatible); size the cache for the
     longest sequence."""
-    k_q, k_s = _quant_rows(k_new)
-    v_q, v_s = _quant_rows(v_new)
+    k_q, k_s = _quant_rows(
+        k_new.astype(jnp.float32) - cache.k_mean, cache.bits
+    )
+    v_q, v_s = _quant_rows(
+        v_new.astype(jnp.float32) - cache.v_mean, cache.bits
+    )
 
     def upd4(buf, new, off):
         return jax.lax.dynamic_update_slice(buf, new, (0, off, 0))
@@ -91,7 +146,8 @@ def append_kv(
     def upd3(buf, new, off):
         return jax.lax.dynamic_update_slice(buf, new, (0, off))
 
-    cache = QuantKVCache(
+    cache = dataclasses.replace(
+        cache,
         k_i8=jax.vmap(upd4)(cache.k_i8, k_q, lengths),
         k_scale=jax.vmap(upd3)(cache.k_scale, k_s, lengths),
         v_i8=jax.vmap(upd4)(cache.v_i8, v_q, lengths),
@@ -101,7 +157,8 @@ def append_kv(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "window", "interpret")
+    jax.jit,
+    static_argnames=("sm_scale", "window", "return_state", "interpret"),
 )
 def sageattn_decode(
     q: jax.Array,            # [b, hq, t_q, d]
@@ -111,6 +168,7 @@ def sageattn_decode(
     *,
     sm_scale: float | None = None,
     window: int | None = None,
+    return_state: bool = False,
     interpret: bool = False,
 ):
     """Decode attention of the current query tokens against the cache.
@@ -120,8 +178,14 @@ def sageattn_decode(
     within the new tokens (speculative / chunked decode).  ``window``
     (Mistral/Gemma-style sliding window): each query attends only its
     last ``window`` keys, and the kernel reads only the cache chunks the
-    window reaches — per-step cost O(window) at any context length."""
-    return decode_pallas.sage_decode_attention(
+    window reaches — per-step cost O(window) at any context length.
+
+    ``return_state=True`` returns ``(o, m, l)`` — the softmax merge
+    state for combining partial decodes over disjoint cache shards
+    (``decode_pallas.merge_decode_partials`` / ``parallel.decode``).
+    The V-mean add-back commutes with the merge (weights sum to one),
+    so calibrated shards combine exactly too."""
+    res = decode_pallas.sage_decode_attention(
         q,
         cache.k_i8,
         cache.k_scale,
@@ -130,8 +194,15 @@ def sageattn_decode(
         lengths,
         sm_scale=sm_scale,
         window=window,
+        return_state=return_state,
         interpret=interpret or jax.default_backend() == "cpu",
     )
+    o = res[0] if return_state else res
+    # exact V-mean add-back (softmax rows sum to 1); K's mean shift is
+    # softmax-invariant and needs no correction
+    group = q.shape[1] // cache.v_mean.shape[1]
+    o = o + jnp.repeat(cache.v_mean, group, axis=1).astype(o.dtype)
+    return (o, res[1], res[2]) if return_state else o
 
 
 # ---------------------------------------------------------------------------
@@ -155,26 +226,36 @@ class PagedKVCache:
     pages_v: jax.Array
     pages_v_scale: jax.Array
     page_table: jax.Array
+    k_mean: jax.Array
+    v_mean: jax.Array
 
     @property
     def page_size(self) -> int:
         return self.pages_k.shape[2]
 
+    @property
+    def bits(self) -> int:
+        return 4 if self.pages_k.dtype == jnp.int4 else 8
+
 
 def init_paged_kv_cache(
     num_pages: int, h_kv: int, head_dim: int, page_table: jax.Array,
-    page_size: int = 1024,
+    page_size: int = 1024, bits: int = 8,
 ) -> PagedKVCache:
+    assert bits in (8, 4), bits
+    b = page_table.shape[0]
     return PagedKVCache(
-        pages_k=jnp.zeros((num_pages, h_kv, page_size, head_dim),
-                          jnp.int8),
+        pages_k=_cache_zeros((num_pages, h_kv, page_size, head_dim),
+                             bits),
         pages_k_scale=jnp.full((num_pages, h_kv, page_size), 1e-30,
                                jnp.float32),
-        pages_v=jnp.zeros((num_pages, h_kv, page_size, head_dim),
-                          jnp.int8),
+        pages_v=_cache_zeros((num_pages, h_kv, page_size, head_dim),
+                             bits),
         pages_v_scale=jnp.full((num_pages, h_kv, page_size), 1e-30,
                                jnp.float32),
         page_table=page_table.astype(jnp.int32),
+        k_mean=jnp.zeros((b, h_kv, 1, head_dim), jnp.float32),
+        v_mean=jnp.zeros((b, h_kv, 1, head_dim), jnp.float32),
     )
 
 
@@ -189,8 +270,12 @@ def paged_append(
     following the page table across page boundaries.  Pure quantized
     writes (per-token scales), like the dense append."""
     page = cache.page_size
-    k_q, k_s = _quant_rows(k_new)   # [b,h,t,d], [b,h,t]
-    v_q, v_s = _quant_rows(v_new)
+    k_q, k_s = _quant_rows(
+        k_new.astype(jnp.float32) - cache.k_mean, cache.bits
+    )   # [b,h,t,d], [b,h,t]
+    v_q, v_s = _quant_rows(
+        v_new.astype(jnp.float32) - cache.v_mean, cache.bits
+    )
     b, h, t, d = k_q.shape
 
     # destination of token j of sequence i: physical page
@@ -210,12 +295,12 @@ def paged_append(
             rows_flat
         )
 
-    cache = PagedKVCache(
+    cache = dataclasses.replace(
+        cache,
         pages_k=scatter_pool(cache.pages_k, k_q),
         pages_k_scale=scatter_pool(cache.pages_k_scale, k_s),
         pages_v=scatter_pool(cache.pages_v, v_q),
         pages_v_scale=scatter_pool(cache.pages_v_scale, v_s),
-        page_table=cache.page_table,
     )
     return cache, lengths + t
 
@@ -234,8 +319,12 @@ def paged_prefill(
     b, h, t, d = k.shape
     assert t % page == 0, (t, page)
     n_used = t // page
-    k_q, k_s = _quant_rows(k)
-    v_q, v_s = _quant_rows(v)
+    k_q, k_s = _quant_rows(
+        k.astype(jnp.float32) - cache.k_mean, cache.bits
+    )
+    v_q, v_s = _quant_rows(
+        v.astype(jnp.float32) - cache.v_mean, cache.bits
+    )
 
     ids = cache.page_table[:, :n_used].reshape(-1)  # [b*n_used]
 
@@ -249,12 +338,12 @@ def paged_prefill(
             r = jnp.moveaxis(r, 2, 1).reshape(b * n_used, h, page)
         return pool.at[ids].set(r)
 
-    cache = PagedKVCache(
+    cache = dataclasses.replace(
+        cache,
         pages_k=put(cache.pages_k, k_q, True),
         pages_k_scale=put(cache.pages_k_scale, k_s, False),
         pages_v=put(cache.pages_v, v_q, True),
         pages_v_scale=put(cache.pages_v_scale, v_s, False),
-        page_table=cache.page_table,
     )
     return cache, jnp.full((b,), t, jnp.int32)
 
@@ -276,7 +365,7 @@ def sageattn_paged_decode(
     only the pages the sliding window reaches are read)."""
     from sageattention_tpu.ops import paged_decode_pallas
 
-    return paged_decode_pallas.sage_paged_decode_attention(
+    o = paged_decode_pallas.sage_paged_decode_attention(
         q,
         cache.pages_k,
         cache.pages_k_scale,
@@ -288,3 +377,5 @@ def sageattn_paged_decode(
         window=window,
         interpret=interpret or jax.default_backend() == "cpu",
     )
+    group = q.shape[1] // cache.v_mean.shape[1]
+    return o + jnp.repeat(cache.v_mean, group, axis=1).astype(o.dtype)

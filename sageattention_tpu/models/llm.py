@@ -67,6 +67,11 @@ class LLMBlock(nn.Module):
         W = c.window
         wkw = {} if W is None else {"window": W}
         new_cache = None
+        if cache is not None and not decode and cache.bits == 4:
+            # int4 cache: freeze per-channel K/V means on the prompt
+            # (prefill is the first append, so the calibration contract
+            # holds); the corrections are exact — see kvcache.calibrate
+            cache = kvcache.calibrate(cache, k, v)
         if isinstance(cache, kvcache.PagedKVCache):
             # vLLM-style paged serving: appends follow the page table,
             # decode gathers physical pages via scalar prefetch
@@ -137,16 +142,18 @@ class CausalLM(nn.Module):
             return logits, new_caches
         return logits
 
-    def init_caches(self, b: int, max_len: int):
+    def init_caches(self, b: int, max_len: int, bits: int = 8):
         c = self.cfg
         return [
-            kvcache.init_kv_cache(b, c.kv_heads, max_len, c.head_dim)
+            kvcache.init_kv_cache(
+                b, c.kv_heads, max_len, c.head_dim, bits=bits
+            )
             for _ in range(c.depth)
         ]
 
     def init_paged_caches(
         self, b: int, max_len: int, page_size: int = 1024,
-        page_table: jax.Array | None = None,
+        page_table: jax.Array | None = None, bits: int = 8,
     ):
         """Per-layer paged pools sized for ``b`` sequences of ``max_len``
         tokens.  Default policy: a linear page table (sequence i owns
@@ -159,7 +166,7 @@ class CausalLM(nn.Module):
         return [
             kvcache.init_paged_kv_cache(
                 b * n, c.kv_heads, c.head_dim, page_table,
-                page_size=page_size,
+                page_size=page_size, bits=bits,
             )
             for _ in range(c.depth)
         ]

@@ -66,8 +66,13 @@ def decode_step_body(
     amax = jnp.max(jnp.abs(qb), axis=1)[:, None]
     qscale, r = inv_scale(amax, 127.0)
     q_i8 = jnp.clip(round_half_away(qb * r), -127, 127).astype(jnp.int8)
+    kq = k_ref[0, 0]
+    if kq.dtype == jnp.int4:
+        # int4 cache (kv_bits=4): K streams HBM->VMEM at half the bytes
+        # (XLA packs int4 2/byte); widen in-register for the int8 MXU dot
+        kq = kq.astype(jnp.int8)
     s_i32 = jax.lax.dot_general(
-        q_i8, k_ref[0, 0], (((1,), (1,)), ((), ())),
+        q_i8, kq, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )  # [rows8, chunk]
     ks = ks_ref[0, 0, 0][None, :]                    # [1, chunk]
@@ -98,8 +103,11 @@ def decode_step_body(
     pmax = jnp.max(pe, axis=1)[:, None]
     psc, pr = inv_scale(pmax, 127.0)
     p_q = (pe * pr + 0.5).astype(jnp.int8)  # pe >= 0: +0.5 rounds
+    vq = v_ref[0, 0]
+    if vq.dtype == jnp.int4:
+        vq = vq.astype(jnp.int8)  # int4 cache: half the V bytes off HBM
     pv = jax.lax.dot_general(
-        p_q, v_ref[0, 0], (((1,), (0,)), ((), ())),
+        p_q, vq, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     ).astype(jnp.float32) * psc  # [rows8, d]
 
@@ -118,10 +126,14 @@ def decode_init_scratch(ml_scr, acc_scr):
     acc_scr[...] = jnp.zeros_like(acc_scr)
 
 
-def decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype):
+def decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype, ml_ref=None):
     l = ml_scr[:, 1:2]
     l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
     o_ref[0, 0] = (acc_scr[...] * l_inv).astype(out_dtype)
+    if ml_ref is not None:
+        # raw merge state (m lane 0, l lane 1): lets callers combine
+        # partial decodes over cache shards exactly (LSE merge)
+        ml_ref[0, 0] = ml_scr[...]
 
 def _decode_kernel(
     q_ref,      # [1, 1, rows8, d] bf16/f32
@@ -131,15 +143,18 @@ def _decode_kernel(
     vs_ref,     # [1, 1, 1, chunk] f32 per-token V scales
     len_ref,    # [1, 1, 1] int32 in SMEM (this batch's live length)
     o_ref,      # [1, 1, rows8, d]
-    ml_scr,     # [rows8, 128] f32 (m lane 0, l lane 1)
-    acc_scr,    # [rows8, d] f32
-    *,
+    *rest,      # [ml_ref if return_state,] ml_scr, acc_scr
     chunk: int,
     n_kv: int,
     t_q: int,
     sm_fold: float,  # sm_scale * log2e
     out_dtype,
+    return_state: bool = False,
 ):
+    if return_state:
+        ml_ref, ml_scr, acc_scr = rest
+    else:
+        (ml_scr, acc_scr), ml_ref = rest, None
     kv_idx = pl.program_id(2)
     length = len_ref[0, 0, 0]
 
@@ -158,25 +173,29 @@ def _decode_kernel(
 
     @pl.when(kv_idx == n_kv - 1)
     def _epilogue():
-        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
+        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype, ml_ref)
 
 
 def _decode_kernel_window(
     start_ref,  # [b] int32 scalar-prefetch: first live chunk per batch
-    q_ref, k_ref, ks_ref, v_ref, vs_ref, len_ref, o_ref, ml_scr, acc_scr,
-    *,
+    q_ref, k_ref, ks_ref, v_ref, vs_ref, len_ref, o_ref, *rest,
     chunk: int,
     n_live: int,
     t_q: int,
     sm_fold: float,
     window: int,
     out_dtype,
+    return_state: bool = False,
 ):
     """Sliding-window variant: the kv grid covers only the ``n_live``
     chunks that can intersect the window (index maps add the per-batch
     prefetched start chunk), so decode cost is O(window), not
     O(context) — the Mistral/Gemma serving shape.  The cache itself
     stays linear (O(context) footprint); only the read is windowed."""
+    if return_state:
+        ml_ref, ml_scr, acc_scr = rest
+    else:
+        (ml_scr, acc_scr), ml_ref = rest, None
     b_idx = pl.program_id(0)
     g_idx = pl.program_id(2)
     length = len_ref[0, 0, 0]
@@ -196,13 +215,13 @@ def _decode_kernel_window(
 
     @pl.when(g_idx == n_live - 1)
     def _epilogue():
-        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
+        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype, ml_ref)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "chunk", "window", "out_dtype",
-                     "interpret"),
+                     "return_state", "interpret"),
 )
 def sage_decode_attention(
     q: jax.Array,          # [b, hq, t_q, d]
@@ -216,6 +235,7 @@ def sage_decode_attention(
     chunk: int = 4096,
     window: int | None = None,
     out_dtype=None,
+    return_state: bool = False,
     interpret: bool = False,
 ):
     """Decode attention of a few query tokens against the int8 KV cache.
@@ -228,6 +248,13 @@ def sage_decode_attention(
     intersecting the window, so the per-step cost is O(window)
     regardless of context length.  Returns [b, hq, t_q, d] in
     ``out_dtype`` (default q.dtype).
+
+    ``return_state=True`` additionally returns the raw softmax merge
+    state ``(m, l)`` (each [b, hq, t_q] f32, base-2 running max and
+    exp-sum): partial decodes over disjoint cache shards combine
+    exactly via ``merge_decode_partials`` — the sequence-parallel
+    serving hook (each device decodes its shard of the cache, one
+    cheap LSE merge reduces the partials).
     """
     b, hq, t_q, d = q.shape
     hkv, S = k_i8.shape[1], k_i8.shape[2]
@@ -299,6 +326,13 @@ def sage_decode_attention(
         def qm(ib, ih, ik, st):
             return (ib, ih, 0, 0)
 
+        out_specs = [pl.BlockSpec((1, 1, rows8, d), qm)]
+        out_shape = [jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype)]
+        if return_state:
+            out_specs.append(pl.BlockSpec((1, 1, rows8, 128), qm))
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, hkv, rows8, 128), jnp.float32)
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, hkv, n_live),
@@ -311,29 +345,39 @@ def sage_decode_attention(
                 pl.BlockSpec((1, 1, 1), lambda ib, ih, ik, st: (ib, 0, 0),
                              memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, rows8, d), qm),
+            out_specs=out_specs,
             scratch_shapes=scratch_shapes,
         )
-        o = pl.pallas_call(
+        res = pl.pallas_call(
             functools.partial(
                 _decode_kernel_window, chunk=chunk, n_live=n_live,
                 t_q=t_q, sm_fold=sm_scale * LOG2E, window=window,
-                out_dtype=out_dtype,
+                out_dtype=out_dtype, return_state=return_state,
             ),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype),
+            out_shape=out_shape,
             compiler_params=compiler_params,
             interpret=interpret,
         )(start, *operands)
-        return o[:, :, :rows].reshape(b, hkv, group, t_q, d).reshape(
-            b, hq, t_q, d
-        )
+        return _unpack(res, b, hq, hkv, group, t_q, d, rows, return_state)
 
     grid = (b, hkv, n_kv)
-    o = pl.pallas_call(
+    out_specs = [pl.BlockSpec(
+        (1, 1, rows8, d), lambda ib, ih, ik: (ib, ih, 0, 0)
+    )]
+    out_shape = [jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype)]
+    if return_state:
+        out_specs.append(pl.BlockSpec(
+            (1, 1, rows8, 128), lambda ib, ih, ik: (ib, ih, 0, 0)
+        ))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hkv, rows8, 128), jnp.float32)
+        )
+    res = pl.pallas_call(
         functools.partial(
             _decode_kernel, chunk=chunk, n_kv=n_kv, t_q=t_q,
             sm_fold=sm_scale * LOG2E, out_dtype=out_dtype,
+            return_state=return_state,
         ),
         grid=grid,
         in_specs=[
@@ -345,14 +389,38 @@ def sage_decode_attention(
             pl.BlockSpec((1, 1, 1), lambda ib, ih, ik: (ib, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, rows8, d), lambda ib, ih, ik: (ib, ih, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         compiler_params=compiler_params,
         interpret=interpret,
     )(*operands)
-    return o[:, :, :rows].reshape(b, hkv, group, t_q, d).reshape(
-        b, hq, t_q, d
-    )
+    return _unpack(res, b, hq, hkv, group, t_q, d, rows, return_state)
+
+
+def _unpack(res, b, hq, hkv, group, t_q, d, rows, return_state):
+    """Strip row padding, restore [b, hq, t_q, ...] layout; with state,
+    split the (m, l) lanes out of the [rows8, 128] merge buffer."""
+    def heads(x):
+        return x[:, :, :rows].reshape(b, hkv, group, t_q, *x.shape[3:]
+                                      ).reshape(b, hq, t_q, *x.shape[3:])
+
+    if not return_state:
+        return heads(res[0])
+    o, ml = res
+    return heads(o), heads(ml[..., 0]), heads(ml[..., 1])
+
+
+def merge_decode_partials(o_parts, m_parts, l_parts, out_dtype=None):
+    """Exactly combine normalized partial decodes over DISJOINT cache
+    shards (``return_state=True`` outputs, stacked on a leading axis):
+    o = sum_i w_i * o_i / sum_i w_i with w_i = l_i * 2^(m_i - max m).
+    Empty shards (m = NEG_INIT, l = 0) contribute zero weight.  This is
+    the LSE merge the ring forward uses, specialized to decode — the
+    reduction for sequence-parallel serving (see parallel/decode.py)."""
+    out_dtype = out_dtype or o_parts.dtype
+    m_g = jnp.max(m_parts, axis=0)
+    w = l_parts * jnp.exp2(m_parts - m_g)            # [n, b, hq, t_q]
+    den = jnp.maximum(jnp.sum(w, axis=0), 1e-38)
+    num = jnp.sum(w[..., None] * o_parts.astype(jnp.float32), axis=0)
+    return (num / den[..., None]).astype(out_dtype)

@@ -43,6 +43,84 @@ class TestDecode:
             ref = oracle(q[bi], k[bi, :, :L], v[bi, :, :L], hq // hkv)
             assert cosine(o[bi], ref) > 0.999
 
+    def test_int4_cache_matches_oracle(self):
+        """bits=4 cache (packed int4, half the HBM bytes): coarser ±7
+        levels still track the fp32 oracle, just looser than int8."""
+        b, hq, hkv, d, S = 2, 8, 2, 64, 512
+        cache = kvcache.init_kv_cache(b, hkv, S, d, bits=4)
+        assert cache.bits == 4 and cache.k_i8.dtype == jnp.int4
+        lengths = jnp.zeros((b,), jnp.int32)
+        k = rand(1, (b, hkv, 300, d))
+        v = rand(2, (b, hkv, 300, d))
+        cache, lengths = kvcache.append_kv(cache, lengths, k, v)
+        q = rand(3, (b, hq, 1, d))
+        o = kvcache.sageattn_decode(q, cache, lengths)
+        for bi in range(b):
+            ref = oracle(q[bi], k[bi], v[bi], hq // hkv)
+            # ±7 levels on zero-mean gaussian data lands ~0.988; real
+            # (channel-biased) data with calibrate() exceeds 0.999 —
+            # see test_calibrated_means_rescue_channel_bias
+            assert cosine(o[bi], ref) > 0.98
+
+    def test_int4_paged_matches_int4_dense(self):
+        """Paged int4 pool: same numerics as the dense int4 cache."""
+        b, hq, hkv, d, S, page = 2, 4, 2, 64, 512, 128
+        k = rand(21, (b, hkv, S, d))
+        v = rand(22, (b, hkv, S, d))
+        q = rand(23, (b, hq, 1, d))
+        lengths = jnp.array([S, 300], jnp.int32)
+
+        dense = kvcache.init_kv_cache(b, hkv, S, d, bits=4)
+        dense, _ = kvcache.append_kv(
+            dense, jnp.zeros((b,), jnp.int32), k, v
+        )
+        o_dense = kvcache.sageattn_decode(q, dense, lengths)
+
+        n_pages = b * (S // page)
+        table = jnp.arange(n_pages, dtype=jnp.int32).reshape(
+            b, S // page
+        )
+        paged = kvcache.init_paged_kv_cache(
+            n_pages, hkv, d, table, page_size=page, bits=4
+        )
+        paged, _ = kvcache.paged_prefill(paged, k, v)
+        o_paged = kvcache.sageattn_paged_decode(q, paged, lengths)
+        np.testing.assert_allclose(
+            np.asarray(o_dense, np.float32),
+            np.asarray(o_paged, np.float32), atol=2e-2, rtol=0,
+        )
+
+    def test_calibrated_means_rescue_channel_bias(self):
+        """Fixed per-channel mean subtraction (calibrate): the K shift
+        is softmax-invariant and the V shift adds back exactly, so
+        calibration must sharply improve int4 accuracy on
+        channel-biased K/V — and int8 must stay accurate with the means
+        active (the corrections are exact, not approximations)."""
+        b, hq, hkv, d, L, S = 1, 4, 2, 64, 300, 512
+        bias = 4.0 * jax.random.normal(
+            jax.random.PRNGKey(7), (1, hkv, 1, d)
+        )
+        k = rand(1, (b, hkv, L, d)) + bias
+        v = rand(2, (b, hkv, L, d)) + bias
+        q = rand(3, (b, hq, 1, d))
+        lengths = jnp.full((b,), L, jnp.int32)
+        ref = oracle(q[0], k[0], v[0], hq // hkv)
+
+        def run(bits, cal):
+            c = kvcache.init_kv_cache(b, hkv, S, d, bits=bits)
+            if cal:
+                c = kvcache.calibrate(c, k, v)
+            c, _ = kvcache.append_kv(
+                c, jnp.zeros((b,), jnp.int32), k, v
+            )
+            return cosine(kvcache.sageattn_decode(q, c, lengths)[0],
+                          ref)
+
+        plain4, cal4 = run(4, False), run(4, True)
+        assert cal4 > 0.999, (plain4, cal4)
+        assert cal4 > plain4
+        assert run(8, True) > 0.9999
+
     def test_incremental_append_equals_prefill(self):
         """Appending token-by-token must equal one prefill append (the
         per-token scales make appends exact, no requantization)."""

@@ -131,5 +131,13 @@ for bi, L in enumerate([700, 500]):
     refs_w.append(oracle(qd[bi:bi+1], kr, vr))
 ok &= check("decode window=256 ragged", odw, jnp.concatenate(refs_w))
 
+# 11. PROBE: packed-int4 cache (bits=4) + calibrated means
+c4 = sa.init_kv_cache(2, 2, 1024, 128, bits=4)
+c4 = sa.calibrate(c4, kd, vd)
+c4, _ = sa.append_kv(c4, lens0, kd, vd)
+o4 = sa.sageattn_decode(qd, c4, lens)
+ok &= check("decode int4-cache calibrated", o4, jnp.concatenate(refs),
+            0.98)
+
 print("ALL OK" if ok else "SOME FAILED", file=sys.stderr)
 sys.exit(0 if ok else 1)
