@@ -5,6 +5,10 @@ from sageattention_tpu.parallel.ulysses import (
     make_ulysses_attention,
 )
 from sageattention_tpu.parallel.api import make_parallel_sageattn
+from sageattention_tpu.parallel.decode import (
+    make_sharded_append,
+    make_sharded_decode,
+)
 
 __all__ = [
     "make_mesh",
@@ -13,4 +17,6 @@ __all__ = [
     "ulysses_sageattn",
     "make_ulysses_attention",
     "make_parallel_sageattn",
+    "make_sharded_decode",
+    "make_sharded_append",
 ]

@@ -1,0 +1,211 @@
+"""Sequence-parallel serving decode: the KV cache sharded over chips.
+
+Long-context serving runs out of one chip's HBM before it runs out of
+FLOPs — a 32-layer 7B model at 1M tokens of int8 cache is ~64 GB.  The
+TPU answer is to shard the CACHE over the sequence axis of a mesh and
+decode in parallel: every device runs the bandwidth-shaped decode
+kernel (ops/decode_pallas.py) over its shard with ``return_state=True``
+and the partials reduce with one exact LSE merge (the same merge the
+ring forward uses — reference analogue: the `return_lse` ring hook,
+/root/reference/sageattention/core.py:118,153).
+
+Correctness under sharding is free by construction:
+
+* Every mask in the decode kernel compares LOCAL key columns against a
+  LOCAL length; passing ``local_len = length - shard_offset`` shifts
+  both sides of every comparison by the same offset, so length, causal
+  tail, and sliding-window masks all stay exact (a local length above
+  the shard size just means "the whole shard is live", negative means
+  "nothing here yet").
+* Appends route to exactly one shard: token j lives on shard
+  j // S_local, and `append_kv`'s clamped dynamic_update_slice writes
+  degenerate out-of-range appends harmlessly at the shard edge — but to
+  keep scales untouched we mask fully-off-shard appends explicitly.
+* The calibrated V-mean add-back commutes with the merge (the merge
+  weights sum to one), so ``calibrate``-d caches shard exactly too.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sageattention_tpu import kvcache
+
+
+def local_shard_decode(
+    q: jax.Array,
+    cache_shard: kvcache.QuantKVCache,
+    lengths: jax.Array,
+    *,
+    axis: str,
+    sm_scale: float | None = None,
+    window: int | None = None,
+    interpret: bool = False,
+):
+    """Per-device body (call inside shard_map): decode over this
+    device's sequence-shard of the cache, then LSE-merge over ``axis``.
+
+    ``q`` and ``lengths`` are replicated (global values); the cache
+    arrays are the local shards.  Returns the replicated global output.
+    """
+    s_local = cache_shard.max_len
+    idx = jax.lax.axis_index(axis)
+    local_len = lengths.astype(jnp.int32) - idx * s_local
+    o, m, l = kvcache.sageattn_decode(
+        q, cache_shard, local_len,
+        sm_scale=sm_scale, window=window, return_state=True,
+        interpret=interpret,
+    )
+    m_g = jax.lax.pmax(m, axis)
+    w = l * jnp.exp2(m - m_g)                      # [b, hq, t_q]
+    den = jnp.maximum(jax.lax.psum(w, axis), 1e-38)
+    num = jax.lax.psum(w[..., None] * o.astype(jnp.float32), axis)
+    return (num / den[..., None]).astype(o.dtype)
+
+
+def cache_shard_specs(
+    axis: str | None, head_axis: str | None = None
+) -> kvcache.QuantKVCache:
+    """PartitionSpec pytree sharding a QuantKVCache on its sequence
+    axis (K/V data axis 2, scale axis 2) and optionally its kv-head
+    axis (tensor-parallel serving); calibrated means shard with heads."""
+    return kvcache.QuantKVCache(
+        k_i8=P(None, head_axis, axis, None),
+        k_scale=P(None, head_axis, axis),
+        v_i8=P(None, head_axis, axis, None),
+        v_scale=P(None, head_axis, axis),
+        k_mean=P(None, head_axis, None, None),
+        v_mean=P(None, head_axis, None, None),
+    )
+
+
+def make_sharded_decode(
+    mesh: jax.sharding.Mesh,
+    *,
+    axis: str | None = "seq",
+    head_axis: str | None = None,
+    sm_scale: float | None = None,
+    window: int | None = None,
+    interpret: bool = False,
+):
+    """Build a jitted mesh-parallel ``sageattn_decode``.
+
+    ``axis``: sequence-parallel — cache sequence-sharded, q/lengths
+    replicated along it, partials LSE-merged (one pmax + two psums).
+    ``head_axis``: tensor-parallel — heads shard with the cache heads
+    (GQA groups stay whole), no collective at all; q and the output are
+    head-sharded along it.  Both compose on one mesh (TP x SP serving).
+    Numerics match the single-device decode exactly up to the
+    (associative, fp32) LSE merge."""
+    if axis is not None:
+        fn = functools.partial(
+            local_shard_decode, axis=axis, sm_scale=sm_scale,
+            window=window, interpret=interpret,
+        )
+    else:
+        def fn(q, cache_shard, lengths):
+            return kvcache.sageattn_decode(
+                q, cache_shard, lengths, sm_scale=sm_scale,
+                window=window, interpret=interpret,
+            )
+    qspec = P(None, head_axis, None, None)
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(qspec, cache_shard_specs(axis, head_axis), P()),
+            out_specs=qspec,
+            check_vma=False,
+        )
+    )
+
+
+def make_sharded_append(
+    mesh: jax.sharding.Mesh,
+    *,
+    axis: str | None = "seq",
+    head_axis: str | None = None,
+):
+    """Build a jitted sequence-parallel ``append_kv``: each device
+    intersects the global append range [length, length + t) with its
+    own shard and writes only its slice (quantization happens once per
+    device on the overlapping rows; scales stay per-token so the result
+    is bit-identical to a single-device append of the same rows).
+    ``head_axis`` shards the kv heads (TP) — new K/V enter head-sharded."""
+
+    def local_append(cache_shard, lengths, k_new, v_new):
+        s_local = cache_shard.max_len
+        idx = jax.lax.axis_index(axis) if axis is not None else 0
+        t = k_new.shape[2]
+        assert t <= s_local, (t, s_local)
+        # row j of the new block belongs at LOCAL position off + j; a
+        # range that straddles shard edges lands partly out of range.
+        # Exact O(t) scheme: write the t-row window at the clamped
+        # start, pre-rolled by the clamp residual so every in-range row
+        # sits at its true position, then mask-restore the rows the
+        # window covers but this shard doesn't own.
+        off = lengths.astype(jnp.int32) - idx * s_local       # [b]
+        k_q, k_s = kvcache._quant_rows(
+            k_new.astype(jnp.float32) - cache_shard.k_mean,
+            cache_shard.bits,
+        )
+        v_q, v_s = kvcache._quant_rows(
+            v_new.astype(jnp.float32) - cache_shard.v_mean,
+            cache_shard.bits,
+        )
+        start = jnp.clip(off, 0, max(s_local - t, 0))
+        shift = off - start       # rolled[r] = new[(r - shift) mod t]
+
+        def upd4(buf, new, st, sh):   # [h, s_local, d], [h, t, d]
+            return jax.lax.dynamic_update_slice(
+                buf, jnp.roll(new, sh, axis=1), (0, st, 0)
+            )
+
+        def upd3(buf, new, st, sh):   # [h, s_local], [h, t]
+            return jax.lax.dynamic_update_slice(
+                buf, jnp.roll(new, sh, axis=1), (0, st)
+            )
+
+        written = kvcache.QuantKVCache(
+            k_i8=jax.vmap(upd4)(cache_shard.k_i8, k_q, start, shift),
+            k_scale=jax.vmap(upd3)(cache_shard.k_scale, k_s, start, shift),
+            v_i8=jax.vmap(upd4)(cache_shard.v_i8, v_q, start, shift),
+            v_scale=jax.vmap(upd3)(cache_shard.v_scale, v_s, start, shift),
+            k_mean=cache_shard.k_mean,
+            v_mean=cache_shard.v_mean,
+        )
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (off.shape[0], s_local), 1)
+        keep = (row >= jnp.maximum(off[:, None], 0)) & (
+            row < off[:, None] + t
+        )   # [b, s_local]: true target rows on this shard
+
+        def pick(new, old, scale_like):
+            m = keep[:, None] if scale_like else keep[:, None, :, None]
+            return jnp.where(m, new, old)
+
+        merged = kvcache.QuantKVCache(
+            k_i8=pick(written.k_i8, cache_shard.k_i8, False),
+            k_scale=pick(written.k_scale, cache_shard.k_scale, True),
+            v_i8=pick(written.v_i8, cache_shard.v_i8, False),
+            v_scale=pick(written.v_scale, cache_shard.v_scale, True),
+            k_mean=cache_shard.k_mean,
+            v_mean=cache_shard.v_mean,
+        )
+        return merged, lengths + t
+
+    specs = cache_shard_specs(axis, head_axis)
+    kvspec = P(None, head_axis, None, None)
+    return jax.jit(
+        jax.shard_map(
+            local_append,
+            mesh=mesh,
+            in_specs=(specs, P(), kvspec, kvspec),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+    )

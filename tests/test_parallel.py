@@ -189,3 +189,168 @@ class TestParallelGradients:
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, r in zip(g, g_ref):
             assert cosine(a, r) > 0.99
+
+
+class TestShardedDecode:
+    """Sequence-parallel serving: the KV cache sharded over the mesh
+    (parallel/decode.py) — each device decodes its shard, one LSE merge
+    combines the partials."""
+
+    @staticmethod
+    def _golden(q, cache, lengths, *, chunk, window=None):
+        from sageattention_tpu.ops import decode_pallas
+        return decode_pallas.sage_decode_attention(
+            q, cache.k_i8, cache.k_scale, cache.v_i8, cache.v_scale,
+            lengths, chunk=chunk, window=window, interpret=True,
+        )
+
+    def _filled(self, b, hkv, d, S, L):
+        cache = sa.init_kv_cache(b, hkv, S, d)
+        k = rand(31, (b, hkv, max(L), d))
+        v = rand(32, (b, hkv, max(L), d))
+        # ragged: append the full block, lengths mark the live prefix
+        cache, _ = sa.append_kv(cache, jnp.zeros((b,), jnp.int32), k, v)
+        return cache, jnp.array(L, jnp.int32)
+
+    def test_matches_single_device(self):
+        b, hq, hkv, d, S = 2, 8, 2, 64, 1024
+        cache, lengths = self._filled(b, hkv, d, S, [700, 300])
+        q = rand(33, (b, hq, 1, d))
+        # chunk-matched golden: the shards' P-requant groups are the
+        # 128-row shard chunks; same chunks single-device => only the
+        # (fp32, associative) merge order differs
+        o_single = self._golden(q, cache, lengths, chunk=S // 8)
+
+        mesh = make_mesh(data=1, seq=8, heads=1)
+        mesh = jax.sharding.Mesh(mesh.devices.reshape(8), ("seq",))
+        fn = sa.parallel.make_sharded_decode(mesh, axis="seq")
+        o_shard = fn(q, cache, lengths)
+        np.testing.assert_allclose(
+            np.asarray(o_single, np.float32),
+            np.asarray(o_shard, np.float32), atol=1e-4, rtol=0,
+        )
+
+    def test_multi_token_causal_tail(self):
+        """t_q > 1 (speculative decode): the causal-tail mask shifts
+        with the shard offset exactly."""
+        b, hq, hkv, d, S, t_q = 1, 4, 2, 64, 512, 4
+        cache, lengths = self._filled(b, hkv, d, S, [500])
+        q = rand(34, (b, hq, t_q, d))
+        o_single = self._golden(q, cache, lengths, chunk=S // 4)
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
+        fn = sa.parallel.make_sharded_decode(mesh, axis="seq")
+        np.testing.assert_allclose(
+            np.asarray(o_single, np.float32),
+            np.asarray(fn(q, cache, lengths), np.float32),
+            atol=1e-4, rtol=0,
+        )
+
+    def test_window_sharded(self):
+        """Sliding window across shard boundaries."""
+        b, hq, hkv, d, S = 2, 4, 2, 64, 1024
+        cache, lengths = self._filled(b, hkv, d, S, [900, 520])
+        q = rand(35, (b, hq, 1, d))
+        o_single = self._golden(
+            q, cache, lengths, chunk=S // 4, window=256
+        )
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
+        fn = sa.parallel.make_sharded_decode(
+            mesh, axis="seq", window=256
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_single, np.float32),
+            np.asarray(fn(q, cache, lengths), np.float32),
+            atol=1e-4, rtol=0,
+        )
+
+    def test_sharded_append_bitexact(self):
+        """Appends that straddle shard boundaries write every row at
+        its true position — bit-identical to the single-device cache."""
+        b, hkv, d, S = 2, 2, 32, 512    # 4 shards of 128
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
+        app = sa.parallel.make_sharded_append(mesh, axis="seq")
+
+        cache_s = sa.init_kv_cache(b, hkv, S, d)
+        cache_g = sa.init_kv_cache(b, hkv, S, d)
+        lengths = jnp.zeros((b,), jnp.int32)
+        glengths = lengths
+        for i, t in enumerate([100, 100, 60, 1, 1]):   # crosses 128, 256
+            k = rand(40 + i, (b, hkv, t, d))
+            v = rand(50 + i, (b, hkv, t, d))
+            cache_s, lengths = app(cache_s, lengths, k, v)
+            cache_g, glengths = sa.append_kv(cache_g, glengths, k, v)
+        np.testing.assert_array_equal(np.asarray(lengths),
+                                      np.asarray(glengths))
+        for f in ("k_i8", "v_i8"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cache_s, f)),
+                np.asarray(getattr(cache_g, f)), err_msg=f)
+        for f in ("k_scale", "v_scale"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cache_s, f)),
+                np.asarray(getattr(cache_g, f)), err_msg=f)
+
+    def test_sharded_decode_calibrated_int8(self):
+        """Calibrated means commute with the shard merge."""
+        b, hq, hkv, d, S = 1, 4, 2, 64, 512
+        k = rand(61, (b, hkv, 400, d)) + 2.0
+        v = rand(62, (b, hkv, 400, d)) - 1.0
+        cache = sa.init_kv_cache(b, hkv, S, d)
+        cache = sa.calibrate(cache, k, v)
+        cache, lengths = sa.append_kv(
+            cache, jnp.zeros((b,), jnp.int32), k, v
+        )
+        q = rand(63, (b, hq, 1, d))
+        # default-chunk golden: P-requant groups differ (512 vs 128),
+        # so compare at the decode path's inherent accuracy level
+        o_single = sa.sageattn_decode(q, cache, lengths)
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
+        fn = sa.parallel.make_sharded_decode(mesh, axis="seq")
+        o_shard = fn(q, cache, lengths)
+        np.testing.assert_allclose(
+            np.asarray(o_single, np.float32),
+            np.asarray(o_shard, np.float32), atol=2e-2, rtol=0,
+        )
+        assert cosine(o_single, o_shard) > 0.9995
+
+    def test_tp_sp_composed(self):
+        """TP (head-sharded cache) x SP (sequence-sharded cache) on one
+        mesh: heads need no collective, sequence merges via LSE."""
+        b, hq, hkv, d, S = 1, 8, 2, 64, 512
+        cache, lengths = self._filled(b, hkv, d, S, [400])
+        q = rand(71, (b, hq, 1, d))
+        o_single = self._golden(q, cache, lengths, chunk=S // 4)
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()).reshape(2, 4), ("tp", "sp")
+        )
+        fn = sa.parallel.make_sharded_decode(
+            mesh, axis="sp", head_axis="tp"
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_single, np.float32),
+            np.asarray(fn(q, cache, lengths), np.float32),
+            atol=1e-4, rtol=0,
+        )
+
+    def test_tp_sharded_append(self):
+        """Head-sharded appends stay bit-identical too."""
+        b, hkv, d, S = 2, 2, 32, 256
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:4]).reshape(2, 2), ("tp", "sp")
+        )
+        app = sa.parallel.make_sharded_append(
+            mesh, axis="sp", head_axis="tp"
+        )
+        cache_s = sa.init_kv_cache(b, hkv, S, d)
+        cache_g = sa.init_kv_cache(b, hkv, S, d)
+        lengths = jnp.zeros((b,), jnp.int32)
+        glengths = lengths
+        for i, t in enumerate([100, 60]):
+            k = rand(80 + i, (b, hkv, t, d))
+            v = rand(90 + i, (b, hkv, t, d))
+            cache_s, lengths = app(cache_s, lengths, k, v)
+            cache_g, glengths = sa.append_kv(cache_g, glengths, k, v)
+        for f in ("k_i8", "v_i8", "k_scale", "v_scale"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cache_s, f)),
+                np.asarray(getattr(cache_g, f)), err_msg=f)
