@@ -141,13 +141,14 @@ def make_sharded_append(
         s_local = cache_shard.max_len
         idx = jax.lax.axis_index(axis) if axis is not None else 0
         t = k_new.shape[2]
-        assert t <= s_local, (t, s_local)
         # row j of the new block belongs at LOCAL position off + j; a
-        # range that straddles shard edges lands partly out of range.
-        # Exact O(t) scheme: write the t-row window at the clamped
-        # start, pre-rolled by the clamp residual so every in-range row
-        # sits at its true position, then mask-restore the rows the
-        # window covers but this shard doesn't own.
+        # range that straddles shard edges lands partly out of range
+        # (a whole-prompt prefill can even span several shards).  Exact
+        # O(min(t, s_local)) scheme per shard: slice the w-row window
+        # of the block that intersects this shard, write it at the
+        # clamped start pre-rolled by the clamp residual so every
+        # in-range row sits at its true position, then mask-restore the
+        # rows the window covers but this shard doesn't own.
         off = lengths.astype(jnp.int32) - idx * s_local       # [b]
         k_q, k_s = kvcache._quant_rows(
             k_new.astype(jnp.float32) - cache_shard.k_mean,
@@ -157,31 +158,42 @@ def make_sharded_append(
             v_new.astype(jnp.float32) - cache_shard.v_mean,
             cache_shard.bits,
         )
-        start = jnp.clip(off, 0, max(s_local - t, 0))
-        shift = off - start       # rolled[r] = new[(r - shift) mod t]
+        w = min(t, s_local)
+        start_j = jnp.clip(-off, 0, t - w)  # [b] window start in block
+        offw = off + start_j                # local pos of window row 0
+        start = jnp.clip(offw, 0, max(s_local - w, 0))
+        shift = offw - start    # rolled[r] = win[(r - shift) mod w]
 
-        def upd4(buf, new, st, sh):   # [h, s_local, d], [h, t, d]
+        def upd4(buf, new, sj, st, sh):  # [h, s_local, d], [h, t, d]
+            win = jax.lax.dynamic_slice(
+                new, (0, sj, 0), (new.shape[0], w, new.shape[2])
+            )
             return jax.lax.dynamic_update_slice(
-                buf, jnp.roll(new, sh, axis=1), (0, st, 0)
+                buf, jnp.roll(win, sh, axis=1), (0, st, 0)
             )
 
-        def upd3(buf, new, st, sh):   # [h, s_local], [h, t]
+        def upd3(buf, new, sj, st, sh):  # [h, s_local], [h, t]
+            win = jax.lax.dynamic_slice(new, (0, sj), (new.shape[0], w))
             return jax.lax.dynamic_update_slice(
-                buf, jnp.roll(new, sh, axis=1), (0, st)
+                buf, jnp.roll(win, sh, axis=1), (0, st)
             )
 
+        u4 = lambda buf, new: jax.vmap(upd4)(buf, new, start_j, start,
+                                             shift)
+        u3 = lambda buf, new: jax.vmap(upd3)(buf, new, start_j, start,
+                                             shift)
         written = kvcache.QuantKVCache(
-            k_i8=jax.vmap(upd4)(cache_shard.k_i8, k_q, start, shift),
-            k_scale=jax.vmap(upd3)(cache_shard.k_scale, k_s, start, shift),
-            v_i8=jax.vmap(upd4)(cache_shard.v_i8, v_q, start, shift),
-            v_scale=jax.vmap(upd3)(cache_shard.v_scale, v_s, start, shift),
+            k_i8=u4(cache_shard.k_i8, k_q),
+            k_scale=u3(cache_shard.k_scale, k_s),
+            v_i8=u4(cache_shard.v_i8, v_q),
+            v_scale=u3(cache_shard.v_scale, v_s),
             k_mean=cache_shard.k_mean,
             v_mean=cache_shard.v_mean,
         )
 
         row = jax.lax.broadcasted_iota(jnp.int32, (off.shape[0], s_local), 1)
-        keep = (row >= jnp.maximum(off[:, None], 0)) & (
-            row < off[:, None] + t
+        keep = (row >= jnp.maximum(offw[:, None], 0)) & (
+            row < offw[:, None] + w
         )   # [b, s_local]: true target rows on this shard
 
         def pick(new, old, scale_like):

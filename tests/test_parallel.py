@@ -230,11 +230,13 @@ class TestShardedDecode:
             np.asarray(o_shard, np.float32), atol=1e-4, rtol=0,
         )
 
-    def test_multi_token_causal_tail(self):
+    @pytest.mark.parametrize("L", [500, 130])
+    def test_multi_token_causal_tail(self, L):
         """t_q > 1 (speculative decode): the causal-tail mask shifts
-        with the shard offset exactly."""
+        with the shard offset exactly — including when the tail itself
+        straddles a shard boundary (L=130 over 128-row shards)."""
         b, hq, hkv, d, S, t_q = 1, 4, 2, 64, 512, 4
-        cache, lengths = self._filled(b, hkv, d, S, [500])
+        cache, lengths = self._filled(b, hkv, d, S, [L])
         q = rand(34, (b, hq, t_q, d))
         o_single = self._golden(q, cache, lengths, chunk=S // 4)
         mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
@@ -274,7 +276,8 @@ class TestShardedDecode:
         cache_g = sa.init_kv_cache(b, hkv, S, d)
         lengths = jnp.zeros((b,), jnp.int32)
         glengths = lengths
-        for i, t in enumerate([100, 100, 60, 1, 1]):   # crosses 128, 256
+        for i, t in enumerate([300, 100, 60, 1, 1]):   # 300 spans 3
+            # shards (prefill >> shard size), later appends straddle
             k = rand(40 + i, (b, hkv, t, d))
             v = rand(50 + i, (b, hkv, t, d))
             cache_s, lengths = app(cache_s, lengths, k, v)
