@@ -357,3 +357,27 @@ class TestShardedDecode:
             np.testing.assert_array_equal(
                 np.asarray(getattr(cache_s, f)),
                 np.asarray(getattr(cache_g, f)), err_msg=f)
+
+    def test_sharded_int4_append_bitexact(self):
+        """Packed-int4 caches shard too (roll/where on int4 storage)."""
+        b, hkv, hq, d, S = 1, 2, 4, 64, 512
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
+        app = sa.parallel.make_sharded_append(mesh, axis="seq")
+        k = rand(101, (b, hkv, 300, d))
+        v = rand(102, (b, hkv, 300, d))
+        c4 = sa.init_kv_cache(b, hkv, S, d, bits=4)
+        c4 = sa.calibrate(c4, k, v)
+        c4, lengths = app(c4, jnp.zeros((b,), jnp.int32), k, v)
+        cg = sa.init_kv_cache(b, hkv, S, d, bits=4)
+        cg = sa.calibrate(cg, k, v)
+        cg, _ = sa.append_kv(cg, jnp.zeros((b,), jnp.int32), k, v)
+        for f in ("k_i8", "v_i8"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(c4, f).astype(jnp.int8)),
+                np.asarray(getattr(cg, f).astype(jnp.int8)), err_msg=f)
+        q = rand(103, (b, hq, 1, d))
+        o = sa.parallel.make_sharded_decode(mesh, axis="seq")(
+            q, c4, lengths
+        )
+        og = sa.sageattn_decode(q, cg, lengths)
+        assert cosine(o, og) > 0.999
