@@ -57,23 +57,29 @@ def device_time(fn_one, args, n=10, reps=3):
     return _dt(fn_one, args, n=n, reps=reps)
 
 
-def flash_time(q, k, v, causal, n=10):
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        flash_attention,
-    )
+def flash_block_sizes(s):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
 
-    s = q.shape[2]
     bq = min(512, s)
     bk = min(1024, s)
     bkm = min(2048, s)
-    bs = BlockSizes(
+    return BlockSizes(
         block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bkm,
         block_k_dkv=bk, block_q_dkv=bq,
         block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
     )
-    fb = functools.partial(flash_attention, causal=causal, block_sizes=bs)
+
+
+def flash_time(q, k, v, causal, n=10):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention,
+    )
+
+    fb = functools.partial(
+        flash_attention, causal=causal,
+        block_sizes=flash_block_sizes(q.shape[2]),
+    )
 
     def one(i, c, q, k, v):
         return fb(q + c.astype(q.dtype) * 1e-12, k, v)
@@ -283,15 +289,9 @@ def main():
 
     t_train = device_time(train_one, (qt, kt, vt, dot), n=5)
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
         flash_attention,
     )
-    bs = BlockSizes(
-        block_q=512, block_k_major=1024, block_k=1024, block_b=1,
-        block_q_major_dkv=512, block_k_major_dkv=1024,
-        block_k_dkv=1024, block_q_dkv=512,
-        block_k_major_dq=1024, block_k_dq=1024, block_q_dq=512,
-    )
+    bs = flash_block_sizes(ts)
 
     def flash_train(i, c, q, k, v, do):
         f = lambda q, k, v: flash_attention(

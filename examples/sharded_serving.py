@@ -88,8 +88,8 @@ def main():
     cache, lengths = append(cache, lengths, k, v)
     print(f"prefilled {int(lengths[0])} tokens into a "
           f"{args.tp}x{args.sp} mesh "
-          f"({cache.k_i8.nbytes * 2 / n / 2**20:.1f} MiB cache/device, "
-          f"int{args.bits})")
+          f"({2 * cache.k_i8.size * args.bits / 8 / n / 2**20:.1f} "
+          f"MiB cache/device, int{args.bits})")
 
     t0 = time.time()
     for step in range(args.gen):

@@ -60,12 +60,18 @@ class QuantKVCache:
         return 4 if self.k_i8.dtype == jnp.int4 else 8
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _int4_zeros(shape) -> jax.Array:
+    # int4 constants must be materialized ON device (a host-side
+    # jnp.zeros(..., int4) trips the axon transfer path); a jitted
+    # producer (module-level: one compile per shape, not per call)
+    # compiles the packed buffer directly
+    return jnp.zeros(shape, jnp.int4)
+
+
 def _cache_zeros(shape, bits: int) -> jax.Array:
     if bits == 4:
-        # int4 constants must be materialized ON device (a host-side
-        # jnp.zeros(..., int4) trips the axon transfer path); a jitted
-        # producer compiles the packed buffer directly
-        return jax.jit(lambda: jnp.zeros(shape, jnp.int4))()
+        return _int4_zeros(shape)
     return jnp.zeros(shape, jnp.int8)
 
 
@@ -88,22 +94,26 @@ def init_kv_cache(
 
 
 @jax.jit
-def calibrate(cache, k_sample: jax.Array, v_sample: jax.Array):
+def calibrate(cache, k_sample: jax.Array, v_sample: jax.Array,
+              lengths: jax.Array | None = None):
     """Freeze per-channel K/V means from sample tokens [b, h_kv, t, d]
     (typically the prompt, before the prefill append).  Subtracting a
     fixed channel mean rescues coarse quantizers (esp. ``bits=4``) from
     channel bias — the corrections are mathematically free (see
     QuantKVCache).  Works on QuantKVCache and PagedKVCache alike; must
-    run on an EMPTY cache."""
-    return dataclasses.replace(
-        cache,
-        k_mean=jnp.mean(
-            k_sample.astype(jnp.float32), axis=2, keepdims=True
-        ),
-        v_mean=jnp.mean(
-            v_sample.astype(jnp.float32), axis=2, keepdims=True
-        ),
-    )
+    run on an EMPTY cache — already-cached tokens were quantized
+    against the OLD means, and mixing means across keys breaks the
+    softmax invariance of the K shift.  Pass ``lengths`` to enforce
+    that per batch under jit: rows with lengths > 0 keep their frozen
+    means (so a re-prefill over a live cache is a no-op, not silent
+    corruption)."""
+    k_m = jnp.mean(k_sample.astype(jnp.float32), axis=2, keepdims=True)
+    v_m = jnp.mean(v_sample.astype(jnp.float32), axis=2, keepdims=True)
+    if lengths is not None:
+        empty = (lengths.astype(jnp.int32) == 0)[:, None, None, None]
+        k_m = jnp.where(empty, k_m, cache.k_mean)
+        v_m = jnp.where(empty, v_m, cache.v_mean)
+    return dataclasses.replace(cache, k_mean=k_m, v_mean=v_m)
 
 
 def _quant_rows(x: jax.Array, bits: int = 8):
@@ -116,6 +126,13 @@ def _quant_rows(x: jax.Array, bits: int = 8):
         quant_mod.round_half_away(xf * r[..., None]), -qmax, qmax
     )
     return q.astype(jnp.int8 if bits == 8 else jnp.int4), scale
+
+
+def quant_calibrated(x: jax.Array, mean: jax.Array, bits: int):
+    """THE cache-write quantization recipe (every append/prefill path,
+    dense/paged/sharded, uses exactly this): fp32 cast, subtract the
+    frozen per-channel mean, per-token int8/int4 rows."""
+    return _quant_rows(x.astype(jnp.float32) - mean, bits)
 
 
 @jax.jit
@@ -133,12 +150,8 @@ def append_kv(
     so an append past ``max_len`` clamps to the end and overwrites the
     tail rather than raising (jit-compatible); size the cache for the
     longest sequence."""
-    k_q, k_s = _quant_rows(
-        k_new.astype(jnp.float32) - cache.k_mean, cache.bits
-    )
-    v_q, v_s = _quant_rows(
-        v_new.astype(jnp.float32) - cache.v_mean, cache.bits
-    )
+    k_q, k_s = quant_calibrated(k_new, cache.k_mean, cache.bits)
+    v_q, v_s = quant_calibrated(v_new, cache.v_mean, cache.bits)
 
     def upd4(buf, new, off):
         return jax.lax.dynamic_update_slice(buf, new, (0, off, 0))
@@ -199,9 +212,12 @@ def sageattn_decode(
     )
     o = res[0] if return_state else res
     # exact V-mean add-back (softmax rows sum to 1); K's mean shift is
-    # softmax-invariant and needs no correction
+    # softmax-invariant and needs no correction.  Zero-length slots have
+    # no softmax mass (the kernel emits 0 rows) — keep them 0, not mean.
     group = q.shape[1] // cache.v_mean.shape[1]
-    o = o + jnp.repeat(cache.v_mean, group, axis=1).astype(o.dtype)
+    live = (lengths.astype(jnp.int32) > 0)[:, None, None, None]
+    vm = jnp.where(live, jnp.repeat(cache.v_mean, group, axis=1), 0.0)
+    o = o + vm.astype(o.dtype)
     return (o, res[1], res[2]) if return_state else o
 
 
@@ -270,12 +286,9 @@ def paged_append(
     following the page table across page boundaries.  Pure quantized
     writes (per-token scales), like the dense append."""
     page = cache.page_size
-    k_q, k_s = _quant_rows(
-        k_new.astype(jnp.float32) - cache.k_mean, cache.bits
-    )   # [b,h,t,d], [b,h,t]
-    v_q, v_s = _quant_rows(
-        v_new.astype(jnp.float32) - cache.v_mean, cache.bits
-    )
+    k_q, k_s = quant_calibrated(k_new, cache.k_mean, cache.bits)
+    v_q, v_s = quant_calibrated(v_new, cache.v_mean, cache.bits)
+    # [b,h,t,d], [b,h,t]
     b, h, t, d = k_q.shape
 
     # destination of token j of sequence i: physical page
@@ -319,12 +332,8 @@ def paged_prefill(
     b, h, t, d = k.shape
     assert t % page == 0, (t, page)
     n_used = t // page
-    k_q, k_s = _quant_rows(
-        k.astype(jnp.float32) - cache.k_mean, cache.bits
-    )
-    v_q, v_s = _quant_rows(
-        v.astype(jnp.float32) - cache.v_mean, cache.bits
-    )
+    k_q, k_s = quant_calibrated(k, cache.k_mean, cache.bits)
+    v_q, v_s = quant_calibrated(v, cache.v_mean, cache.bits)
 
     ids = cache.page_table[:, :n_used].reshape(-1)  # [b*n_used]
 
@@ -378,4 +387,6 @@ def sageattn_paged_decode(
         interpret=interpret or jax.default_backend() == "cpu",
     )
     group = q.shape[1] // cache.v_mean.shape[1]
-    return o + jnp.repeat(cache.v_mean, group, axis=1).astype(o.dtype)
+    live = (lengths.astype(jnp.int32) > 0)[:, None, None, None]
+    vm = jnp.where(live, jnp.repeat(cache.v_mean, group, axis=1), 0.0)
+    return o + vm.astype(o.dtype)

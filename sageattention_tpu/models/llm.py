@@ -68,10 +68,11 @@ class LLMBlock(nn.Module):
         wkw = {} if W is None else {"window": W}
         new_cache = None
         if cache is not None and not decode and cache.bits == 4:
-            # int4 cache: freeze per-channel K/V means on the prompt
-            # (prefill is the first append, so the calibration contract
-            # holds); the corrections are exact — see kvcache.calibrate
-            cache = kvcache.calibrate(cache, k, v)
+            # int4 cache: freeze per-channel K/V means on the prompt;
+            # passing lengths makes re-prefill over a live cache a
+            # per-batch no-op (the calibrate empty-cache contract) —
+            # the corrections are exact, see kvcache.calibrate
+            cache = kvcache.calibrate(cache, k, v, lengths)
         if isinstance(cache, kvcache.PagedKVCache):
             # vLLM-style paged serving: appends follow the page table,
             # decode gathers physical pages via scalar prefetch

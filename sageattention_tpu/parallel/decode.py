@@ -149,14 +149,19 @@ def make_sharded_append(
         # clamped start pre-rolled by the clamp residual so every
         # in-range row sits at its true position, then mask-restore the
         # rows the window covers but this shard doesn't own.
-        off = lengths.astype(jnp.int32) - idx * s_local       # [b]
-        k_q, k_s = kvcache._quant_rows(
-            k_new.astype(jnp.float32) - cache_shard.k_mean,
-            cache_shard.bits,
+        # match append_kv's overflow semantics (clamp and overwrite the
+        # TOTAL cache tail, never drop tokens): cap the global write
+        # start so the block always fits the combined capacity
+        n_sh = mesh.shape[axis] if axis is not None else 1
+        glen = jnp.minimum(
+            lengths.astype(jnp.int32), max(n_sh * s_local - t, 0)
         )
-        v_q, v_s = kvcache._quant_rows(
-            v_new.astype(jnp.float32) - cache_shard.v_mean,
-            cache_shard.bits,
+        off = glen - idx * s_local                            # [b]
+        k_q, k_s = kvcache.quant_calibrated(
+            k_new, cache_shard.k_mean, cache_shard.bits
+        )
+        v_q, v_s = kvcache.quant_calibrated(
+            v_new, cache_shard.v_mean, cache_shard.bits
         )
         w = min(t, s_local)
         start_j = jnp.clip(-off, 0, t - w)  # [b] window start in block

@@ -483,3 +483,31 @@ class TestPagedDecode:
             vf = jnp.concatenate(vs_, axis=2)
             ref = oracle(q[0], kf[0], vf[0], hq // hkv)
             assert cosine(o[0], ref) > 0.999, f"append {t}"
+
+    def test_calibrate_lengths_guard(self):
+        """calibrate(..., lengths) must keep frozen means for batches
+        with live tokens (re-prefill over a live cache is a no-op) and
+        zero-length decode slots must stay 0, not v_mean."""
+        b, hq, hkv, d, S = 2, 4, 2, 64, 256
+        k = rand(1, (b, hkv, 100, d)) + 1.0
+        v = rand(2, (b, hkv, 100, d)) + 2.0
+        cache = kvcache.init_kv_cache(b, hkv, S, d, bits=4)
+        cache = kvcache.calibrate(cache, k, v)
+        m0 = np.asarray(cache.k_mean)
+        # batch 0 live, batch 1 empty
+        lengths = jnp.array([100, 0], jnp.int32)
+        cache2 = kvcache.calibrate(cache, k + 5.0, v + 5.0, lengths)
+        np.testing.assert_array_equal(
+            np.asarray(cache2.k_mean)[0], m0[0]
+        )   # live slot kept its frozen means
+        assert np.all(np.asarray(cache2.k_mean)[1] != m0[1])
+
+        # zero-length slot: output must be exactly 0 even though
+        # v_mean != 0 (no softmax mass to carry the add-back)
+        cache, _ = kvcache.append_kv(
+            cache, jnp.zeros((b,), jnp.int32), k, v
+        )
+        q = rand(3, (b, hq, 1, d))
+        o = kvcache.sageattn_decode(q, cache, lengths)
+        assert np.all(np.asarray(o[1]) == 0.0)
+        assert np.any(np.asarray(o[0]) != 0.0)

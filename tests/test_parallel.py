@@ -381,3 +381,22 @@ class TestShardedDecode:
         )
         og = sa.sageattn_decode(q, cg, lengths)
         assert cosine(o, og) > 0.999
+
+    def test_sharded_append_overflow_matches_dense(self):
+        """Appending past total capacity clamps and overwrites the tail
+        (append_kv semantics), it must not drop tokens."""
+        b, hkv, d, S = 1, 2, 32, 256
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
+        app = sa.parallel.make_sharded_append(mesh, axis="seq")
+        cache_s = sa.init_kv_cache(b, hkv, S, d)
+        cache_g = sa.init_kv_cache(b, hkv, S, d)
+        k = rand(110, (b, hkv, 100, d))
+        v = rand(111, (b, hkv, 100, d))
+        lengths = jnp.array([200], jnp.int32)   # 200 + 100 > 256
+        cache_s, ls = app(cache_s, lengths, k, v)
+        cache_g, lg = sa.append_kv(cache_g, lengths, k, v)
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(lg))
+        for f in ("k_i8", "v_i8", "k_scale", "v_scale"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(cache_s, f)),
+                np.asarray(getattr(cache_g, f)), err_msg=f)
