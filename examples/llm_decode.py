@@ -43,6 +43,11 @@ def main():
                     help="cache storage width (4 = packed int4: half "
                          "the footprint and cache-read bytes; means "
                          "auto-calibrated on the prompt)")
+    ap.add_argument("--chunked_prefill", type=int, default=0,
+                    metavar="N",
+                    help="prefill the prompt in N-token extend blocks "
+                         "through the quantized cache (the vLLM extend "
+                         "phase) instead of one full-attention pass")
     args = ap.parse_args()
 
     base = MODEL_CONFIGS["llm-7b"]
@@ -81,12 +86,23 @@ def main():
     )
 
     t0 = time.time()
-    logits, caches = prefill(params, toks, caches, lengths)
-    lengths = lengths + args.prompt_len
+    if args.chunked_prefill:
+        n = args.chunked_prefill
+        assert args.prompt_len % n == 0, (args.prompt_len, n)
+        for i in range(0, args.prompt_len, n):
+            logits, caches = decode(
+                params, toks[:, i:i + n], caches, lengths
+            )
+            lengths = lengths + n
+        mode = f"chunked ({n}-token extend blocks)"
+    else:
+        logits, caches = prefill(params, toks, caches, lengths)
+        lengths = lengths + args.prompt_len
+        mode = "one-shot"
     cur = jnp.argmax(logits[:, -1:], axis=-1)
     cur.block_until_ready()
-    print(f"prefill {args.prompt_len} tokens: {time.time()-t0:.2f}s "
-          f"(includes compile)")
+    print(f"prefill {args.prompt_len} tokens ({mode}): "
+          f"{time.time()-t0:.2f}s (includes compile)")
 
     out = [cur]
     t0 = time.time()

@@ -67,11 +67,12 @@ class LLMBlock(nn.Module):
         W = c.window
         wkw = {} if W is None else {"window": W}
         new_cache = None
-        if cache is not None and not decode and cache.bits == 4:
-            # int4 cache: freeze per-channel K/V means on the prompt;
-            # passing lengths makes re-prefill over a live cache a
-            # per-batch no-op (the calibrate empty-cache contract) —
-            # the corrections are exact, see kvcache.calibrate
+        if cache is not None and cache.bits == 4 and lengths is not None:
+            # int4 cache: freeze per-channel K/V means on each batch's
+            # FIRST write (lengths == 0) — prefill or the first chunked-
+            # prefill block alike; live batches keep their frozen means
+            # (the calibrate empty-cache contract, enforced per batch).
+            # The corrections are exact — see kvcache.calibrate
             cache = kvcache.calibrate(cache, k, v, lengths)
         if isinstance(cache, kvcache.PagedKVCache):
             # vLLM-style paged serving: appends follow the page table,

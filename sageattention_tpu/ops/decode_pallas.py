@@ -263,15 +263,22 @@ def sage_decode_attention(
     if sm_scale is None:
         sm_scale = d**-0.5
     out_dtype = out_dtype or q.dtype
-    chunk = min(chunk, S)
-    while S % chunk:
-        chunk //= 2  # largest power-of-two divisor fallback
-    # 4096-wide chunks measured fastest at 32k (733 GB/s effective cache
-    # read vs 552 at 2048); below 2048 the per-chunk overheads dominate.
-    n_kv = S // chunk
 
     rows = group * t_q
     rows8 = max(8, -(-rows // 8) * 8)
+
+    # 4096-wide chunks measured fastest at 32k (733 GB/s effective cache
+    # read vs 552 at 2048); below 2048 the per-chunk overheads dominate.
+    # Chunked-prefill shapes (t_q in the hundreds — the vLLM "extend"
+    # phase) scale the chunk down so the [rows8, chunk] fp32 score tile
+    # stays within ~8 MB of VMEM.
+    if rows8 > 128:
+        budget = (8 * 2**20 // 4) // rows8
+        chunk = min(chunk, max(512, 1 << (budget.bit_length() - 1)))
+    chunk = min(chunk, S)
+    while S % chunk:
+        chunk //= 2  # largest power-of-two divisor fallback
+    n_kv = S // chunk
     # pack (kv head group, query token) into the row tile, head-major
     q_pack = q.reshape(b, hkv, group, t_q, d).reshape(
         b, hkv, rows, d

@@ -511,3 +511,109 @@ class TestPagedDecode:
         o = kvcache.sageattn_decode(q, cache, lengths)
         assert np.all(np.asarray(o[1]) == 0.0)
         assert np.any(np.asarray(o[0]) != 0.0)
+
+
+class TestChunkedPrefill:
+    """The vLLM "extend" phase: a block of hundreds of new tokens
+    attends the quantized cache + itself causally (t_q >> 1).  The
+    rows-aware chunk cap keeps the [rows, chunk] score tile in VMEM."""
+
+    def test_extend_block_matches_causal_oracle(self):
+        b, hq, hkv, d, S, t_q = 1, 4, 2, 64, 1024, 128
+        L_prev = 700
+        k_all = rand(1, (b, hkv, L_prev + t_q, d))
+        v_all = rand(2, (b, hkv, L_prev + t_q, d))
+        cache = kvcache.init_kv_cache(b, hkv, S, d)
+        cache, lengths = kvcache.append_kv(
+            cache, jnp.zeros((b,), jnp.int32), k_all, v_all
+        )
+        q = rand(3, (b, hq, t_q, d))
+        o = kvcache.sageattn_decode(q, cache, lengths)
+
+        # causal oracle: query row t (global pos L_prev + t) sees keys
+        # <= its own position
+        L = L_prev + t_q
+        group = hq // hkv
+        kr = jnp.repeat(k_all[0], group, axis=0).astype(jnp.float32)
+        vr = jnp.repeat(v_all[0], group, axis=0).astype(jnp.float32)
+        s = jnp.einsum(
+            "hqd,hkd->hqk", q[0].astype(jnp.float32), kr
+        ) * d**-0.5
+        col = jnp.arange(L)[None, None, :]
+        row = jnp.arange(t_q)[None, :, None]
+        s = jnp.where(col <= L_prev + row, s, -jnp.inf)
+        ref = jnp.einsum(
+            "hqk,hkd->hqd", jax.nn.softmax(s, axis=-1), vr
+        )
+        assert cosine(o[0], ref) > 0.999
+
+    def test_chunked_prefill_equals_one_shot(self):
+        """Prefilling in two extend blocks == one-shot prefill+decode."""
+        b, hq, hkv, d, S = 1, 4, 2, 64, 512
+        t1, t2 = 200, 100
+        k = rand(11, (b, hkv, t1 + t2, d))
+        v = rand(12, (b, hkv, t1 + t2, d))
+        q2 = rand(13, (b, hq, t2, d))
+
+        # chunked: block 1 appended; block 2 appended then extended
+        c = kvcache.init_kv_cache(b, hkv, S, d)
+        c, ln = kvcache.append_kv(
+            c, jnp.zeros((b,), jnp.int32), k[:, :, :t1], v[:, :, :t1]
+        )
+        c, ln = kvcache.append_kv(c, ln, k[:, :, t1:], v[:, :, t1:])
+        o_chunked = kvcache.sageattn_decode(q2, c, ln)
+
+        # one-shot: same cache contents (per-token scales => identical)
+        c2 = kvcache.init_kv_cache(b, hkv, S, d)
+        c2, ln2 = kvcache.append_kv(c2, jnp.zeros((b,), jnp.int32), k, v)
+        o_once = kvcache.sageattn_decode(q2, c2, ln2)
+        np.testing.assert_array_equal(
+            np.asarray(o_chunked), np.asarray(o_once)
+        )
+
+    def test_model_chunked_prefill_matches_tokens(self):
+        """CausalLM: prefilling through the cache in extend blocks
+        (decode=True per chunk) then decoding must generate the same
+        tokens as the one-shot prefill path."""
+        from sageattention_tpu import models
+        from sageattention_tpu.models.configs import MODEL_CONFIGS
+
+        cfg = MODEL_CONFIGS["llm-7b"].scaled(
+            depth=2, hidden=128, heads=4, kv_heads=2, head_dim=32,
+            vocab=128, mlp_hidden=256,
+        )
+        model = models.CausalLM(cfg)
+        b, n_prompt, n_gen, max_len = 1, 16, 4, 64
+        toks = jax.random.randint(
+            jax.random.PRNGKey(0), (b, n_prompt), 0, 128
+        )
+        params = model.init(jax.random.PRNGKey(1), toks)
+
+        def generate(chunked):
+            caches = model.init_caches(b, max_len)
+            lengths = jnp.zeros((b,), jnp.int32)
+            if chunked:
+                for i in range(0, n_prompt, 8):
+                    logits, caches = model.apply(
+                        params, toks[:, i:i + 8], caches=caches,
+                        lengths=lengths, decode=True,
+                    )
+                    lengths = lengths + 8
+            else:
+                logits, caches = model.apply(
+                    params, toks, caches=caches, lengths=lengths
+                )
+                lengths = lengths + n_prompt
+            cur = jnp.argmax(logits[:, -1:], axis=-1)
+            out = [int(cur[0, 0])]
+            for _ in range(n_gen):
+                logits, caches = model.apply(
+                    params, cur, caches=caches, lengths=lengths,
+                    decode=True,
+                )
+                lengths = lengths + 1
+                cur = jnp.argmax(logits[:, -1:], axis=-1)
+                out.append(int(cur[0, 0]))
+            return out
+
+        assert generate(True) == generate(False)
