@@ -281,10 +281,17 @@ def paged_append(
     lengths: jax.Array,      # [b]
     k_new: jax.Array,        # [b, h_kv, t, d]
     v_new: jax.Array,        # [b, h_kv, t, d]
+    pool_start: jax.Array | int = 0,
 ) -> tuple[PagedKVCache, jax.Array]:
     """Quantize and write ``t`` tokens per sequence at ``lengths``,
     following the page table across page boundaries.  Pure quantized
-    writes (per-token scales), like the dense append."""
+    writes (per-token scales), like the dense append.
+
+    ``pool_start``: when the page pool is SHARDED over devices
+    (parallel/decode.py), each shard passes its first global page id;
+    page-table entries resolve to pool-local indices and writes to
+    pages another shard owns drop (scatter mode="drop") — every token
+    lands on exactly one shard, bit-identically to the global pool."""
     page = cache.page_size
     k_q, k_s = quant_calibrated(k_new, cache.k_mean, cache.bits)
     v_q, v_s = quant_calibrated(v_new, cache.v_mean, cache.bits)
@@ -296,7 +303,10 @@ def paged_append(
     pos = lengths[:, None] + jnp.arange(t)[None, :]        # [b, t]
     phys = jnp.take_along_axis(
         cache.page_table, pos // page, axis=1
-    )                                                      # [b, t]
+    ) - pool_start                                         # [b, t]
+    # negative (another shard's) indices would WRAP under numpy
+    # semantics — push them out of range so mode="drop" drops them
+    phys = jnp.where(phys < 0, cache.pages_k.shape[0], phys)
     off = pos % page                                        # [b, t]
 
     def scatter_pool(pool, rows):
@@ -305,7 +315,7 @@ def paged_append(
             (b * t, h) + rows.shape[3:]
         )  # [(b t), h, d?]
         return pool.at[phys.reshape(-1), :, off.reshape(-1)].set(
-            rows_flat
+            rows_flat, mode="drop"
         )
 
     cache = dataclasses.replace(
@@ -323,6 +333,7 @@ def paged_prefill(
     cache: PagedKVCache,
     k: jax.Array,            # [b, h_kv, t, d], t a multiple of page_size
     v: jax.Array,
+    pool_start: jax.Array | int = 0,
 ) -> tuple[PagedKVCache, jax.Array]:
     """Bulk-load empty sequences: writes whole pages through the page
     table (page-granular scatter — token-granular paged_append is for
@@ -335,7 +346,8 @@ def paged_prefill(
     k_q, k_s = quant_calibrated(k, cache.k_mean, cache.bits)
     v_q, v_s = quant_calibrated(v, cache.v_mean, cache.bits)
 
-    ids = cache.page_table[:, :n_used].reshape(-1)  # [b*n_used]
+    ids = cache.page_table[:, :n_used].reshape(-1) - pool_start
+    ids = jnp.where(ids < 0, cache.pages_k.shape[0], ids)
 
     def put(pool, rows, has_d):
         # rows [b, h, t, (d)] -> [b*n_used, h, page, (d)]
@@ -345,7 +357,7 @@ def paged_prefill(
         else:
             r = rows.reshape(b, h, n_used, page)
             r = jnp.moveaxis(r, 2, 1).reshape(b * n_used, h, page)
-        return pool.at[ids].set(r)
+        return pool.at[ids].set(r, mode="drop")
 
     cache = dataclasses.replace(
         cache,
@@ -358,35 +370,49 @@ def paged_prefill(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "window", "interpret")
+    jax.jit,
+    static_argnames=("sm_scale", "window", "return_state", "interpret"),
 )
 def sageattn_paged_decode(
     q: jax.Array,            # [b, hq, t_q, d]
     cache: PagedKVCache,
     lengths: jax.Array,      # [b]
     *,
+    owned: jax.Array | None = None,
+    page_table: jax.Array | None = None,
     sm_scale: float | None = None,
     window: int | None = None,
+    return_state: bool = False,
     interpret: bool = False,
 ):
     """Decode attention through the page table (scalar-prefetch gather;
     same query semantics as sageattn_decode, including ``window``:
-    only the pages the sliding window reaches are read)."""
+    only the pages the sliding window reaches are read).
+
+    ``owned``/``page_table``/``return_state``: the sharded-pool hooks —
+    a LOCAL (forward-filled) page table overriding the cache's own, an
+    ownership mask restricting which logical pages this shard
+    contributes, and the (o, m, l) merge state for the exact
+    cross-shard LSE reduce (see parallel/decode.py)."""
     from sageattention_tpu.ops import paged_decode_pallas
 
-    o = paged_decode_pallas.sage_paged_decode_attention(
+    res = paged_decode_pallas.sage_paged_decode_attention(
         q,
         cache.pages_k,
         cache.pages_k_scale,
         cache.pages_v,
         cache.pages_v_scale,
-        cache.page_table,
+        cache.page_table if page_table is None else page_table,
         lengths,
+        owned=owned,
         sm_scale=sm_scale,
         window=window,
+        return_state=return_state,
         interpret=interpret or jax.default_backend() == "cpu",
     )
+    o = res[0] if return_state else res
     group = q.shape[1] // cache.v_mean.shape[1]
     live = (lengths.astype(jnp.int32) > 0)[:, None, None, None]
     vm = jnp.where(live, jnp.repeat(cache.v_mean, group, axis=1), 0.0)
-    return o + vm.astype(o.dtype)
+    o = o + vm.astype(o.dtype)
+    return (o, res[1], res[2]) if return_state else o

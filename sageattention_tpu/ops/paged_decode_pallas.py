@@ -46,25 +46,33 @@ LOG2E = 1.4426950408889634
 def _paged_kernel(
     pt_ref,     # [b, max_pages] int32 scalar-prefetch page table
     len_ref,    # [b] int32 scalar-prefetch live lengths
-    q_ref,      # [1, 1, rows8, d]
-    k_ref,      # [1, 1, page, d] int8 (the physical page)
-    ks_ref,     # [1, 1, 1, page] f32
-    v_ref,      # [1, 1, page, d] int8
-    vs_ref,     # [1, 1, 1, page] f32
-    o_ref,      # [1, 1, rows8, d]
-    ml_scr,
-    acc_scr,
-    *,
+    *rest,      # [owned_ref,] q/k/ks/v/vs refs, o_ref, [ml_ref,]
+                # ml_scr, acc_scr
     page: int,
     n_pages: int,
     t_q: int,
     sm_fold: float,
     out_dtype,
+    has_owned: bool = False,
+    return_state: bool = False,
 ):
     """The page-table variant of decode_pallas._decode_kernel: identical
     numerics (the shared decode_step_body), with the KV block coming
     from the physical page the index maps selected via scalar prefetch
-    and the length read from the prefetched scalar array."""
+    and the length read from the prefetched scalar array.
+
+    ``has_owned``: a [b, max_pages] int32 scalar-prefetch mask marks
+    which logical pages THIS shard of a sequence-sharded page pool
+    owns; unowned steps skip compute (their index maps repeat the
+    previous physical page, so the pipeline elides the DMA too).
+    ``return_state``: emit the raw (m, l) merge buffer for the exact
+    cross-shard LSE merge (parallel/decode.py)."""
+    owned_ref, rest = (rest[0], rest[1:]) if has_owned else (None, rest)
+    q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref = rest[:6]
+    if return_state:
+        ml_ref, ml_scr, acc_scr = rest[6:]
+    else:
+        (ml_scr, acc_scr), ml_ref = rest[6:], None
     b_idx = pl.program_id(0)
     p_idx = pl.program_id(2)
     length = len_ref[b_idx]
@@ -73,7 +81,11 @@ def _paged_kernel(
     def _init():
         decode_init_scratch(ml_scr, acc_scr)
 
-    @pl.when(p_idx * page < length)
+    live = p_idx * page < length
+    if owned_ref is not None:
+        live = jnp.logical_and(live, owned_ref[b_idx, p_idx] != 0)
+
+    @pl.when(live)
     def _body():
         decode_step_body(
             q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
@@ -83,25 +95,32 @@ def _paged_kernel(
 
     @pl.when(p_idx == n_pages - 1)
     def _epilogue():
-        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
+        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype, ml_ref)
 
 
 def _paged_kernel_window(
     pt_ref,     # [b, max_pages] int32 scalar-prefetch page table
     len_ref,    # [b] int32 scalar-prefetch live lengths
     start_ref,  # [b] int32 scalar-prefetch first live logical page
-    q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, ml_scr, acc_scr,
-    *,
+    *rest,
     page: int,
     n_live: int,
     t_q: int,
     sm_fold: float,
     window: int,
     out_dtype,
+    has_owned: bool = False,
+    return_state: bool = False,
 ):
     """Sliding-window paged decode: the grid covers only the ``n_live``
     logical pages the window can reach (the index maps gather
     ``pt[b, start[b] + g]``) — O(window) per step at any context."""
+    owned_ref, rest = (rest[0], rest[1:]) if has_owned else (None, rest)
+    q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref = rest[:6]
+    if return_state:
+        ml_ref, ml_scr, acc_scr = rest[6:]
+    else:
+        (ml_scr, acc_scr), ml_ref = rest[6:], None
     b_idx = pl.program_id(0)
     g_idx = pl.program_id(2)
     length = len_ref[b_idx]
@@ -111,7 +130,11 @@ def _paged_kernel_window(
     def _init():
         decode_init_scratch(ml_scr, acc_scr)
 
-    @pl.when(p_idx * page < length)
+    live = p_idx * page < length
+    if owned_ref is not None:
+        live = jnp.logical_and(live, owned_ref[b_idx, p_idx] != 0)
+
+    @pl.when(live)
     def _body():
         decode_step_body(
             q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
@@ -121,12 +144,13 @@ def _paged_kernel_window(
 
     @pl.when(g_idx == n_live - 1)
     def _epilogue():
-        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype)
+        decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype, ml_ref)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "window", "out_dtype", "interpret"),
+    static_argnames=("sm_scale", "window", "out_dtype", "return_state",
+                     "interpret"),
 )
 def sage_paged_decode_attention(
     q: jax.Array,            # [b, hq, t_q, d]
@@ -137,9 +161,11 @@ def sage_paged_decode_attention(
     page_table: jax.Array,   # [b, max_pages] int32 physical page ids
     lengths: jax.Array,      # [b] int32 live token counts
     *,
+    owned: jax.Array | None = None,  # [b, max_pages] int32 page mask
     sm_scale: float | None = None,
     window: int | None = None,
     out_dtype=None,
+    return_state: bool = False,
     interpret: bool = False,
 ):
     """Decode attention through a page table.
@@ -149,7 +175,15 @@ def sage_paged_decode_attention(
     valid (they are DMA'd but masked).  Same query semantics as the
     dense decode kernel (t_q causal tail, GQA packing).  ``window``
     clips both the mask and the page reads to the sliding window —
-    O(window) pages per step at any context length."""
+    O(window) pages per step at any context length.
+
+    ``owned`` (with ``return_state=True``) runs a PARTIAL decode over a
+    shard of a distributed page pool: only logical pages with
+    ``owned[b, j] != 0`` contribute; the caller passes a LOCAL page
+    table whose unowned entries repeat the previous owned physical page
+    (forward-fill), which makes the pipeline skip their DMAs entirely —
+    unowned grid steps cost neither bandwidth nor compute.  Partials
+    merge exactly via ``decode_pallas.merge_decode_partials``."""
     b, hq, t_q, d = q.shape
     num_pages, hkv, page, _ = pages_k.shape
     max_pages = page_table.shape[1]
@@ -183,6 +217,19 @@ def sage_paged_decode_attention(
         pages_v_scale.astype(jnp.float32)[:, :, None, :],
     )
 
+    has_owned = owned is not None
+
+    def finish(res):
+        def heads(x):
+            return x[:, :, :rows].reshape(
+                b, hkv, group, t_q, *x.shape[3:]
+            ).reshape(b, hq, t_q, *x.shape[3:])
+
+        if not return_state:
+            return heads(res[0])
+        o, ml = res
+        return heads(o), heads(ml[..., 0]), heads(ml[..., 1])
+
     if window is not None:
         span = window + t_q - 1
         n_live = min(max_pages, -(-span // page) + 1)
@@ -191,15 +238,23 @@ def sage_paged_decode_attention(
             0, max_pages - n_live,
         )
 
-        # index maps receive (grid indices..., scalar-prefetch refs...)
-        def page_map_w(ib, ih, ip, pt, lens, st):
+        # index maps receive (grid indices..., scalar-prefetch refs...);
+        # the optional owned mask is the LAST prefetch operand
+        def page_map_w(ib, ih, ip, pt, lens, st, *own):
             return (pt[ib, st[ib] + ip], ih, 0, 0)
 
-        def q_map_w(ib, ih, ip, pt, lens, st):
+        def q_map_w(ib, ih, ip, pt, lens, st, *own):
             return (ib, ih, 0, 0)
 
+        out_specs = [pl.BlockSpec((1, 1, rows8, d), q_map_w)]
+        out_shape = [jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype)]
+        if return_state:
+            out_specs.append(pl.BlockSpec((1, 1, rows8, 128), q_map_w))
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, hkv, rows8, 128), jnp.float32)
+            )
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=3 + has_owned,
             grid=(b, hkv, n_live),
             in_specs=[
                 pl.BlockSpec((1, 1, rows8, d), q_map_w),
@@ -208,38 +263,49 @@ def sage_paged_decode_attention(
                 pl.BlockSpec((1, 1, page, d), page_map_w),
                 pl.BlockSpec((1, 1, 1, page), page_map_w),
             ],
-            out_specs=pl.BlockSpec((1, 1, rows8, d), q_map_w),
+            out_specs=out_specs,
             scratch_shapes=scratch_shapes,
         )
-        o = pl.pallas_call(
-            functools.partial(
-                _paged_kernel_window, page=page, n_live=n_live, t_q=t_q,
-                sm_fold=sm_scale * LOG2E, window=window,
-                out_dtype=out_dtype,
-            ),
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype),
-            compiler_params=compiler_params,
-            interpret=interpret,
-        )(
+        # kernel scalar refs arrive in operand order: pt, lens, start
+        # [, owned]; _paged_kernel_window expects owned FIRST in *rest,
+        # so reorder is unnecessary — it slices rest by has_owned
+        prefetch = [
             page_table.astype(jnp.int32),
             lengths.astype(jnp.int32),
             start,
-            *pool_operands,
-        )
-        return o[:, :, :rows].reshape(b, hkv, group, t_q, d).reshape(
-            b, hq, t_q, d
-        )
+        ]
+        if has_owned:
+            prefetch.append(owned.astype(jnp.int32))
+        res = pl.pallas_call(
+            functools.partial(
+                _paged_kernel_window, page=page, n_live=n_live, t_q=t_q,
+                sm_fold=sm_scale * LOG2E, window=window,
+                out_dtype=out_dtype, has_owned=has_owned,
+                return_state=return_state,
+            ),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )(*prefetch, *pool_operands)
+        return finish(res)
 
     # index maps receive (grid indices..., scalar-prefetch refs...)
-    def page_map(ib, ih, ip, pt, lens):
+    def page_map(ib, ih, ip, pt, lens, *own):
         return (pt[ib, ip], ih, 0, 0)
 
-    def q_map(ib, ih, ip, pt, lens):
+    def q_map(ib, ih, ip, pt, lens, *own):
         return (ib, ih, 0, 0)
 
+    out_specs = [pl.BlockSpec((1, 1, rows8, d), q_map)]
+    out_shape = [jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype)]
+    if return_state:
+        out_specs.append(pl.BlockSpec((1, 1, rows8, 128), q_map))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, hkv, rows8, 128), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=2 + has_owned,
         grid=(b, hkv, max_pages),
         in_specs=[
             pl.BlockSpec((1, 1, rows8, d), q_map),
@@ -248,23 +314,21 @@ def sage_paged_decode_attention(
             pl.BlockSpec((1, 1, page, d), page_map),
             pl.BlockSpec((1, 1, 1, page), page_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, rows8, d), q_map),
+        out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
-    o = pl.pallas_call(
+    prefetch = [page_table.astype(jnp.int32), lengths.astype(jnp.int32)]
+    if has_owned:
+        prefetch.append(owned.astype(jnp.int32))
+    res = pl.pallas_call(
         functools.partial(
             _paged_kernel, page=page, n_pages=max_pages, t_q=t_q,
             sm_fold=sm_scale * LOG2E, out_dtype=out_dtype,
+            has_owned=has_owned, return_state=return_state,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype),
+        out_shape=out_shape,
         compiler_params=compiler_params,
         interpret=interpret,
-    )(
-        page_table.astype(jnp.int32),
-        lengths.astype(jnp.int32),
-        *pool_operands,
-    )
-    return o[:, :, :rows].reshape(b, hkv, group, t_q, d).reshape(
-        b, hq, t_q, d
-    )
+    )(*prefetch, *pool_operands)
+    return finish(res)

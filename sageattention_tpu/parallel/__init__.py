@@ -8,6 +8,8 @@ from sageattention_tpu.parallel.api import make_parallel_sageattn
 from sageattention_tpu.parallel.decode import (
     make_sharded_append,
     make_sharded_decode,
+    make_sharded_paged_append,
+    make_sharded_paged_decode,
 )
 
 __all__ = [
@@ -19,4 +21,6 @@ __all__ = [
     "make_parallel_sageattn",
     "make_sharded_decode",
     "make_sharded_append",
+    "make_sharded_paged_decode",
+    "make_sharded_paged_append",
 ]

@@ -226,3 +226,128 @@ def make_sharded_append(
             check_vma=False,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded PAGED pool: vLLM-style paging at multi-chip scale.  The page
+# pool shards over the mesh (pages [j*pp, (j+1)*pp) live on device j);
+# the page table stays replicated (it is tiny), and each device decodes
+# only the logical pages whose physical page it owns.  Unowned grid
+# steps repeat the previous owned physical page in the index map
+# (forward-fill), so the Pallas pipeline elides their DMAs — each
+# device reads only its own pages.  Partials merge with the same exact
+# LSE reduce as the dense sharded decode.
+# ---------------------------------------------------------------------------
+
+
+def _ffill(vals: jax.Array, valid: jax.Array) -> jax.Array:
+    """Forward-fill ``vals`` where ``valid`` along axis 1 (0 before the
+    first valid entry): the DMA-elision trick — repeated block indices
+    cost nothing in a Pallas grid."""
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), jnp.logical_or(af, bf)
+
+    v, f = jax.lax.associative_scan(
+        comb, (vals, valid), axis=1
+    )
+    return jnp.where(f, v, 0)
+
+
+def paged_shard_specs(
+    axis: str | None, head_axis: str | None = None
+) -> kvcache.PagedKVCache:
+    """PartitionSpec pytree: page pool sharded on its page axis (dim 0)
+    and optionally kv heads (dim 1); the page table replicates."""
+    return kvcache.PagedKVCache(
+        pages_k=P(axis, head_axis, None, None),
+        pages_k_scale=P(axis, head_axis, None),
+        pages_v=P(axis, head_axis, None, None),
+        pages_v_scale=P(axis, head_axis, None),
+        page_table=P(),
+        k_mean=P(None, head_axis, None, None),
+        v_mean=P(None, head_axis, None, None),
+    )
+
+
+def make_sharded_paged_decode(
+    mesh: jax.sharding.Mesh,
+    *,
+    axis: str = "seq",
+    head_axis: str | None = None,
+    sm_scale: float | None = None,
+    window: int | None = None,
+    interpret: bool = False,
+):
+    """Build a jitted ``sageattn_paged_decode`` over a page pool sharded
+    on ``axis`` (and heads on ``head_axis``): per-shard partial decode
+    via the ownership mask + forward-filled local page table, one exact
+    LSE merge.  Matches the single-pool decode up to fp32 merge order."""
+
+    def local_fn(q, cache_shard, lengths):
+        pp = cache_shard.pages_k.shape[0]
+        idx = jax.lax.axis_index(axis)
+        pt = cache_shard.page_table
+        owned = (pt >= idx * pp) & (pt < (idx + 1) * pp)
+        lpt = _ffill(jnp.where(owned, pt - idx * pp, 0), owned)
+        o, m, l = kvcache.sageattn_paged_decode(
+            q, cache_shard, lengths,
+            owned=owned.astype(jnp.int32), page_table=lpt,
+            sm_scale=sm_scale, window=window, return_state=True,
+            interpret=interpret,
+        )
+        m_g = jax.lax.pmax(m, axis)
+        w = l * jnp.exp2(m - m_g)
+        den = jnp.maximum(jax.lax.psum(w, axis), 1e-38)
+        num = jax.lax.psum(w[..., None] * o.astype(jnp.float32), axis)
+        return (num / den[..., None]).astype(o.dtype)
+
+    qspec = P(None, head_axis, None, None)
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(qspec, paged_shard_specs(axis, head_axis), P()),
+            out_specs=qspec,
+            check_vma=False,
+        )
+    )
+
+
+def make_sharded_paged_append(
+    mesh: jax.sharding.Mesh,
+    *,
+    axis: str = "seq",
+    head_axis: str | None = None,
+    prefill: bool = False,
+):
+    """Sharded paged writes: each device scatters only the rows whose
+    destination page it owns (``pool_start`` + drop-mode scatter in
+    kvcache.paged_append/paged_prefill) — bit-identical to the global
+    pool.  ``prefill=True`` builds the page-granular bulk loader
+    (t % page_size == 0, empty sequences) instead of the token scatter."""
+
+    def local_append(cache_shard, lengths, k_new, v_new):
+        pp = cache_shard.pages_k.shape[0]
+        start = jax.lax.axis_index(axis) * pp
+        if prefill:
+            return kvcache.paged_prefill(
+                cache_shard, k_new, v_new, pool_start=start
+            )
+        return kvcache.paged_append(
+            cache_shard, lengths, k_new, v_new, pool_start=start
+        )
+
+    specs = paged_shard_specs(axis, head_axis)
+    kvspec = P(None, head_axis, None, None)
+    return jax.jit(
+        jax.shard_map(
+            local_append,
+            mesh=mesh,
+            in_specs=(specs, P(), kvspec, kvspec),
+            out_specs=(specs, P()),
+            check_vma=False,
+        )
+    )

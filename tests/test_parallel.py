@@ -400,3 +400,93 @@ class TestShardedDecode:
             np.testing.assert_array_equal(
                 np.asarray(getattr(cache_s, f)),
                 np.asarray(getattr(cache_g, f)), err_msg=f)
+
+
+class TestShardedPaged:
+    """vLLM-at-scale: the page pool sharded over the mesh; each device
+    decodes only the logical pages it owns (forward-filled local page
+    tables elide unowned DMAs) and writes only its own pages."""
+
+    def _pool(self, b, hkv, d, S, page, key, bits=8):
+        n_pg = b * (S // page)
+        # scrambled physical pages
+        table = jax.random.permutation(
+            jax.random.PRNGKey(key), n_pg
+        ).reshape(b, S // page).astype(jnp.int32)
+        return sa.init_paged_kv_cache(
+            n_pg, hkv, d, table, page_size=page, bits=bits
+        )
+
+    def test_paged_decode_matches_single_pool(self):
+        import sageattention_tpu.kvcache as kvc
+        b, hq, hkv, d, S, page = 2, 8, 2, 64, 1024, 128
+        k = rand(121, (b, hkv, S, d))
+        v = rand(122, (b, hkv, S, d))
+        q = rand(123, (b, hq, 1, d))
+        lengths = jnp.array([S, 600], jnp.int32)
+
+        single = self._pool(b, hkv, d, S, page, key=9)
+        single, _ = kvc.paged_prefill(single, k, v)
+        o_single = kvc.sageattn_paged_decode(q, single, lengths)
+
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("seq",))
+        dec = sa.parallel.make_sharded_paged_decode(mesh, axis="seq")
+        o_shard = dec(q, single, lengths)
+        np.testing.assert_allclose(
+            np.asarray(o_single, np.float32),
+            np.asarray(o_shard, np.float32), atol=1e-4, rtol=0,
+        )
+
+    def test_paged_sharded_writes_bitexact(self):
+        """Sharded prefill + boundary-crossing appends == global pool."""
+        import sageattention_tpu.kvcache as kvc
+        b, hkv, d, S, page = 2, 2, 32, 512, 128
+        k = rand(131, (b, hkv, 256, d))
+        v = rand(132, (b, hkv, 256, d))
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
+        pre = sa.parallel.make_sharded_paged_append(
+            mesh, axis="seq", prefill=True
+        )
+        app = sa.parallel.make_sharded_paged_append(mesh, axis="seq")
+
+        pool_s = self._pool(b, hkv, d, S, page, key=10)
+        pool_g = self._pool(b, hkv, d, S, page, key=10)
+        pool_s, ls = pre(pool_s, jnp.zeros((b,), jnp.int32), k, v)
+        pool_g, lg = kvc.paged_prefill(pool_g, k, v)
+        for i, t in enumerate([100, 60, 1]):   # crosses page boundaries
+            kn = rand(140 + i, (b, hkv, t, d))
+            vn = rand(150 + i, (b, hkv, t, d))
+            pool_s, ls = app(pool_s, ls, kn, vn)
+            pool_g, lg = kvc.paged_append(pool_g, lg, kn, vn)
+        np.testing.assert_array_equal(np.asarray(ls), np.asarray(lg))
+        for f in ("pages_k", "pages_v", "pages_k_scale",
+                  "pages_v_scale"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(pool_s, f)),
+                np.asarray(getattr(pool_g, f)), err_msg=f)
+
+    def test_paged_sharded_window(self):
+        import sageattention_tpu.kvcache as kvc
+        b, hq, hkv, d, S, page = 1, 4, 2, 64, 1024, 128
+        k = rand(161, (b, hkv, 900, d))
+        v = rand(162, (b, hkv, 900, d))
+        q = rand(163, (b, hq, 1, d))
+        single = self._pool(b, hkv, d, S, page, key=11)
+        single, _ = kvc.paged_prefill(
+            single,
+            jnp.pad(k, ((0, 0), (0, 0), (0, S - 900), (0, 0))),
+            jnp.pad(v, ((0, 0), (0, 0), (0, S - 900), (0, 0))),
+        )
+        lengths = jnp.array([900], jnp.int32)
+        o_single = kvc.sageattn_paged_decode(
+            q, single, lengths, window=256
+        )
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
+        dec = sa.parallel.make_sharded_paged_decode(
+            mesh, axis="seq", window=256
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_single, np.float32),
+            np.asarray(dec(q, single, lengths), np.float32),
+            atol=1e-4, rtol=0,
+        )
