@@ -617,3 +617,53 @@ class TestChunkedPrefill:
             return out
 
         assert generate(True) == generate(False)
+
+
+class TestPrefixSharing:
+    def test_shared_prefix_pages_alias(self):
+        """vLLM-style prefix caching: sequences sharing a prompt prefix
+        point their page-table entries at the SAME physical pages (no
+        copy).  Reads are pure gathers, pages are read-only after fill,
+        so aliasing is safe by construction — each sequence still gets
+        exactly its own attention output."""
+        hq, hkv, d, page = 4, 2, 64, 128
+        n_prefix, n_tail = 2, 1          # 256 shared + 128 own tokens
+        S = (n_prefix + n_tail) * page
+
+        k_pre = rand(201, (1, hkv, n_prefix * page, d))
+        v_pre = rand(202, (1, hkv, n_prefix * page, d))
+        tails_k = [rand(203 + i, (1, hkv, page, d)) for i in range(2)]
+        tails_v = [rand(205 + i, (1, hkv, page, d)) for i in range(2)]
+
+        # pool: pages 0,1 = shared prefix; 2,3 = per-sequence tails
+        # both sequences' tables alias the prefix pages
+        table = jnp.array([[0, 1, 2], [0, 1, 3]], jnp.int32)
+        pool = kvcache.init_paged_kv_cache(
+            4, hkv, d, table, page_size=page
+        )
+        # fill the prefix ONCE through a one-row view of the table,
+        # then serve both sequences through the aliasing table
+        import dataclasses
+        view = dataclasses.replace(
+            pool, page_table=table[:1, :2],
+            k_mean=pool.k_mean[:1], v_mean=pool.v_mean[:1],
+        )
+        view, _ = kvcache.paged_prefill(view, k_pre, v_pre)
+        pool = dataclasses.replace(
+            pool, pages_k=view.pages_k,
+            pages_k_scale=view.pages_k_scale, pages_v=view.pages_v,
+            pages_v_scale=view.pages_v_scale,
+        )
+        lengths = jnp.full((2,), n_prefix * page, jnp.int32)
+        k2 = jnp.concatenate(tails_k, axis=0)
+        v2 = jnp.concatenate(tails_v, axis=0)
+        pool, lengths = kvcache.paged_append(pool, lengths, k2, v2)
+
+        q = rand(210, (2, hq, 1, d))
+        o = kvcache.sageattn_paged_decode(q, pool, lengths)
+
+        for i in range(2):
+            k_full = jnp.concatenate([k_pre[0], tails_k[i][0]], axis=1)
+            v_full = jnp.concatenate([v_pre[0], tails_v[i][0]], axis=1)
+            ref = oracle(q[i], k_full, v_full, hq // hkv)
+            assert cosine(o[i], ref) > 0.999, i
