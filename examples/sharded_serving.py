@@ -15,6 +15,7 @@ must be set before jax import; this script sets it for you).
 
 Usage: python examples/sharded_serving.py [--tp 2] [--sp 4]
        [--context 8192] [--gen 8] [--bits 4] [--window 1024]
+       [--paged [--page_size 256]]
 """
 
 import argparse
@@ -35,6 +36,12 @@ def main():
     ap.add_argument("--gen", type=int, default=8)
     ap.add_argument("--bits", type=int, default=8, choices=(8, 4))
     ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--paged", action="store_true",
+                    help="shard a vLLM-style paged pool instead of the "
+                         "dense cache (scrambled physical pages; each "
+                         "device owns a block of pages and reads only "
+                         "those)")
+    ap.add_argument("--page_size", type=int, default=256)
     ap.add_argument("--platform", default="cpu",
                     help="'cpu' (default: virtual mesh, works anywhere)"
                          " or '' to use the ambient jax platform on a"
@@ -70,26 +77,61 @@ def main():
         jax.random.PRNGKey(i), sh, jnp.bfloat16
     )
 
-    cache = sa.init_kv_cache(b, hkv, args.context, d, bits=args.bits)
     prompt_len = args.context - args.gen
+    if args.paged:
+        # the page-granular bulk loader wants whole pages; the tail of
+        # the prompt would arrive via append in a real serving loop
+        prompt_len = prompt_len // args.page_size * args.page_size
     k = rng(1, (b, hkv, prompt_len, d))
     v = rng(2, (b, hkv, prompt_len, d))
-    if args.bits == 4:
-        cache = sa.calibrate(cache, k, v)
 
-    append = parallel.make_sharded_append(
-        mesh, axis="sp", head_axis="tp"
-    )
-    decode = parallel.make_sharded_decode(
-        mesh, axis="sp", head_axis="tp", window=args.window,
-    )
-
-    lengths = jnp.zeros((b,), jnp.int32)
-    cache, lengths = append(cache, lengths, k, v)
+    if args.paged:
+        page = args.page_size
+        assert args.context % page == 0
+        n_pg = b * (args.context // page)
+        assert n_pg % args.sp == 0
+        # scrambled physical pages: the stress case for the gather
+        table = jax.random.permutation(
+            jax.random.PRNGKey(42), n_pg
+        ).reshape(b, -1).astype(jnp.int32)
+        cache = sa.init_paged_kv_cache(
+            n_pg, hkv, d, table, page_size=page, bits=args.bits
+        )
+        if args.bits == 4:
+            cache = sa.calibrate(cache, k, v)
+        prefill = parallel.make_sharded_paged_append(
+            mesh, axis="sp", head_axis="tp", prefill=True
+        )
+        append = parallel.make_sharded_paged_append(
+            mesh, axis="sp", head_axis="tp"
+        )
+        decode = parallel.make_sharded_paged_decode(
+            mesh, axis="sp", head_axis="tp", window=args.window,
+        )
+        cache, lengths = prefill(
+            cache, jnp.zeros((b,), jnp.int32), k, v
+        )
+        nbytes = 2 * cache.pages_k.size * args.bits / 8
+        kind = f"paged int{args.bits}, {page}-token pages"
+    else:
+        cache = sa.init_kv_cache(
+            b, hkv, args.context, d, bits=args.bits
+        )
+        if args.bits == 4:
+            cache = sa.calibrate(cache, k, v)
+        append = parallel.make_sharded_append(
+            mesh, axis="sp", head_axis="tp"
+        )
+        decode = parallel.make_sharded_decode(
+            mesh, axis="sp", head_axis="tp", window=args.window,
+        )
+        lengths = jnp.zeros((b,), jnp.int32)
+        cache, lengths = append(cache, lengths, k, v)
+        nbytes = 2 * cache.k_i8.size * args.bits / 8
+        kind = f"int{args.bits}"
     print(f"prefilled {int(lengths[0])} tokens into a "
           f"{args.tp}x{args.sp} mesh "
-          f"({2 * cache.k_i8.size * args.bits / 8 / n / 2**20:.1f} "
-          f"MiB cache/device, int{args.bits})")
+          f"({nbytes / n / 2**20:.1f} MiB cache/device, {kind})")
 
     t0 = time.time()
     for step in range(args.gen):
