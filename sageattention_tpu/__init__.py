@@ -23,6 +23,7 @@ from sageattention_tpu.core import (
 )
 from sageattention_tpu import quant
 from sageattention_tpu.ops import reference
+from sageattention_tpu.speculative import speculative_verify
 from sageattention_tpu.kvcache import (
     PagedKVCache,
     QuantKVCache,
@@ -48,6 +49,7 @@ __all__ = [
     "reference",
     "QuantKVCache",
     "calibrate",
+    "speculative_verify",
     "init_kv_cache",
     "append_kv",
     "sageattn_decode",

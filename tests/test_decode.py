@@ -667,3 +667,92 @@ class TestPrefixSharing:
             v_full = jnp.concatenate([v_pre[0], tails_v[i][0]], axis=1)
             ref = oracle(q[i], k_full, v_full, hq // hkv)
             assert cosine(o[i], ref) > 0.999, i
+
+
+class TestSpeculative:
+    """Draft-block verification + free cache rollback (speculative
+    decoding on the quantized cache)."""
+
+    def test_greedy_verify(self):
+        from sageattention_tpu.speculative import speculative_verify
+        V = 16
+        draft = jnp.array([[3, 5, 7]], jnp.int32)
+        # target agrees at 0 and 1, wants token 9 at position 2,
+        # bonus row wants 11
+        tl = jnp.full((1, 4, V), -10.0)
+        tl = tl.at[0, 0, 3].set(5.0).at[0, 1, 5].set(5.0)
+        tl = tl.at[0, 2, 9].set(5.0).at[0, 3, 11].set(5.0)
+        n, nxt = speculative_verify(draft, tl)
+        assert int(n[0]) == 2 and int(nxt[0]) == 9
+        # full acceptance -> bonus token
+        tl2 = tl.at[0, 2, 9].set(-10.0).at[0, 2, 7].set(5.0)
+        n2, nxt2 = speculative_verify(draft, tl2)
+        assert int(n2[0]) == 3 and int(nxt2[0]) == 11
+
+    def test_sampling_verify_identical_dists_accepts_all(self):
+        from sageattention_tpu.speculative import speculative_verify
+        b, k, V = 2, 4, 32
+        logits = jax.random.normal(jax.random.PRNGKey(0), (b, k, V))
+        tl = jnp.concatenate(
+            [logits, jax.random.normal(jax.random.PRNGKey(1), (b, 1, V))],
+            axis=1,
+        )
+        draft = jnp.argmax(logits, axis=-1)
+        # p == q -> u*q < p always (u < 1): every draft token accepted
+        n, nxt = speculative_verify(
+            draft, tl, draft_logits=logits,
+            key=jax.random.PRNGKey(2), greedy=False,
+        )
+        assert np.all(np.asarray(n) == k)
+
+    def test_sampling_verify_disjoint_rejects_first(self):
+        from sageattention_tpu.speculative import speculative_verify
+        V = 8
+        draft = jnp.array([[2, 3]], jnp.int32)
+        dl = jnp.full((1, 2, V), -10.0).at[:, :, 2].set(5.0)
+        dl = dl.at[0, 1, 3].set(10.0)
+        # target puts ~zero mass on token 2 at position 0
+        tl = jnp.full((1, 3, V), -10.0).at[0, 0, 6].set(10.0)
+        tl = tl.at[0, 1, 3].set(10.0).at[0, 2, 1].set(10.0)
+        n, nxt = speculative_verify(
+            draft, tl, draft_logits=dl,
+            key=jax.random.PRNGKey(3), greedy=False,
+        )
+        # rejected at 0; residual = target (draft mass elsewhere) -> 6
+        assert int(n[0]) == 0 and int(nxt[0]) == 6
+
+    def test_cache_rollback_is_free(self):
+        """Appending a rejected draft tail, rolling lengths back, and
+        appending the corrected token == never having speculated
+        (per-token scales leave no state in stale rows)."""
+        b, hkv, d, S = 1, 2, 32, 128
+        base_k = rand(301, (b, hkv, 10, d))
+        base_v = rand(302, (b, hkv, 10, d))
+        draft_k = rand(303, (b, hkv, 4, d))
+        draft_v = rand(304, (b, hkv, 4, d))
+        good_k = rand(305, (b, hkv, 1, d))
+        good_v = rand(306, (b, hkv, 1, d))
+
+        c1 = kvcache.init_kv_cache(b, hkv, S, d)
+        c1, l1 = kvcache.append_kv(
+            c1, jnp.zeros((b,), jnp.int32), base_k, base_v
+        )
+        c1, _ = kvcache.append_kv(c1, l1, draft_k, draft_v)  # speculate
+        l1 = l1 + 2            # accept only 2 of 4 draft tokens
+        # the corrected token simply overwrites the rejected tail
+        c1, l1 = kvcache.append_kv(c1, l1, good_k, good_v)
+
+        c2 = kvcache.init_kv_cache(b, hkv, S, d)
+        c2, l2 = kvcache.append_kv(
+            c2, jnp.zeros((b,), jnp.int32), base_k, base_v
+        )
+        c2, l2 = kvcache.append_kv(c2, l2, draft_k[:, :, :2],
+                                   draft_v[:, :, :2])
+        c2, l2 = kvcache.append_kv(c2, l2, good_k, good_v)
+
+        q = rand(307, (b, 4, 1, d))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(
+            np.asarray(kvcache.sageattn_decode(q, c1, l1)),
+            np.asarray(kvcache.sageattn_decode(q, c2, l2)),
+        )
