@@ -756,3 +756,43 @@ class TestSpeculative:
             np.asarray(kvcache.sageattn_decode(q, c1, l1)),
             np.asarray(kvcache.sageattn_decode(q, c2, l2)),
         )
+
+
+class TestContinuousBatching:
+    def test_slot_eviction_and_reuse(self):
+        """Continuous batching: when a sequence finishes, its batch slot
+        resets (lengths[i] = 0) and a new request takes it over — no
+        cache scrubbing needed (per-token scales, stale rows are
+        overwritten; calibrate(lengths) refreshes only the empty
+        slot's means on an int4 cache)."""
+        b, hq, hkv, d, S = 2, 4, 2, 64, 256
+        cache = kvcache.init_kv_cache(b, hkv, S, d, bits=4)
+        k1 = rand(401, (b, hkv, 100, d)) + 1.0
+        v1 = rand(402, (b, hkv, 100, d)) - 1.0
+        cache = kvcache.calibrate(cache, k1, v1,
+                                  jnp.zeros((b,), jnp.int32))
+        cache, lengths = kvcache.append_kv(
+            cache, jnp.zeros((b,), jnp.int32), k1, v1
+        )
+
+        # slot 1 finishes; a new request (different stats) arrives
+        lengths = lengths.at[1].set(0)
+        k2 = rand(403, (b, hkv, 80, d)) - 2.0
+        v2 = rand(404, (b, hkv, 80, d)) + 2.0
+        cache = kvcache.calibrate(cache, k2, v2, lengths)
+        cache, lengths = kvcache.append_kv(cache, lengths, k2, v2)
+        # slot 0 kept its sequence: appended at its old length
+        assert int(lengths[0]) == 180 and int(lengths[1]) == 80
+
+        q = rand(405, (b, hq, 1, d))
+        o = kvcache.sageattn_decode(q, cache, lengths)
+        # slot 0: old 100 tokens + 80 new; slot 1: only the new 80
+        ref0 = oracle(
+            q[0],
+            jnp.concatenate([k1[0], k2[0]], axis=1),
+            jnp.concatenate([v1[0], v2[0]], axis=1),
+            hq // hkv,
+        )
+        ref1 = oracle(q[1], k2[1], v2[1], hq // hkv)
+        assert cosine(o[0], ref0) > 0.99    # slot 0 means frozen on k1
+        assert cosine(o[1], ref1) > 0.999   # slot 1 recalibrated
