@@ -274,7 +274,9 @@ def sage_decode_attention(
     # stays within ~8 MB of VMEM.
     if rows8 > 128:
         budget = (8 * 2**20 // 4) // rows8
-        chunk = min(chunk, max(512, 1 << (budget.bit_length() - 1)))
+        # floor at the 128 lane width: huge extend blocks must shrink
+        # the chunk below the perf sweet spot rather than blow VMEM
+        chunk = min(chunk, max(128, 1 << (budget.bit_length() - 1)))
     chunk = min(chunk, S)
     while S % chunk:
         chunk //= 2  # largest power-of-two divisor fallback
@@ -428,6 +430,9 @@ def merge_decode_partials(o_parts, m_parts, l_parts, out_dtype=None):
     out_dtype = out_dtype or o_parts.dtype
     m_g = jnp.max(m_parts, axis=0)
     w = l_parts * jnp.exp2(m_parts - m_g)            # [n, b, hq, t_q]
-    den = jnp.maximum(jnp.sum(w, axis=0), 1e-38)
+    den = jnp.sum(w, axis=0)
+    # a fully-empty row has den == 0 -> emit 0 like the kernel does
+    # (an f32 subnormal epsilon would be flushed to 0 by XLA: NaN)
+    den = jnp.where(den == 0.0, 1.0, den)
     num = jnp.sum(w[..., None] * o_parts.astype(jnp.float32), axis=0)
     return (num / den[..., None]).astype(out_dtype)

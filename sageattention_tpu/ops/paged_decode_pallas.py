@@ -195,6 +195,17 @@ def sage_paged_decode_attention(
 
     rows = group * t_q
     rows8 = max(8, -(-rows // 8) * 8)
+    # the paged block width IS the page size (pages can't be split at
+    # read time), so large extend blocks must bound the score tile
+    # explicitly — fail loud instead of blowing Mosaic's VMEM budget
+    if rows8 * page * 4 > 8 * 2**20:
+        raise ValueError(
+            f"paged chunked-prefill tile too large: rows {rows8} x page "
+            f"{page} exceeds the ~8 MB score-tile budget; use smaller "
+            f"extend blocks (t_q <= {8 * 2**20 // (4 * page * group)}) "
+            f"or smaller pages, or the dense-cache path (its chunk "
+            f"width adapts to t_q)"
+        )
     q_pack = q.reshape(b, hkv, rows, d)
     if rows8 != rows:
         q_pack = jnp.pad(
@@ -220,15 +231,10 @@ def sage_paged_decode_attention(
     has_owned = owned is not None
 
     def finish(res):
-        def heads(x):
-            return x[:, :, :rows].reshape(
-                b, hkv, group, t_q, *x.shape[3:]
-            ).reshape(b, hq, t_q, *x.shape[3:])
+        from sageattention_tpu.ops.decode_pallas import _unpack
 
-        if not return_state:
-            return heads(res[0])
-        o, ml = res
-        return heads(o), heads(ml[..., 0]), heads(ml[..., 1])
+        return _unpack(res, b, hq, hkv, group, t_q, d, rows,
+                       return_state)
 
     if window is not None:
         span = window + t_q - 1

@@ -36,6 +36,20 @@ from jax.sharding import PartitionSpec as P
 from sageattention_tpu import kvcache
 
 
+def _merge_over_axis(o, m, l, axis: str):
+    """The exact cross-shard LSE reduce (one pmax + two psums), shared
+    by the dense and paged sharded decoders so their numerics are
+    identical by construction.  A row no shard contributed to
+    (den == 0) yields 0, matching the kernel's empty-row epilogue — an
+    f32 subnormal epsilon would be flushed to 0 by XLA and emit NaN."""
+    m_g = jax.lax.pmax(m, axis)
+    w = l * jnp.exp2(m - m_g)                      # [b, hq, t_q]
+    den = jax.lax.psum(w, axis)
+    den = jnp.where(den == 0.0, 1.0, den)
+    num = jax.lax.psum(w[..., None] * o.astype(jnp.float32), axis)
+    return (num / den[..., None]).astype(o.dtype)
+
+
 def local_shard_decode(
     q: jax.Array,
     cache_shard: kvcache.QuantKVCache,
@@ -60,11 +74,7 @@ def local_shard_decode(
         sm_scale=sm_scale, window=window, return_state=True,
         interpret=interpret,
     )
-    m_g = jax.lax.pmax(m, axis)
-    w = l * jnp.exp2(m - m_g)                      # [b, hq, t_q]
-    den = jnp.maximum(jax.lax.psum(w, axis), 1e-38)
-    num = jax.lax.psum(w[..., None] * o.astype(jnp.float32), axis)
-    return (num / den[..., None]).astype(o.dtype)
+    return _merge_over_axis(o, m, l, axis)
 
 
 def cache_shard_specs(
@@ -298,11 +308,7 @@ def make_sharded_paged_decode(
             sm_scale=sm_scale, window=window, return_state=True,
             interpret=interpret,
         )
-        m_g = jax.lax.pmax(m, axis)
-        w = l * jnp.exp2(m - m_g)
-        den = jnp.maximum(jax.lax.psum(w, axis), 1e-38)
-        num = jax.lax.psum(w[..., None] * o.astype(jnp.float32), axis)
-        return (num / den[..., None]).astype(o.dtype)
+        return _merge_over_axis(o, m, l, axis)
 
     qspec = P(None, head_axis, None, None)
     return jax.jit(

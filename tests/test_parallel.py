@@ -490,3 +490,30 @@ class TestShardedPaged:
             np.asarray(dec(q, single, lengths), np.float32),
             atol=1e-4, rtol=0,
         )
+
+    def test_empty_slot_yields_zero_not_nan(self):
+        """An evicted slot (lengths == 0) must decode to 0 across every
+        sharded path — a subnormal merge epsilon used to flush to 0
+        under XLA and emit NaN."""
+        import sageattention_tpu.kvcache as kvc
+        b, hq, hkv, d, S, page = 2, 4, 2, 64, 512, 128
+        k = rand(171, (b, hkv, S, d))
+        v = rand(172, (b, hkv, S, d))
+        q = rand(173, (b, hq, 1, d))
+        lengths = jnp.array([S, 0], jnp.int32)   # slot 1 evicted
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("seq",))
+
+        pool = self._pool(b, hkv, d, S, page, key=12)
+        pool, _ = kvc.paged_prefill(pool, k, v)
+        o_paged = sa.parallel.make_sharded_paged_decode(
+            mesh, axis="seq"
+        )(q, pool, lengths)
+        assert np.all(np.isfinite(np.asarray(o_paged, np.float32)))
+        assert np.all(np.asarray(o_paged, np.float32)[1] == 0.0)
+
+        dense = sa.init_kv_cache(b, hkv, S, d)
+        dense, _ = sa.append_kv(dense, jnp.zeros((b,), jnp.int32), k, v)
+        o_dense = sa.parallel.make_sharded_decode(mesh, axis="seq")(
+            q, dense, lengths
+        )
+        assert np.all(np.asarray(o_dense, np.float32)[1] == 0.0)
