@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--bits", type=int, default=8, choices=(8, 4),
                     help="cache storage width (4 = packed int4: half "
                          "the bytes, ±7 levels)")
+    ap.add_argument("--extend", type=int, default=0, metavar="T",
+                    help="also time a T-token extend block (chunked "
+                         "prefill / speculative verify: t_q = T against "
+                         "the full cache)")
     args = ap.parse_args()
     b, hkv, d = args.batch, args.kv_heads, args.head_dim
     hq = hkv * args.group
@@ -83,12 +87,28 @@ def main():
             n=10,
         )
         cache_bytes = 2 * b * hkv * S * d * args.bits // 8  # K + V
+        ext = ""
+        if args.extend:
+            qe = rng(4, (b, hq, args.extend, d))
+            t_ext = device_time(
+                lambda i, c, q, cache: kvcache.sageattn_decode(
+                    q + (c * 1e-30).astype(q.dtype), cache, lengths),
+                (qe, cache),
+                n=5,
+            )
+            # extend-block attention FLOPs: 4*b*hq*t*S*d / 2 is not
+            # right for the causal tail (tail is tiny vs S) — report
+            # straight 4*t*S*d throughput
+            tops = 4 * b * hq * args.extend * S * d / t_ext / 1e12
+            ext = (f"  extend[{args.extend}] {t_ext*1e3:6.2f} ms "
+                   f"({tops:5.1f} TOPS)")
         print(
             f"S={S:6d}: sage {t_sage*1e6:7.0f} us "
             f"({cache_bytes/t_sage/1e9:5.0f} GB/s cache read)  "
             f"paged {t_paged*1e6:7.0f} us "
             f"({cache_bytes/t_paged/1e9:5.0f} GB/s)  "
-            f"xla-bf16 {t_xla*1e6:8.0f} us  ratio {t_xla/t_sage:6.2f}x",
+            f"xla-bf16 {t_xla*1e6:8.0f} us  ratio {t_xla/t_sage:6.2f}x"
+            f"{ext}",
             flush=True,
         )
 
