@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Training loop: diffusion (flow-matching) training of the video DiT
+with sage attention end-to-end — forward AND backward through the fused
+quantized kernels (the straight-through VJP, ops/attention_bwd_pallas).
+
+The reference is inference-only; training is this framework's
+beyond-reference axis: `jax.grad` through `sageattn` runs the fused
+Pallas backward (1.36x jax's tuned flash fwd+bwd at the headline
+shape).  This loop demonstrates the whole story: optax AdamW, jitted
+train step, loss going down, optional multi-device data parallelism.
+
+Usage: python examples/train_dit.py [--steps 20] [--scale 0.1]
+       [--attention_type sage] [--dp N] [--lr 1e-4]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from examples.common import base_parser
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sageattention_tpu import models
+from sageattention_tpu.models.configs import MODEL_CONFIGS
+
+
+def main():
+    ap = base_parser("train a CogVideoX-shaped DiT with sage attention")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--dp", type=int, default=1,
+                    help="data-parallel degree (devices); gradients "
+                         "psum over the mesh")
+    args = ap.parse_args()
+
+    models.set_attention_backend(args.attention_type)
+    # small smoke geometry by default; --scale 1.0 trains the real shape
+    s = max(0.02, args.scale)
+    base = MODEL_CONFIGS["cogvideox-2b"]
+    cfg = base.scaled(
+        depth=max(2, int(base.depth * s)),
+        latent_frames=max(2, int(base.latent_frames * s)),
+        latent_height=max(16, int(base.latent_height * s / 2) * 2),
+        latent_width=max(16, int(base.latent_width * s / 2) * 2),
+        text_len=max(16, int(base.text_len * s)),
+    )
+    model = models.VideoDiT(cfg)
+
+    b = max(1, args.dp)
+    rng = jax.random.PRNGKey(0)
+    lat_shape = (b, cfg.latent_frames, cfg.latent_height,
+                 cfg.latent_width, model.latent_channels)
+    lat = jax.random.normal(rng, lat_shape, jnp.bfloat16)
+    txt = jax.random.normal(
+        jax.random.PRNGKey(1), (b, cfg.text_len, 512), jnp.bfloat16
+    )
+    params = model.init(jax.random.PRNGKey(2), lat, txt,
+                        jnp.zeros((b,), jnp.int32))
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model: depth={cfg.depth} hidden={cfg.hidden} "
+          f"heads={cfg.heads} seq={cfg.seq_len} "
+          f"params={n_params/1e6:.1f}M attention={args.attention_type}")
+
+    tx = optax.adamw(args.lr, weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, x0, txt, key):
+        """Rectified-flow matching: x_t = (1-t) x0 + t eps, the model
+        regresses the velocity (eps - x0)."""
+        kt, ke = jax.random.split(key)
+        t = jax.random.uniform(kt, (x0.shape[0],))
+        eps = jax.random.normal(ke, x0.shape, jnp.float32)
+        tb = t[:, None, None, None, None].astype(jnp.float32)
+        x_t = ((1 - tb) * x0.astype(jnp.float32) + tb * eps).astype(
+            x0.dtype
+        )
+        pred = model.apply(
+            params, x_t, txt, (t * 1000).astype(jnp.int32)
+        )
+        target = eps - x0.astype(jnp.float32)
+        return jnp.mean(
+            (pred.astype(jnp.float32) - target) ** 2
+        )
+
+    def train_step(params, opt_state, x0, txt, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x0, txt, key)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    if args.dp > 1:
+        from jax.sharding import PartitionSpec as P
+
+        mesh = jax.sharding.Mesh(
+            jax.devices()[: args.dp], ("data",)
+        )
+
+        def dp_step(params, opt_state, x0, txt, key):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, x0, txt, key
+            )
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        step = jax.jit(jax.shard_map(
+            dp_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        ))
+    else:
+        step = jax.jit(train_step)
+
+    losses = []
+    t0 = time.time()
+    for i in range(args.steps):
+        params, opt_state, loss = step(
+            params, opt_state, lat, txt, jax.random.PRNGKey(100 + i)
+        )
+        losses.append(float(loss))
+        if i == 0:
+            jax.block_until_ready(loss)
+            print(f"step 0 (compile): {time.time()-t0:.1f}s "
+                  f"loss {losses[0]:.4f}")
+            t0 = time.time()
+    jax.block_until_ready(loss)
+    n = max(1, args.steps - 1)
+    print(f"steps 1..{args.steps - 1}: {(time.time()-t0)/n*1e3:.0f} "
+          f"ms/step, loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    assert losses[-1] < losses[0], "loss did not decrease"
+    print("loss decreased OK (fused quantized fwd+bwd)")
+
+
+if __name__ == "__main__":
+    main()
