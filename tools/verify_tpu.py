@@ -139,5 +139,28 @@ o4 = sa.sageattn_decode(qd, c4, lens)
 ok &= check("decode int4-cache calibrated", o4, jnp.concatenate(refs),
             0.98)
 
+# 12. PROBE: chunked prefill (extend block, t_q=64 with causal tail)
+t_ext = 64
+qe = q[:2, :8, :t_ext]
+oe = sa.sageattn_decode(qe, cache, lens)
+refs_e = []
+for bi, L in enumerate([700, 500]):
+    kr = jnp.repeat(kd[bi:bi+1, :, :L], 4, axis=1)
+    vr = jnp.repeat(vd[bi:bi+1, :, :L], 4, axis=1)
+    # row t (global pos L - t_ext + t) sees keys <= its position
+    sc = jnp.einsum(
+        "bhqd,bhkd->bhqk", qe[bi:bi+1].astype(jnp.float32),
+        kr.astype(jnp.float32),
+    ) * 128**-0.5
+    col = jnp.arange(L)[None, None, None, :]
+    row = jnp.arange(t_ext)[None, None, :, None]
+    sc = jnp.where(col <= L - t_ext + row, sc, -jnp.inf)
+    refs_e.append(jnp.einsum(
+        "bhqk,bhkd->bhqd", jax.nn.softmax(sc, axis=-1),
+        vr.astype(jnp.float32),
+    ))
+ok &= check("chunked-prefill extend t_q=64", oe,
+            jnp.concatenate(refs_e))
+
 print("ALL OK" if ok else "SOME FAILED", file=sys.stderr)
 sys.exit(0 if ok else 1)
