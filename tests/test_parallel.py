@@ -517,3 +517,22 @@ class TestShardedPaged:
             q, dense, lengths
         )
         assert np.all(np.asarray(o_dense, np.float32)[1] == 0.0)
+
+    def test_tp_only_decode(self):
+        """head_axis alone (axis=None): pure tensor-parallel decode,
+        no collective at all."""
+        b, hq, hkv, d, S = 1, 8, 2, 64, 512
+        cache, lengths = TestShardedDecode._filled(
+            TestShardedDecode(), b, hkv, d, S, [400]
+        )
+        q = rand(181, (b, hq, 1, d))
+        o_single = sa.sageattn_decode(q, cache, lengths)
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("tp",))
+        fn = sa.parallel.make_sharded_decode(
+            mesh, axis=None, head_axis="tp"
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_single, np.float32),
+            np.asarray(fn(q, cache, lengths), np.float32),
+            atol=1e-4, rtol=0,
+        )
