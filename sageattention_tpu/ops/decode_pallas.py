@@ -47,6 +47,12 @@ LOG2E = 1.4426950408889634
 NEG_INIT = -1e30
 
 
+def _int4_widen() -> bool:
+    import os
+
+    return os.environ.get("SAGE_INT4_WIDEN", "") == "1"
+
+
 
 def decode_step_body(
     q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
@@ -297,6 +303,12 @@ def sage_decode_attention(
         pltpu.VMEM((rows8, 128), jnp.float32),
         pltpu.VMEM((rows8, d), jnp.float32),
     ]
+    if k_i8.dtype == jnp.int4 and _int4_widen():
+        # escape hatch (SAGE_INT4_WIDEN=1): widen outside the kernel if
+        # a Mosaic version rejects int4 VMEM operands — keeps the 2x
+        # footprint win, forfeits only the 2x read-bandwidth win
+        k_i8 = k_i8.astype(jnp.int8)
+        v_i8 = v_i8.astype(jnp.int8)
     operands = (
         q_pack,
         k_i8,

@@ -220,6 +220,12 @@ def sage_paged_decode_attention(
         pltpu.VMEM((rows8, 128), jnp.float32),
         pltpu.VMEM((rows8, d), jnp.float32),
     ]
+    from sageattention_tpu.ops.decode_pallas import _int4_widen
+
+    if pages_k.dtype == jnp.int4 and _int4_widen():
+        # SAGE_INT4_WIDEN=1 escape hatch — see decode_pallas
+        pages_k = pages_k.astype(jnp.int8)
+        pages_v = pages_v.astype(jnp.int8)
     pool_operands = (
         q_pack,
         pages_k,
