@@ -100,6 +100,20 @@ def sage_kernel_time(b, h, s, d, causal, n=10):
 
 
 def main():
+    # A dead axon tunnel makes jax.devices() HANG (not raise); fail
+    # fast with a diagnosable message instead of eating the driver's
+    # whole timeout with zero output.
+    import threading
+
+    probe = threading.Thread(target=jax.devices, daemon=True)
+    probe.start()
+    probe.join(timeout=180)
+    if probe.is_alive():
+        log("FATAL: TPU backend unreachable (jax.devices() hung 180s) "
+            "— axon tunnel down; no metrics measurable")
+        sys.exit(1)
+    log(f"devices: {jax.devices()}")
+
     b, h = 4, 32
 
     def flops(s, d, causal):
