@@ -48,6 +48,11 @@ def main():
                     help="prefill the prompt in N-token extend blocks "
                          "through the quantized cache (the vLLM extend "
                          "phase) instead of one full-attention pass")
+    ap.add_argument("--speculate", type=int, default=0, metavar="K",
+                    help="speculative decoding mechanics demo: draft K "
+                         "tokens (self-draft on a throwaway cache "
+                         "copy), verify them in ONE t_q=K+1 extend "
+                         "step (greedy acceptance + free rollback)")
     args = ap.parse_args()
 
     base = MODEL_CONFIGS["llm-7b"]
@@ -104,24 +109,60 @@ def main():
     print(f"prefill {args.prompt_len} tokens ({mode}): "
           f"{time.time()-t0:.2f}s (includes compile)")
 
-    out = [cur]
-    t0 = time.time()
-    for i in range(args.gen):
-        logits, caches = decode(params, cur, caches, lengths)
-        lengths = lengths + 1
-        cur = jnp.argmax(logits[:, -1:], axis=-1)
-        out.append(cur)
-        if i == 0:
-            cur.block_until_ready()
-            t0 = time.time()  # restart after the decode compile
-    cur.block_until_ready()
-    dt = time.time() - t0
-    n = args.gen - 1
     kind = (f"paged int{args.bits} cache, {args.page_size}-token pages"
             if args.paged else f"int{args.bits} KV cache")
-    print(f"decode: {n} tokens in {dt:.3f}s = "
-          f"{n * b / max(dt, 1e-9):.1f} tok/s "
-          f"({kind}, context {int(lengths[0])})")
+    if args.speculate:
+        from sageattention_tpu.speculative import speculative_verify
+
+        K = args.speculate
+        out, accepted, rounds = [cur], 0, 0
+        t0 = time.time()
+        while len(out) - 1 < args.gen:
+            # draft K tokens on a throwaway copy (caches are immutable
+            # pytrees — the "copy" is free)
+            dcaches, dlen, dcur = caches, lengths, cur
+            drafts = []
+            for _ in range(K):
+                dl, dcaches = decode(params, dcur, dcaches, dlen)
+                dlen = dlen + 1
+                dcur = jnp.argmax(dl[:, -1:], axis=-1)
+                drafts.append(dcur)
+            block = jnp.concatenate([cur] + drafts, axis=1)  # [b, K+1]
+            # ONE extend step verifies the whole draft (and appends it;
+            # rollback below is just the lengths arithmetic)
+            logits, caches = decode(params, block, caches, lengths)
+            n_acc, nxt = speculative_verify(
+                jnp.concatenate(drafts, axis=1), logits
+            )
+            na = int(n_acc[0])
+            out.extend(drafts[:na] + [nxt[:, None]])
+            accepted += na
+            rounds += 1
+            lengths = lengths + 1 + na      # roll back the rejected tail
+            cur = nxt[:, None]
+        cur.block_until_ready()
+        dt = time.time() - t0
+        n = len(out) - 1
+        print(f"decode: {n} tokens in {dt:.3f}s, speculative K={K}: "
+              f"{accepted}/{rounds * K} drafts accepted "
+              f"({kind}, context {int(lengths[0])})")
+    else:
+        out = [cur]
+        t0 = time.time()
+        for i in range(args.gen):
+            logits, caches = decode(params, cur, caches, lengths)
+            lengths = lengths + 1
+            cur = jnp.argmax(logits[:, -1:], axis=-1)
+            out.append(cur)
+            if i == 0:
+                cur.block_until_ready()
+                t0 = time.time()  # restart after the decode compile
+        cur.block_until_ready()
+        dt = time.time() - t0
+        n = args.gen - 1
+        print(f"decode: {n} tokens in {dt:.3f}s = "
+              f"{n * b / max(dt, 1e-9):.1f} tok/s "
+              f"({kind}, context {int(lengths[0])})")
     print("generated token ids:", [int(t[0, 0]) for t in out][:16], "...")
 
 
