@@ -114,6 +114,9 @@ def main():
     if args.speculate:
         from sageattention_tpu.speculative import speculative_verify
 
+        # the demo records one token stream; per-batch acceptance
+        # counts would need per-batch bookkeeping
+        assert b == 1, "--speculate demo supports --batch 1"
         K = args.speculate
         out, accepted, rounds = [cur], 0, 0
         t0 = time.time()
@@ -140,12 +143,16 @@ def main():
             rounds += 1
             lengths = lengths + 1 + na      # roll back the rejected tail
             cur = nxt[:, None]
+            if rounds == 1:
+                cur.block_until_ready()
+                t0 = time.time()   # exclude the two jit compiles
+                warm = len(out)    # timed tokens start here
         cur.block_until_ready()
         dt = time.time() - t0
-        n = len(out) - 1
-        print(f"decode: {n} tokens in {dt:.3f}s, speculative K={K}: "
-              f"{accepted}/{rounds * K} drafts accepted "
-              f"({kind}, context {int(lengths[0])})")
+        n = len(out) - warm
+        print(f"decode: {n} tokens (post-compile) in {dt:.3f}s, "
+              f"speculative K={K}: {accepted}/{rounds * K} drafts "
+              f"accepted ({kind}, context {int(lengths[0])})")
     else:
         out = [cur]
         t0 = time.time()

@@ -18,14 +18,13 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from examples.common import base_parser
+from examples.common import base_parser, scaled_config
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from sageattention_tpu import models
-from sageattention_tpu.models.configs import MODEL_CONFIGS
 
 
 def main():
@@ -35,18 +34,11 @@ def main():
                     help="data-parallel degree (devices); gradients "
                          "psum over the mesh")
     args = ap.parse_args()
+    assert args.steps >= 2, "need >= 2 steps to check the loss trend"
 
     models.set_attention_backend(args.attention_type)
     # small smoke geometry by default; --scale 1.0 trains the real shape
-    s = max(0.02, args.scale)
-    base = MODEL_CONFIGS["cogvideox-2b"]
-    cfg = base.scaled(
-        depth=max(2, int(base.depth * s)),
-        latent_frames=max(2, int(base.latent_frames * s)),
-        latent_height=max(16, int(base.latent_height * s / 2) * 2),
-        latent_width=max(16, int(base.latent_width * s / 2) * 2),
-        text_len=max(16, int(base.text_len * s)),
-    )
+    cfg = scaled_config("cogvideox-2b", args.scale)
     model = models.VideoDiT(cfg)
 
     b = max(1, args.dp)
@@ -85,29 +77,24 @@ def main():
             (pred.astype(jnp.float32) - target) ** 2
         )
 
-    def train_step(params, opt_state, x0, txt, key):
+    def train_step(params, opt_state, x0, txt, key, axis=None):
         loss, grads = jax.value_and_grad(loss_fn)(params, x0, txt, key)
+        if axis is not None:
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     if args.dp > 1:
+        import functools
+
         from jax.sharding import PartitionSpec as P
 
         mesh = jax.sharding.Mesh(
             jax.devices()[: args.dp], ("data",)
         )
-
-        def dp_step(params, opt_state, x0, txt, key):
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, x0, txt, key
-            )
-            grads = jax.lax.pmean(grads, "data")
-            loss = jax.lax.pmean(loss, "data")
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
-
         step = jax.jit(jax.shard_map(
-            dp_step,
+            functools.partial(train_step, axis="data"),
             mesh=mesh,
             in_specs=(P(), P(), P("data"), P("data"), P()),
             out_specs=(P(), P(), P()),

@@ -204,7 +204,8 @@ class TestShardedDecode:
             lengths, chunk=chunk, window=window, interpret=True,
         )
 
-    def _filled(self, b, hkv, d, S, L):
+    @staticmethod
+    def _filled(b, hkv, d, S, L):
         cache = sa.init_kv_cache(b, hkv, S, d)
         k = rand(31, (b, hkv, max(L), d))
         v = rand(32, (b, hkv, max(L), d))
@@ -522,9 +523,7 @@ class TestShardedPaged:
         """head_axis alone (axis=None): pure tensor-parallel decode,
         no collective at all."""
         b, hq, hkv, d, S = 1, 8, 2, 64, 512
-        cache, lengths = TestShardedDecode._filled(
-            TestShardedDecode(), b, hkv, d, S, [400]
-        )
+        cache, lengths = TestShardedDecode._filled(b, hkv, d, S, [400])
         q = rand(181, (b, hq, 1, d))
         o_single = sa.sageattn_decode(q, cache, lengths)
         mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("tp",))
