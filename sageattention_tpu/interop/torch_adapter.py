@@ -1,0 +1,141 @@
+"""Torch drop-in adapter (reference parity: the reference's public API
+is torch — ``sageattn(q, k, v)`` on torch tensors, installed as
+``F.scaled_dot_product_attention = sageattn``, reference
+example/cogvideox-2b.py:16-23 and core.py:80-158).
+
+Torch tensors cross into JAX via DLPack (zero-copy on CPU) and results
+come back as torch tensors.  The adapter is a convenience bridge for
+users migrating from the reference: each call syncs at the framework
+boundary, so native JAX pipelines should call
+:func:`sageattention_tpu.sageattn` directly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_TENSOR_KWARGS = (
+    "attn_mask",
+    "attn_bias",
+    "q_segment_ids",
+    "kv_segment_ids",
+    "q_positions",
+    "kv_positions",
+)
+
+
+def from_torch(t):
+    """torch.Tensor -> jax.Array (DLPack; bool routed via uint8 since
+    DLPack has no bool dtype in torch's exporter)."""
+    import torch
+
+    if not isinstance(t, torch.Tensor):
+        return t
+    t = t.detach()
+    if t.dtype == torch.bool:
+        return jnp.from_dlpack(t.to(torch.uint8).contiguous()).astype(
+            jnp.bool_
+        )
+    return jnp.from_dlpack(t.contiguous())
+
+
+def to_torch(a):
+    """jax.Array -> torch.Tensor.  Device arrays (TPU) are pulled to the
+    JAX CPU backend first, then exported zero-copy via DLPack — this
+    preserves bfloat16 exactly (a numpy hop would not: numpy has no
+    bf16)."""
+    import torch
+
+    cpu = jax.devices("cpu")[0]
+    if a.devices() != {cpu}:
+        a = jax.device_put(a, cpu)
+    if a.dtype == jnp.bool_:
+        return torch.from_dlpack(a.astype(jnp.uint8)).to(torch.bool)
+    return torch.from_dlpack(a)
+
+
+def sageattn_torch(
+    q,
+    k,
+    v,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: float | None = None,
+    return_lse: bool = False,
+    **kwargs,
+):
+    """``sageattn`` with torch tensors in and out (reference signature,
+    core.py:80-158).  All keyword tensors (attn_mask, segment ids,
+    positions) may be torch tensors too."""
+    from sageattention_tpu import core
+
+    for name in _TENSOR_KWARGS:
+        if kwargs.get(name) is not None:
+            kwargs[name] = from_torch(kwargs[name])
+    out = core.sageattn(
+        from_torch(q),
+        from_torch(k),
+        from_torch(v),
+        tensor_layout=tensor_layout,
+        is_causal=is_causal,
+        sm_scale=sm_scale,
+        return_lse=return_lse,
+        **kwargs,
+    )
+    if return_lse:
+        o, lse = out
+        return to_torch(o), to_torch(lse)
+    return to_torch(out)
+
+
+def patch_torch_sdpa(**default_kwargs):
+    """Install :func:`sageattn_torch` as
+    ``torch.nn.functional.scaled_dot_product_attention`` — the
+    reference's documented integration (example/cogvideox-2b.py:16-23).
+
+    ``default_kwargs`` are forwarded to every call (e.g.
+    ``pv_dtype="int8"``).  Returns an ``undo()`` that restores the
+    original SDPA.  GQA (``enable_gqa``) works natively — the kernel
+    groups KV heads itself.  Dropout is rejected like the reference
+    (its kernels have no dropout either).
+    """
+    import torch.nn.functional as F
+
+    orig = F.scaled_dot_product_attention
+
+    def _sdpa(
+        query,
+        key,
+        value,
+        attn_mask=None,
+        dropout_p: float = 0.0,
+        is_causal: bool = False,
+        scale: float | None = None,
+        enable_gqa: bool = False,
+    ):
+        del enable_gqa  # the kernel handles hq != hkv natively
+        if dropout_p != 0.0:
+            raise NotImplementedError(
+                "sageattn has no attention dropout (reference parity); "
+                "got dropout_p={}".format(dropout_p)
+            )
+        kw = dict(default_kwargs)
+        if attn_mask is not None:
+            kw["attn_mask"] = attn_mask  # bool or additive; core sorts it
+        return sageattn_torch(
+            query,
+            key,
+            value,
+            tensor_layout="HND",  # torch SDPA layout is (b, h, s, d)
+            is_causal=is_causal,
+            sm_scale=scale,
+            **kw,
+        )
+
+    F.scaled_dot_product_attention = _sdpa
+
+    def undo():
+        F.scaled_dot_product_attention = orig
+
+    return undo
