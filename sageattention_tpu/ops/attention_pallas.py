@@ -75,6 +75,8 @@ over jax's flash_attention on the reference's headline shape):
 from __future__ import annotations
 
 import functools
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +108,84 @@ def _pad128(n: int) -> int:
     return max(128, -(-n // 128) * 128)
 
 
+# --- tuned-config table (autotuner override) -------------------------------
+#
+# ``tools/autotune.py`` sweeps kernel configs on the real chip and persists
+# the winners; ``default_config`` consults that table before falling back to
+# the built-in heuristic.  This is the TPU analogue of the reference's
+# per-GPU recommended-config table (reference: bench/README.md:19-27) except
+# machine-generated and machine-read.  Lookup order:
+#   1. a table installed programmatically via :func:`set_tuned_configs`,
+#   2. a JSON file named by ``$SAGE_TUNED_CONFIGS``,
+#   3. the packaged ``sageattention_tpu/data/tuned_configs.json`` (if built).
+# Keys are ``"<pad128(sq)>:<pad128(sk)>:<d>:<causal>:<masked>"``; values are
+# ``[block_q, block_k, sub_q, chunk_k]``.
+
+_TUNED_ENV = "SAGE_TUNED_CONFIGS"
+_TUNED_PACKAGED = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "tuned_configs.json",
+)
+_tuned_table: dict | None = None
+_tuned_loaded_from: tuple[str | None, float] | None = None
+
+
+def config_key(
+    sq: int, sk: int, d: int, is_causal: bool, masked: bool = False
+) -> str:
+    """The tuned-table key for a shape (padded-seq granularity)."""
+    return (
+        f"{_pad128(sq)}:{_pad128(sk)}:{d}:"
+        f"{int(bool(is_causal))}:{int(bool(masked))}"
+    )
+
+
+def set_tuned_configs(table: dict | str | None) -> None:
+    """Install (dict or JSON path) — or clear (None) — the tuned-config
+    override table used by :func:`default_config`."""
+    global _tuned_table, _tuned_loaded_from
+    if table is None:
+        _tuned_table = None
+        _tuned_loaded_from = None
+        return
+    if isinstance(table, str):
+        with open(table) as f:
+            table = json.load(f)
+    _tuned_table = {
+        k: tuple(int(x) for x in v)
+        for k, v in table.items()
+        if not k.startswith("_")
+    }
+    _tuned_loaded_from = ("<set_tuned_configs>", 0.0)
+
+
+def _load_tuned() -> dict:
+    """The active tuned table, reloading if the backing file changed."""
+    global _tuned_table, _tuned_loaded_from
+    if _tuned_loaded_from == ("<set_tuned_configs>", 0.0):
+        return _tuned_table or {}
+    path = os.environ.get(_TUNED_ENV) or _TUNED_PACKAGED
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        _tuned_table, _tuned_loaded_from = {}, (None, 0.0)
+        return _tuned_table
+    if _tuned_loaded_from != (path, mtime):
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+            _tuned_table = {
+                k: tuple(int(x) for x in v)
+                for k, v in raw.items()
+                if not k.startswith("_")
+            }
+        except (OSError, ValueError):
+            _tuned_table = {}
+        _tuned_loaded_from = (path, mtime)
+    return _tuned_table or {}
+
+
 def default_config(
     sq: int, sk: int, d: int, is_causal: bool, masked: bool = False
 ) -> tuple[int, int, int, int]:
@@ -129,7 +209,13 @@ def default_config(
     * ``masked`` (an explicit bool attn_mask rides in the kernel): cap the
       KV block at 4096 (2048 causal) so the [block_q, block_k] int8 mask
       block and its double buffer stay modest.
+
+    An autotuned table (see :func:`set_tuned_configs`) overrides the
+    heuristic per exact (padded) shape.
     """
+    tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked))
+    if tuned is not None:
+        return tuned
     if is_causal:
         cap = 2048 if d <= 128 else 1024
         blk = min(cap, _pad128(max(sq, sk)))

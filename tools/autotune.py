@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""On-chip kernel-config autotuner.
+
+Sweeps valid (block_q, block_k, sub_q, chunk_k) candidates for the fused
+attention kernel on the attached TPU and persists the winners as a JSON
+table that ``attention_pallas.default_config`` consults (see
+``set_tuned_configs`` there).  This mechanizes the reference's hand-curated
+per-GPU recommended-config table (reference: bench/README.md:19-27) — the
+reference ships prose ("use pv_accum_dtype=fp32+fp16 on RTX4090"); here the
+table is measured on the actual device and read back by the dispatcher.
+
+Usage:
+    python tools/autotune.py                      # default sweep -> stdout
+    python tools/autotune.py --out tuned.json     # persist
+    python tools/autotune.py --apply              # write the packaged table
+    python tools/autotune.py --seqs 4096,16384 --head_dims 128 --causal both
+
+Each candidate costs a fresh Mosaic compile (20-40 s on first run), so the
+candidate generator is deliberately small: it encodes the measured shape
+rules (chunks >= 1024 lanes, causal bq == bk, no 4096x4096 causal unrolls)
+and sweeps only the knobs that measured as load-bearing in rounds 1-2
+(block_k / chunk width; block_q at short seq).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sageattention_tpu.ops.attention_pallas import (  # noqa: E402
+    _pad128,
+    config_key,
+    default_config,
+)
+
+
+def candidates(s: int, d: int, causal: bool):
+    """Valid configs to try for a square (s, s, d) shape.  Yields
+    (block_q, block_k, sub_q, chunk_k) tuples, heuristic default first
+    (so ties keep the current behavior)."""
+    sp = _pad128(s)
+    seen = set()
+
+    def emit(bq, bk, sub, ck):
+        bq, bk = min(bq, sp), min(bk, sp)
+        ck = min(ck, bk)
+        cfg = (bq, bk, sub, ck)
+        if (
+            bq % 128 or bk % 128 or ck % 128
+            or bq % sub
+            or bk % ck
+            or sp % bk
+            or sp % bq
+            or cfg in seen
+        ):
+            return
+        seen.add(cfg)
+        yield_list.append(cfg)
+
+    yield_list: list[tuple[int, int, int, int]] = []
+    emit(*default_config(s, s, d, causal))
+    if causal:
+        # equal Q/KV blocks ride the diagonal-split (and fold) scheduling;
+        # 4096 explodes Mosaic compile time (measured >9 min) — never try.
+        for blk in (1024, 2048):
+            emit(blk, blk, 128, blk)
+    else:
+        for bq in (512, 1024):
+            for bk in (sp, 16384, 8192, 4096):
+                if bk > sp:
+                    continue
+                if bk <= 4096:
+                    cks = (bk,)
+                else:
+                    cks = tuple(
+                        ck for ck in (4096, 8192, bk // 2)
+                        if 1024 <= ck <= 8192 and bk % ck == 0
+                    )
+                for ck in cks:
+                    emit(bq, bk, 128, ck)
+    return yield_list
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=32)
+    ap.add_argument("--head_dims", default="64,128")
+    ap.add_argument("--seqs", default="1024,4096,8192,16384,32768")
+    ap.add_argument("--causal", default="both",
+                    choices=["both", "true", "false"])
+    ap.add_argument("--pv_dtype", default="bf16",
+                    choices=["int8", "bf16", "fp8"],
+                    help="V storage dtype to tune under (bf16 = the "
+                         "sageattn auto default)")
+    ap.add_argument("--out", default="",
+                    help="write the tuned table to this JSON path")
+    ap.add_argument("--apply", action="store_true",
+                    help="write to the packaged table "
+                         "sageattention_tpu/data/tuned_configs.json")
+    ap.add_argument("--min_gain", type=float, default=0.02,
+                    help="only record a non-default winner if it beats the "
+                         "heuristic default by this fraction")
+    args = ap.parse_args()
+
+    # imported late: jax initializes the backend on import of bench utils
+    from bench.bench_kernel import bench_one
+
+    causals = {"both": (False, True), "true": (True,),
+               "false": (False,)}[args.causal]
+    table: dict[str, list[int]] = {}
+    report = []
+    for d in (int(x) for x in args.head_dims.split(",")):
+        for s in (int(x) for x in args.seqs.split(",")):
+            for causal in causals:
+                cands = candidates(s, d, causal)
+                default = cands[0]
+                best, best_t, default_t = None, float("inf"), None
+                for cfg in cands:
+                    bq, bk, sub, ck = cfg
+                    t0 = time.time()
+                    try:
+                        tops, t = bench_one(
+                            args.batch, args.heads, s, d,
+                            causal=causal, pv_dtype=args.pv_dtype,
+                            quant_gran="auto",
+                            block_q=bq, block_k=bk, chunk_k=ck, sub_q=sub,
+                        )
+                    except Exception as e:  # OOM / Mosaic reject: skip
+                        print(f"  s={s} d={d} causal={causal} {cfg}: "
+                              f"FAILED {type(e).__name__}: {e}",
+                              file=sys.stderr, flush=True)
+                        continue
+                    print(f"  s={s} d={d} causal={causal} {cfg}: "
+                          f"{t*1e3:8.3f} ms {tops:7.1f} TOPS "
+                          f"(wall {time.time()-t0:.0f}s)",
+                          file=sys.stderr, flush=True)
+                    if cfg == default:
+                        default_t = t
+                    if t < best_t:
+                        best, best_t = cfg, t
+                if best is None:
+                    continue
+                key = config_key(s, s, d, causal)
+                gain = (
+                    (default_t - best_t) / default_t
+                    if default_t else 0.0
+                )
+                if best != default and gain >= args.min_gain:
+                    table[key] = list(best)
+                    report.append((key, best, gain))
+                else:
+                    report.append((key, default, 0.0))
+
+    print("# autotune summary", file=sys.stderr)
+    for key, cfg, gain in report:
+        tag = f"+{gain*100:.1f}% over heuristic" if gain else "heuristic kept"
+        print(f"  {key}: {cfg}  ({tag})", file=sys.stderr)
+
+    out = dict(table)
+    out["_meta"] = {
+        "protocol": f"b={args.batch} h={args.heads} pv={args.pv_dtype} "
+                    "two-point-slope device_time",
+        "min_gain": args.min_gain,
+    }
+    text = json.dumps(out, indent=1, sort_keys=True)
+    print(text)
+    paths = []
+    if args.out:
+        paths.append(args.out)
+    if args.apply:
+        pkg = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "sageattention_tpu", "data")
+        os.makedirs(pkg, exist_ok=True)
+        paths.append(os.path.join(pkg, "tuned_configs.json"))
+    for p in paths:
+        with open(p, "w") as f:
+            f.write(text + "\n")
+        print(f"# wrote {p}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
