@@ -27,17 +27,25 @@ _TENSOR_KWARGS = (
 
 def from_torch(t):
     """torch.Tensor -> jax.Array (DLPack; bool routed via uint8 since
-    DLPack has no bool dtype in torch's exporter)."""
+    DLPack has no bool dtype in torch's exporter).
+
+    The imported array is re-committed to JAX's default device: a DLPack
+    import of a CPU torch tensor is committed to the jax *CPU* backend,
+    which on a TPU host would pin the whole computation (and the Mosaic
+    kernel launch) to CPU."""
     import torch
 
     if not isinstance(t, torch.Tensor):
         return t
     t = t.detach()
     if t.dtype == torch.bool:
-        return jnp.from_dlpack(t.to(torch.uint8).contiguous()).astype(
-            jnp.bool_
-        )
-    return jnp.from_dlpack(t.contiguous())
+        a = jnp.from_dlpack(t.to(torch.uint8).contiguous()).astype(jnp.bool_)
+    else:
+        a = jnp.from_dlpack(t.contiguous())
+    default = jax.devices()[0]
+    if a.devices() != {default}:
+        a = jax.device_put(a, default)
+    return a
 
 
 def to_torch(a):
@@ -122,7 +130,14 @@ def patch_torch_sdpa(**default_kwargs):
             )
         kw = dict(default_kwargs)
         if attn_mask is not None:
-            kw["attn_mask"] = attn_mask  # bool or additive; core sorts it
+            # torch SDPA accepts any mask broadcastable to (N, H, L, S)
+            # (e.g. a (B, 1, 1, S) key-padding mask); core requires the
+            # trailing dims to be exactly (sq, sk), so expand them here.
+            m = attn_mask
+            while m.dim() < 4:
+                m = m.unsqueeze(0)
+            m = m.expand(*m.shape[:-2], query.shape[-2], key.shape[-2])
+            kw["attn_mask"] = m  # bool or additive; core sorts it
         return sageattn_torch(
             query,
             key,

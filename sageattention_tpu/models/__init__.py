@@ -3,6 +3,7 @@ from sageattention_tpu.models.attention import (
     set_attention_backend,
     get_attention_backend,
     set_mesh,
+    sage_attention_fn,
     SageAttnProcessor,
 )
 from sageattention_tpu.models.configs import MODEL_CONFIGS, DiTConfig, LLMConfig
@@ -18,6 +19,7 @@ __all__ = [
     "set_attention_backend",
     "get_attention_backend",
     "SageAttnProcessor",
+    "sage_attention_fn",
     "MODEL_CONFIGS",
     "DiTConfig",
     "LLMConfig",

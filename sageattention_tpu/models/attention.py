@@ -152,6 +152,86 @@ register_backend(
 )
 
 
+def sage_attention_fn(
+    query,
+    key,
+    value,
+    bias=None,
+    mask=None,
+    *,
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    is_causal: bool = False,
+    sm_scale: float | None = None,
+    dtype=None,
+    **sage_kwargs,
+):
+    """``flax.linen.dot_product_attention``-compatible attention function.
+
+    The flax-native analogue of the reference's global SDPA monkey-patch
+    (reference: example/cogvideox-2b.py:16-23): ANY flax model built on
+    ``nn.MultiHeadDotProductAttention`` switches to sage attention with
+
+        nn.MultiHeadDotProductAttention(
+            num_heads=h, attention_fn=sage_attention_fn)
+
+    (or ``functools.partial(sage_attention_fn, is_causal=True, ...)`` to
+    fix options).  Accepts flax's calling convention: q/k/v shaped
+    ``[batch..., length, num_heads, head_dim]``, bool ``mask`` and
+    additive ``bias`` broadcastable to ``[batch..., heads, sq, sk]``.
+    Extra flax kwargs (precision, dropout plumbing, einsum overrides) are
+    accepted and ignored — except attention dropout, which is rejected
+    like the reference's kernels (they have none).
+    """
+    for name in ("broadcast_dropout", "dropout_rng", "precision", "module",
+                 "force_fp32_for_softmax", "einsum_dot_general",
+                 "qk_attn_weights_einsum", "attn_weights_value_einsum"):
+        sage_kwargs.pop(name, None)
+    if dropout_rate != 0.0 and not deterministic:
+        raise NotImplementedError(
+            "sage attention has no attention-weight dropout (reference "
+            "parity: the reference kernels have none either)"
+        )
+    *batch, sq, h, d = query.shape
+    sk = key.shape[-3]
+    bsz = 1
+    for n in batch:
+        bsz *= n
+
+    def flat(x):  # [batch..., s, h, d] -> NHD [b, s, h, d]
+        return x.reshape((bsz,) + x.shape[len(batch):])
+
+    def flat_mask(m):
+        # broadcast trailing dims to (sq, sk), heads to 1-or-h, then
+        # collapse leading batch dims to b (core handles [b,1|h,sq,sk])
+        while m.ndim < len(batch) + 3:
+            m = m[None]
+        tgt = tuple(batch) + (m.shape[-3], sq, sk)
+        m = jnp.broadcast_to(m, tgt) if m.shape != tgt else m
+        return m.reshape((bsz,) + m.shape[len(batch):])
+
+    kw = dict(sage_kwargs)
+    if mask is not None:
+        # flax mask semantics are boolean (nonzero = attend) whatever the
+        # dtype — nn.make_attention_mask returns float32 0/1.  core treats
+        # a non-bool attn_mask as an ADDITIVE bias (torch semantics), so
+        # cast here or a float mask silently becomes a +1 logit bias.
+        kw["attn_mask"] = flat_mask(mask).astype(jnp.bool_)
+    if bias is not None:
+        kw["attn_bias"] = flat_mask(bias)
+    out = sa.sageattn(
+        flat(query),
+        flat(key),
+        flat(value),
+        tensor_layout="NHD",
+        is_causal=is_causal,
+        sm_scale=sm_scale,
+        **kw,
+    )
+    out = out.reshape(tuple(batch) + out.shape[1:])
+    return out.astype(dtype) if dtype is not None else out
+
+
 @dataclasses.dataclass
 class SageAttnProcessor:
     """Per-layer attention processor (the analogue of the reference's

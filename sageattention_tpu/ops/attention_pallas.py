@@ -128,7 +128,7 @@ _TUNED_PACKAGED = os.path.join(
     "tuned_configs.json",
 )
 _tuned_table: dict | None = None
-_tuned_loaded_from: tuple[str | None, float] | None = None
+_tuned_loaded_from: str | None = None
 
 
 def config_key(
@@ -141,9 +141,37 @@ def config_key(
     )
 
 
+def _parse_table(raw: dict) -> dict:
+    """Validate raw JSON entries; malformed entries are dropped (a bad
+    config must not reach the Mosaic compiler or desynchronize the fused
+    backward's K-quant group from the forward's)."""
+    table = {}
+    for k, v in raw.items():
+        if k.startswith("_"):
+            continue
+        try:
+            bq, bk, sub, ck = (int(x) for x in v)
+        except (TypeError, ValueError):
+            continue
+        if (
+            min(bq, bk, sub, ck) <= 0
+            or bq % 128 or bk % 128
+            or bq % sub or bk % ck
+        ):
+            continue
+        table[k] = (bq, bk, sub, ck)
+    return table
+
+
 def set_tuned_configs(table: dict | str | None) -> None:
     """Install (dict or JSON path) — or clear (None) — the tuned-config
-    override table used by :func:`default_config`."""
+    override table used by :func:`default_config`.
+
+    Do NOT swap tables while a traced computation is mid-flight: the fused
+    backward re-derives its K-quantization group from ``default_config``,
+    so the table must be identical when a forward and its backward trace.
+    (For the same reason the env/packaged file is read once per process,
+    not hot-reloaded.)"""
     global _tuned_table, _tuned_loaded_from
     if table is None:
         _tuned_table = None
@@ -152,37 +180,23 @@ def set_tuned_configs(table: dict | str | None) -> None:
     if isinstance(table, str):
         with open(table) as f:
             table = json.load(f)
-    _tuned_table = {
-        k: tuple(int(x) for x in v)
-        for k, v in table.items()
-        if not k.startswith("_")
-    }
-    _tuned_loaded_from = ("<set_tuned_configs>", 0.0)
+    _tuned_table = _parse_table(table)
+    _tuned_loaded_from = "<set_tuned_configs>"
 
 
 def _load_tuned() -> dict:
-    """The active tuned table, reloading if the backing file changed."""
+    """The active tuned table (loaded once per process per source path)."""
     global _tuned_table, _tuned_loaded_from
-    if _tuned_loaded_from == ("<set_tuned_configs>", 0.0):
+    if _tuned_loaded_from == "<set_tuned_configs>":
         return _tuned_table or {}
     path = os.environ.get(_TUNED_ENV) or _TUNED_PACKAGED
-    try:
-        mtime = os.path.getmtime(path)
-    except OSError:
-        _tuned_table, _tuned_loaded_from = {}, (None, 0.0)
-        return _tuned_table
-    if _tuned_loaded_from != (path, mtime):
+    if _tuned_loaded_from != path:
         try:
             with open(path) as f:
-                raw = json.load(f)
-            _tuned_table = {
-                k: tuple(int(x) for x in v)
-                for k, v in raw.items()
-                if not k.startswith("_")
-            }
+                _tuned_table = _parse_table(json.load(f))
         except (OSError, ValueError):
             _tuned_table = {}
-        _tuned_loaded_from = (path, mtime)
+        _tuned_loaded_from = path
     return _tuned_table or {}
 
 

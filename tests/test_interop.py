@@ -119,6 +119,26 @@ class TestPatchSdpa:
             undo()
         assert F.scaled_dot_product_attention is orig
 
+    def test_broadcast_padding_mask(self):
+        # the ubiquitous HF key-padding mask: (B, 1, 1, S) broadcastable
+        # to (N, H, L, S) — torch SDPA semantics the patch must honor
+        import torch.nn.functional as F
+
+        q = _rand(2, 2, 64, 64, seed=19)
+        k = _rand(2, 2, 64, 64, seed=20)
+        v = _rand(2, 2, 64, 64, seed=21)
+        mask = torch.ones(2, 1, 1, 64, dtype=torch.bool)
+        mask[0, :, :, 48:] = False  # batch 0: last 16 keys padded
+        undo = patch_torch_sdpa()
+        try:
+            out = F.scaled_dot_product_attention(q, k, v, attn_mask=mask)
+        finally:
+            undo()
+        ref = torch.nn.functional.scaled_dot_product_attention(
+            q.float(), k.float(), v.float(), attn_mask=mask
+        )
+        assert _cosine(out, ref) > 0.999
+
     def test_default_kwargs_forwarded(self):
         q = _rand(1, 2, 64, 64, seed=16)
         k = _rand(1, 2, 64, 64, seed=17)

@@ -47,6 +47,73 @@ class TestBackendSwitch:
             models.set_attention_backend("cuda")
 
 
+class TestFlaxAttentionFn:
+    """sage_attention_fn plugs into flax's nn.MultiHeadDotProductAttention
+    (the flax-native analogue of the reference's SDPA monkey-patch)."""
+
+    def _mha(self, attention_fn=None):
+        import flax.linen as nn
+
+        kw = {"attention_fn": attention_fn} if attention_fn else {}
+        return nn.MultiHeadDotProductAttention(
+            num_heads=4, qkv_features=256, deterministic=True, **kw
+        )
+
+    def test_matches_flax_default(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 128, 256))
+        ref_mha = self._mha()
+        params = ref_mha.init(jax.random.PRNGKey(1), x)
+        ref = ref_mha.apply(params, x)
+        out = self._mha(models.sage_attention_fn).apply(params, x)
+        assert out.shape == ref.shape
+        assert cosine(out, ref) > 0.999
+
+    def test_padding_mask(self):
+        import flax.linen as nn
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 256))
+        lengths = jnp.array([96, 128])
+        valid = jnp.arange(128)[None] < lengths[:, None]  # [b, sk]
+        mask = nn.make_attention_mask(valid, valid)  # [b, 1, sq, sk]
+        ref_mha = self._mha()
+        params = ref_mha.init(jax.random.PRNGKey(3), x)
+        ref = ref_mha.apply(params, x, mask=mask)
+        out = self._mha(models.sage_attention_fn).apply(
+            params, x, mask=mask
+        )
+        valid_rows = np.asarray(valid)[:, :, None]
+        assert (
+            cosine(
+                np.asarray(out) * valid_rows, np.asarray(ref) * valid_rows
+            )
+            > 0.999
+        )
+
+    def test_direct_call_causal_and_bias(self):
+        q = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 4, 64))
+        k = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 4, 64))
+        v = jax.random.normal(jax.random.PRNGKey(6), (2, 64, 4, 64))
+        import flax.linen as nn
+
+        ref = nn.dot_product_attention(
+            q, k, v,
+            mask=nn.make_causal_mask(jnp.zeros((2, 64))),
+        )
+        out = models.sage_attention_fn(q, k, v, is_causal=True)
+        assert cosine(out, ref) > 0.999
+        bias = jax.random.normal(jax.random.PRNGKey(7), (1, 1, 64, 64))
+        ref_b = nn.dot_product_attention(q, k, v, bias=bias)
+        out_b = models.sage_attention_fn(q, k, v, bias=bias)
+        assert cosine(out_b, ref_b) > 0.999
+
+    def test_dropout_rejected(self):
+        q = jax.random.normal(jax.random.PRNGKey(8), (1, 64, 2, 64))
+        with pytest.raises(NotImplementedError):
+            models.sage_attention_fn(
+                q, q, q, dropout_rate=0.1, deterministic=False
+            )
+
+
 class TestVideoDiT:
     def test_forward_shape(self, tiny_dit):
         model, params, (lat, txt, t) = tiny_dit

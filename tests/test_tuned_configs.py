@@ -11,6 +11,13 @@ import pytest
 
 from sageattention_tpu.ops import attention_pallas as ap
 
+# heuristic baselines captured with no table installed (module import time
+# may already have consulted a packaged table; clear first)
+ap.set_tuned_configs(None)
+BASE_4K = ap.default_config(4096, 4096, 128, False)
+BASE_8K = ap.default_config(8192, 8192, 128, False)
+BASE_2K_C = ap.default_config(2048, 2048, 64, True)
+
 
 @pytest.fixture(autouse=True)
 def _clean_table():
@@ -20,16 +27,13 @@ def _clean_table():
 
 
 def test_override_applies_and_clears():
-    base = ap.default_config(4096, 4096, 128, False)
     key = ap.config_key(4096, 4096, 128, False)
     ap.set_tuned_configs({key: [512, 2048, 128, 2048], "_meta": {"x": 1}})
     assert ap.default_config(4096, 4096, 128, False) == (512, 2048, 128, 2048)
-    # other shapes still fall back to the heuristic
-    assert ap.default_config(8192, 8192, 128, False) == ap.default_config(
-        8192, 8192, 128, False
-    )
+    # shapes absent from the table still fall back to the heuristic
+    assert ap.default_config(8192, 8192, 128, False) == BASE_8K
     ap.set_tuned_configs(None)
-    assert ap.default_config(4096, 4096, 128, False) == base
+    assert ap.default_config(4096, 4096, 128, False) == BASE_4K
 
 
 def test_key_is_padded_and_flag_sensitive():
@@ -45,24 +49,41 @@ def test_key_is_padded_and_flag_sensitive():
     )
 
 
-def test_env_file_load_and_reload(tmp_path, monkeypatch):
+def test_env_file_load(tmp_path, monkeypatch):
     path = tmp_path / "tuned.json"
     key = ap.config_key(2048, 2048, 64, True)
     path.write_text(json.dumps({key: [1024, 1024, 128, 1024]}))
     monkeypatch.setenv(ap._TUNED_ENV, str(path))
     assert ap.default_config(2048, 2048, 64, True) == (1024, 1024, 128, 1024)
-    # rewrite the file -> picked up via mtime without restart
+    # the file is read once per process (no hot reload: the fused backward
+    # must see the same table its forward traced with); a rewrite only
+    # lands after an explicit reset
     path.write_text(json.dumps({key: [2048, 2048, 128, 2048]}))
-    import os
-
-    os.utime(path, (os.path.getmtime(path) + 5,) * 2)
+    assert ap.default_config(2048, 2048, 64, True) == (1024, 1024, 128, 1024)
+    ap.set_tuned_configs(None)
     assert ap.default_config(2048, 2048, 64, True) == (2048, 2048, 128, 2048)
 
 
-def test_missing_or_bad_file_falls_back(monkeypatch):
+def test_malformed_entries_dropped(tmp_path, monkeypatch):
+    path = tmp_path / "tuned.json"
+    key_bad3 = ap.config_key(2048, 2048, 64, True)
+    key_bad_div = ap.config_key(4096, 4096, 128, False)
+    key_ok = ap.config_key(8192, 8192, 128, False)
+    path.write_text(json.dumps({
+        key_bad3: [1024, 1024, 128],          # wrong arity
+        key_bad_div: [512, 4096, 128, 3000],  # chunk does not divide block
+        key_ok: [512, 8192, 128, 4096],
+        "_meta": {"protocol": "x"},
+    }))
+    monkeypatch.setenv(ap._TUNED_ENV, str(path))
+    assert ap.default_config(2048, 2048, 64, True) == BASE_2K_C
+    assert ap.default_config(4096, 4096, 128, False) == BASE_4K
+    assert ap.default_config(8192, 8192, 128, False) == (512, 8192, 128, 4096)
+
+
+def test_missing_file_falls_back(monkeypatch):
     monkeypatch.setenv(ap._TUNED_ENV, "/nonexistent/tuned.json")
-    base = ap.default_config(4096, 4096, 128, False)
-    assert base == (1024, 4096, 128, 4096) or len(base) == 4
+    assert ap.default_config(4096, 4096, 128, False) == BASE_4K
 
 
 def test_candidates_are_valid_and_include_default():
@@ -71,7 +92,8 @@ def test_candidates_are_valid_and_include_default():
     for s in (1024, 4096, 32768):
         for d in (64, 128):
             for causal in (False, True):
-                cands = candidates(s, d, causal)
+                cands, heuristic_valid = candidates(s, d, causal)
+                assert heuristic_valid
                 assert cands[0] == ap.default_config(s, s, d, causal)
                 assert len(cands) == len(set(cands))
                 sp = ap._pad128(s)
@@ -83,3 +105,13 @@ def test_candidates_are_valid_and_include_default():
                     if causal:
                         assert bq == bk  # diagonal-split / fold scheduling
                         assert bk < 4096  # compile-time unroll guard
+
+
+def test_candidates_never_empty_for_odd_seq():
+    from tools.autotune import candidates
+
+    cands, heuristic_valid = candidates(1280, 128, False)
+    assert cands  # falls back to the minimal 128-tiling
+    sp = ap._pad128(1280)
+    for bq, bk, sub, ck in cands:
+        assert sp % bq == 0 and sp % bk == 0

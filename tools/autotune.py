@@ -40,9 +40,11 @@ from sageattention_tpu.ops.attention_pallas import (  # noqa: E402
 
 
 def candidates(s: int, d: int, causal: bool):
-    """Valid configs to try for a square (s, s, d) shape.  Yields
-    (block_q, block_k, sub_q, chunk_k) tuples, heuristic default first
-    (so ties keep the current behavior)."""
+    """Valid configs to try for a square (s, s, d) shape.  Returns
+    ``(configs, heuristic_valid)``: a list of (block_q, block_k, sub_q,
+    chunk_k) tuples — the heuristic default first when it is itself a
+    valid dividing config (so ties keep the current behavior) — and
+    whether it was."""
     sp = _pad128(s)
     seen = set()
 
@@ -64,6 +66,7 @@ def candidates(s: int, d: int, causal: bool):
 
     yield_list: list[tuple[int, int, int, int]] = []
     emit(*default_config(s, s, d, causal))
+    heuristic_valid = bool(yield_list)
     if causal:
         # equal Q/KV blocks ride the diagonal-split (and fold) scheduling;
         # 4096 explodes Mosaic compile time (measured >9 min) — never try.
@@ -83,7 +86,12 @@ def candidates(s: int, d: int, causal: bool):
                     )
                 for ck in cks:
                     emit(bq, bk, 128, ck)
-    return yield_list
+    if not yield_list:
+        # e.g. non-power-of-two seqs whose pad128 none of the swept blocks
+        # divide: fall back to the always-valid minimal tiling so the
+        # sweep still records a runnable config
+        emit(128, 128, 128, 128)
+    return yield_list, heuristic_valid
 
 
 def main():
@@ -118,8 +126,8 @@ def main():
     for d in (int(x) for x in args.head_dims.split(",")):
         for s in (int(x) for x in args.seqs.split(",")):
             for causal in causals:
-                cands = candidates(s, d, causal)
-                default = cands[0]
+                cands, heuristic_valid = candidates(s, d, causal)
+                default = cands[0] if heuristic_valid else None
                 best, best_t, default_t = None, float("inf"), None
                 for cfg in cands:
                     bq, bk, sub, ck = cfg
@@ -147,10 +155,15 @@ def main():
                 if best is None:
                     continue
                 key = config_key(s, s, d, causal)
-                gain = (
-                    (default_t - best_t) / default_t
-                    if default_t else 0.0
-                )
+                if default_t is None:
+                    # the heuristic default failed to bench (or was not a
+                    # valid candidate for this shape): ALWAYS persist the
+                    # measured winner — production would otherwise keep
+                    # dispatching a config that just failed here
+                    table[key] = list(best)
+                    report.append((key, best, float("nan")))
+                    continue
+                gain = (default_t - best_t) / default_t
                 if best != default and gain >= args.min_gain:
                     table[key] = list(best)
                     report.append((key, best, gain))
@@ -159,7 +172,12 @@ def main():
 
     print("# autotune summary", file=sys.stderr)
     for key, cfg, gain in report:
-        tag = f"+{gain*100:.1f}% over heuristic" if gain else "heuristic kept"
+        if gain != gain:  # NaN: heuristic default itself failed to run
+            tag = "heuristic FAILED; winner persisted"
+        elif gain:
+            tag = f"+{gain*100:.1f}% over heuristic"
+        else:
+            tag = "heuristic kept"
         print(f"  {key}: {cfg}  ({tag})", file=sys.stderr)
 
     out = dict(table)
