@@ -4,9 +4,16 @@ chip against an independent fp32 oracle.
 Run:  PYTHONPATH="/root/repo:$PYTHONPATH" python tools/verify_tpu.py
 Exits nonzero if any check regresses.  (Also runnable on CPU; slower.)
 """
+import os
 import sys
 
 import jax
+
+# honor JAX_PLATFORMS=cpu even though the axon site package clobbers
+# the env var during its own jax import (see tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -161,6 +168,19 @@ for bi, L in enumerate([700, 500]):
     ))
 ok &= check("chunked-prefill extend t_q=64", oe,
             jnp.concatenate(refs_e))
+
+# 13. PROBE: paged decode (scrambled page table, scalar-prefetch gather)
+page = 256
+n_pages = 2 * (1024 // page)
+table = jnp.array(
+    [[5, 2, 7, 0], [3, 6, 1, 4]], jnp.int32
+)  # scrambled ownership of the 8-page pool
+pc = sa.init_paged_kv_cache(n_pages, 2, 128, table, page_size=page)
+pc, plens = sa.paged_append(pc, lens0, kd, vd)
+op = sa.sageattn_paged_decode(qd, pc, lens)
+ok &= check("paged decode scrambled table", op, jnp.concatenate(refs))
+opw = sa.sageattn_paged_decode(qd, pc, lens, window=W)
+ok &= check("paged decode window=256", opw, jnp.concatenate(refs_w))
 
 print("ALL OK" if ok else "SOME FAILED", file=sys.stderr)
 sys.exit(0 if ok else 1)
