@@ -26,6 +26,7 @@ import sys
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def log(msg):
@@ -289,6 +290,32 @@ def main():
              t_dec / t_d4)
     except Exception as e:
         log(f"int4-cache decode failed ({type(e).__name__}: {e})")
+
+    # paged pool (vLLM-style serving): same decode through a SCRAMBLED
+    # page table (scalar-prefetch gather); vs_baseline = dense int8
+    # decode time / paged time — ~1.0 means the indirection is free.
+    try:
+        page = 4096
+        npage = db * (dS // page)
+        rng = np.random.RandomState(0)
+        table = jnp.asarray(
+            rng.permutation(npage).reshape(db, dS // page), jnp.int32
+        )
+        pc = kvcache.init_paged_kv_cache(npage, dhkv, dd, table,
+                                         page_size=page)
+        pc, _ = kvcache.paged_prefill(pc, kc, vc)
+        t_pg = device_time(
+            lambda i, c, q, cache: kvcache.sageattn_paged_decode(
+                q + (c * 1e-30).astype(q.dtype), cache, lens),
+            (qd, pc), n=10,
+        )
+        log(f"decode 32k paged int8 (scrambled, page={page}): "
+            f"{t_pg*1e6:.0f} us ({2*db*dhkv*dS*dd/t_pg/1e9:.0f} GB/s), "
+            f"{t_dec/t_pg:.2f}x dense")
+        emit("sage_paged_decode_us_b4_32k_int8", t_pg * 1e6, "us",
+             t_dec / t_pg)
+    except Exception as e:
+        log(f"paged decode failed ({type(e).__name__}: {e})")
 
     # training step (fused quantized forward + fused Pallas backward) vs
     # jax's flash fwd+bwd at the same shape
