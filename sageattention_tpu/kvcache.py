@@ -136,6 +136,19 @@ def quant_calibrated(x: jax.Array, mean: jax.Array, bits: int):
 
 
 @jax.jit
+def _vmean_addback(o: jax.Array, lengths: jax.Array,
+                   v_mean: jax.Array) -> jax.Array:
+    """Exact V-mean add-back (softmax rows sum to 1); K's mean shift is
+    softmax-invariant and needs no correction.  Zero-length slots have
+    no softmax mass (the kernel emits 0 rows) — keep them 0, not mean.
+    Shared by every decode wrapper so the empty-slot invariant (and the
+    merge-commutativity it protects) cannot desynchronize."""
+    group = o.shape[1] // v_mean.shape[1]
+    live = (lengths.astype(jnp.int32) > 0)[:, None, None, None]
+    vm = jnp.where(live, jnp.repeat(v_mean, group, axis=1), 0.0)
+    return o + vm.astype(o.dtype)
+
+
 def append_kv(
     cache: QuantKVCache,
     lengths: jax.Array,       # [b] int32: tokens already in the cache
@@ -211,13 +224,7 @@ def sageattn_decode(
         interpret=interpret or jax.default_backend() == "cpu",
     )
     o = res[0] if return_state else res
-    # exact V-mean add-back (softmax rows sum to 1); K's mean shift is
-    # softmax-invariant and needs no correction.  Zero-length slots have
-    # no softmax mass (the kernel emits 0 rows) — keep them 0, not mean.
-    group = q.shape[1] // cache.v_mean.shape[1]
-    live = (lengths.astype(jnp.int32) > 0)[:, None, None, None]
-    vm = jnp.where(live, jnp.repeat(cache.v_mean, group, axis=1), 0.0)
-    o = o + vm.astype(o.dtype)
+    o = _vmean_addback(o, lengths, cache.v_mean)
     return (o, res[1], res[2]) if return_state else o
 
 
@@ -299,8 +306,14 @@ def paged_append(
     b, h, t, d = k_q.shape
 
     # destination of token j of sequence i: physical page
-    # page_table[i, (lengths[i]+j)//page], row (lengths[i]+j) % page
-    pos = lengths[:, None] + jnp.arange(t)[None, :]        # [b, t]
+    # page_table[i, (lengths[i]+j)//page], row (lengths[i]+j) % page.
+    # Appends past the table's span clamp to the end and overwrite the
+    # tail — the same dynamic-update-slice semantics as append_kv (the
+    # caller owns capacity); without the clamp the write would silently
+    # drop while lengths still advanced.
+    span = cache.page_table.shape[1] * page
+    start = jnp.minimum(lengths, span - t)
+    pos = start[:, None] + jnp.arange(t)[None, :]          # [b, t]
     phys = jnp.take_along_axis(
         cache.page_table, pos // page, axis=1
     ) - pool_start                                         # [b, t]
@@ -411,8 +424,5 @@ def sageattn_paged_decode(
         interpret=interpret or jax.default_backend() == "cpu",
     )
     o = res[0] if return_state else res
-    group = q.shape[1] // cache.v_mean.shape[1]
-    live = (lengths.astype(jnp.int32) > 0)[:, None, None, None]
-    vm = jnp.where(live, jnp.repeat(cache.v_mean, group, axis=1), 0.0)
-    o = o + vm.astype(o.dtype)
+    o = _vmean_addback(o, lengths, cache.v_mean)
     return (o, res[1], res[2]) if return_state else o

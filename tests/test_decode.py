@@ -484,6 +484,36 @@ class TestPagedDecode:
             ref = oracle(q[0], kf[0], vf[0], hq // hkv)
             assert cosine(o[0], ref) > 0.999, f"append {t}"
 
+    def test_paged_append_overflow_clamps_like_dense(self):
+        """Appending past the page table's span clamps to the end and
+        overwrites the tail (append_kv's dynamic-update-slice
+        semantics) instead of silently dropping the write."""
+        b, hkv, d, page = 1, 2, 32, 64
+        pt = jnp.array([[1, 0]], jnp.int32)  # span = 128 tokens
+        cache = kvcache.init_paged_kv_cache(2, hkv, d, pt, page_size=page)
+        k = rand(60, (b, hkv, 128, d))
+        v = rand(61, (b, hkv, 128, d))
+        cache, lengths = kvcache.paged_append(
+            cache, jnp.zeros((b,), jnp.int32), k, v
+        )
+        kn, vn = rand(62, (b, hkv, 1, d)), rand(63, (b, hkv, 1, d))
+        cache, lengths = kvcache.paged_append(cache, lengths, kn, vn)
+        # the overflow token overwrote the final row (physical page 0,
+        # the table's last entry), exactly like the dense tail clamp
+        dense = kvcache.init_kv_cache(b, hkv, 128, d)
+        dense, dl = kvcache.append_kv(
+            dense, jnp.zeros((b,), jnp.int32), k, v
+        )
+        dense, dl = kvcache.append_kv(dense, dl, kn, vn)
+        np.testing.assert_array_equal(
+            np.asarray(cache.pages_k[0, :, -1]),
+            np.asarray(dense.k_i8[0, :, -1]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(cache.pages_v[0, :, -1]),
+            np.asarray(dense.v_i8[0, :, -1]),
+        )
+
     def test_calibrate_lengths_guard(self):
         """calibrate(..., lengths) must keep frozen means for batches
         with live tokens (re-prefill over a live cache is a no-op) and
