@@ -58,10 +58,20 @@ def attention(q, k, v, *, is_causal=False, sm_scale=None, backend=None, **kw):
     return fn(q, k, v, is_causal=is_causal, sm_scale=sm_scale, **kw)
 
 
-def _sdpa(q, k, v, *, is_causal, sm_scale, **kw):
+def _sdpa(q, k, v, *, is_causal, sm_scale, window=None, **kw):
+    if kw:
+        # silently dropping a kwarg (e.g. a mask) would answer with the
+        # wrong attention; refuse instead
+        raise TypeError(f"sdpa backend does not support {sorted(kw)}")
+    if window is not None and not is_causal:
+        raise ValueError("window requires is_causal=True")
     qn, kn, vn = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
     o = jax.nn.dot_product_attention(
-        qn, kn, vn, is_causal=is_causal, scale=sm_scale, implementation="xla"
+        qn, kn, vn, is_causal=is_causal, scale=sm_scale,
+        # core's window semantics: each query sees its last `window`
+        # keys inclusive of itself -> (window-1, 0)
+        local_window_size=None if window is None else (window - 1, 0),
+        implementation="xla",
     )
     return jnp.swapaxes(o, 1, 2)
 
@@ -90,6 +100,8 @@ register_backend("sdpa", _sdpa)
 def _flash(q, k, v, *, is_causal, sm_scale, **kw):
     from sageattention_tpu import baselines
 
+    if kw:
+        raise TypeError(f"flash backend does not support {sorted(kw)}")
     hq, hkv = q.shape[1], k.shape[1]
     if hq != hkv:
         k = jnp.repeat(k, hq // hkv, axis=1)

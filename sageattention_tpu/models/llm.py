@@ -76,8 +76,16 @@ class LLMBlock(nn.Module):
             cache = kvcache.calibrate(cache, k, v, lengths)
         if isinstance(cache, kvcache.PagedKVCache):
             # vLLM-style paged serving: appends follow the page table,
-            # decode gathers physical pages via scalar prefetch
-            new_cache, new_len = kvcache.paged_append(cache, lengths, k, v)
+            # decode gathers physical pages via scalar prefetch.  The
+            # non-decode path is a whole-prompt prefill (lengths == 0
+            # contract) — write page-granular bulk pages when the shape
+            # allows instead of scattering s individual token rows
+            if not decode and s % cache.page_size == 0:
+                new_cache, new_len = kvcache.paged_prefill(cache, k, v)
+            else:
+                new_cache, new_len = kvcache.paged_append(
+                    cache, lengths, k, v
+                )
             if decode:
                 o = kvcache.sageattn_paged_decode(q, new_cache, new_len,
                                                   window=W)
@@ -124,6 +132,10 @@ class CausalLM(nn.Module):
         b, s = tokens.shape
         x = nn.Embed(c.vocab, c.hidden, dtype=self.dtype, name="embed")(tokens)
         if lengths is None:
+            if caches is not None:
+                # the advertised prefill form: caches given, lengths
+                # defaulting to empty sequences
+                lengths = jnp.zeros((b,), jnp.int32)
             positions = jnp.broadcast_to(jnp.arange(s), (b, s))
         else:
             positions = lengths[:, None] + jnp.arange(s)[None, :]

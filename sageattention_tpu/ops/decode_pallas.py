@@ -108,7 +108,7 @@ def decode_step_body(
     pe = p * vs_ref[0, 0, 0][None, :]
     pmax = jnp.max(pe, axis=1)[:, None]
     psc, pr = inv_scale(pmax, 127.0)
-    p_q = (pe * pr + 0.5).astype(jnp.int8)  # pe >= 0: +0.5 rounds
+    p_q = round_half_away(pe * pr).astype(jnp.int8)  # pe >= 0
     vq = v_ref[0, 0]
     if vq.dtype == jnp.int4:
         vq = vq.astype(jnp.int8)  # int4 cache: half the V bytes off HBM

@@ -176,6 +176,57 @@ class TestCausalLM:
         logits_sage2 = model.apply(params, toks2)
         assert cosine(logits_sage2[:, :150], logits_sage[:, :150]) > 0.999
 
+    def test_prefill_lengths_default_to_zeros(self):
+        """The advertised prefill form — caches given, lengths omitted —
+        behaves exactly like explicit zero lengths."""
+        cfg = MODEL_CONFIGS["llm-8b-gqa"].scaled(
+            depth=1, hidden=128, heads=4, kv_heads=2, head_dim=32,
+            vocab=100, mlp_hidden=256,
+        )
+        model = models.CausalLM(cfg)
+        toks = jax.random.randint(jax.random.PRNGKey(0), (2, 64), 0, 100)
+        params = model.init(jax.random.PRNGKey(1), toks)
+        models.set_attention_backend("sage")
+        c1 = model.init_caches(2, 128)
+        c2 = model.init_caches(2, 128)
+        lo1, cc1 = model.apply(params, toks, caches=c1)
+        lo2, cc2 = model.apply(
+            params, toks, caches=c2, lengths=jnp.zeros((2,), jnp.int32)
+        )
+        np.testing.assert_array_equal(np.asarray(lo1), np.asarray(lo2))
+        np.testing.assert_array_equal(
+            np.asarray(cc1[0].k_i8), np.asarray(cc2[0].k_i8)
+        )
+
+    def test_windowed_prefill_matches_windowed_decode_backends(self):
+        """A windowed config answers identically (up to quant noise)
+        whether the baseline backend computes prefill or the sage path
+        does — guards against a backend silently dropping `window`."""
+        cfg = MODEL_CONFIGS["llm-8b-gqa"].scaled(
+            depth=1, hidden=128, heads=4, kv_heads=2, head_dim=32,
+            vocab=100, mlp_hidden=256, window=32,
+        )
+        model = models.CausalLM(cfg)
+        toks = jax.random.randint(jax.random.PRNGKey(0), (1, 128), 0, 100)
+        params = model.init(jax.random.PRNGKey(1), toks)
+        models.set_attention_backend("sage")
+        lo_sage = model.apply(params, toks)
+        models.set_attention_backend("sdpa")
+        lo_sdpa = model.apply(params, toks)
+        models.set_attention_backend("sage")
+        # both honor window=32: identical pattern, quant-level noise
+        assert cosine(lo_sage, lo_sdpa) > 0.999
+        # and sdpa's window actually masks: a full-causal sdpa differs
+        cfg_full = cfg.scaled(window=None)
+        model_full = models.CausalLM(cfg_full)
+        models.set_attention_backend("sdpa")
+        lo_full = model_full.apply(params, toks)
+        models.set_attention_backend("sage")
+        assert float(np.max(np.abs(
+            np.asarray(lo_full[:, -1], np.float32)
+            - np.asarray(lo_sdpa[:, -1], np.float32)
+        ))) > 1e-3
+
     def test_all_configs_instantiate(self):
         for name, cfg in MODEL_CONFIGS.items():
             assert cfg.name == name
