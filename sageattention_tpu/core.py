@@ -172,10 +172,17 @@ def _sageattn_hnd(
         if km is not None:
             k_c = k_c - km[..., None, :]
         if hq != hkv:
-            k_c = jnp.repeat(k_c, hq // hkv, axis=1)
-        score_col_bias = (
-            jnp.einsum("bhd,bhsd->bhs", qm, k_c) * sm_scale * LOG2E
-        )
+            # grouped einsum instead of repeating K across the query-head
+            # group (which would materialize b*hq*sk*d fp32)
+            qm_g = qm.reshape(b, hkv, hq // hkv, d_og)
+            score_col_bias = (
+                jnp.einsum("bhgd,bhsd->bhgs", qm_g, k_c)
+                .reshape(b, hq, -1) * sm_scale * LOG2E
+            )
+        else:
+            score_col_bias = (
+                jnp.einsum("bhd,bhsd->bhs", qm, k_c) * sm_scale * LOG2E
+            )
     else:
         q_in = q
         score_col_bias = None
@@ -728,7 +735,15 @@ def sageattn_varlen(
         block_q=kwargs.pop("block_q", None) or bq_auto,
         block_k=kwargs.pop("block_k", None) or bk_auto,
         impl=kwargs.pop("impl", "auto"),
+        qk_bits=kwargs.pop("qk_bits", 8),
+        smooth_q=kwargs.pop("smooth_q", False),
     )
+    if kwargs:
+        # silently dropping e.g. window=... would compute the wrong
+        # attention pattern; fail like a normal unexpected kwarg
+        raise TypeError(
+            f"sageattn_varlen got unexpected kwargs {sorted(kwargs)}"
+        )
     if return_lse:
         o, lse = out
         if lse_corr_seg is not None:

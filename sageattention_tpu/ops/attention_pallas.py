@@ -247,11 +247,7 @@ def default_config(
         if sq_p <= 1024 else 1024
     )
     block_k = min(cap, _pad128(sk))
-    if block_k <= 4096:
-        chunk = block_k
-    else:
-        chunk = max(4096, min(8192, block_k // 2))
-    return block_q, block_k, 128, chunk
+    return block_q, block_k, 128, effective_chunk_k(block_k)
 
 
 def _compute_parts(
@@ -1424,7 +1420,9 @@ def sage_attention_fused(
     # FLOPs: 2*sq*sk*d (QK) + 2*sq*sk*d (PV) per (b, h); halved by causal.
     flops = 4 * b * hq * sq * sk * d // (2 if is_causal else 1)
     bytes_accessed = (
-        q_i8.size + k_i8.size * group + v_q.size * group * v_q.dtype.itemsize
+        q_i8.size * q_i8.dtype.itemsize  # bf16 when Q quantizes in-kernel
+        + k_i8.size * group * k_i8.dtype.itemsize
+        + v_q.size * group * v_q.dtype.itemsize
         + b * hq * sq * d * jnp.dtype(out_dtype).itemsize
     )
     outs = pl.pallas_call(

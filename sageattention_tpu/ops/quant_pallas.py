@@ -166,10 +166,11 @@ def quant_k_chunked(
     in_specs = [pl.BlockSpec((1, group, d), lambda i: (i, 0, 0))]
     inputs = [k3]
     if smooth:
-        km_g = jnp.repeat(
-            km.astype(jnp.float32).reshape(b * h, 1, d), s // group, axis=0
-        )  # [n_groups, 1, d]
-        in_specs.append(pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)))
+        # the index map re-reads each (b,h) mean row for all its s//group
+        # chunks — no repeated [n_groups,1,d] materialization in HBM
+        gph = s // group  # groups per (b, h)
+        km_g = km.astype(jnp.float32).reshape(b * h, 1, d)
+        in_specs.append(pl.BlockSpec((1, 1, d), lambda i: (i // gph, 0, 0)))
         inputs.append(km_g)
 
     def kernel(*refs):

@@ -184,6 +184,31 @@ class TestVarlen:
             )
             start += n
 
+    def test_varlen_rejects_unknown_kwargs(self):
+        """Unsupported kwargs (e.g. window) must raise, not silently run
+        the wrong attention pattern."""
+        q, k, v = (rand(i, (64, 2, 32)) for i in range(3))
+        cu = jnp.array([0, 64], jnp.int32)
+        with pytest.raises(TypeError, match="window"):
+            sa.sageattn_varlen(q, k, v, cu, cu, is_causal=True, window=32)
+
+    def test_varlen_forwards_qk_bits_and_smooth_q(self):
+        q, k, v = (rand(i + 70, (128, 2, 32)) for i in range(3))
+        cu = jnp.array([0, 50, 128], jnp.int32)
+        # qk_bits reaches the kernel (trace only: the CPU backend has no
+        # native-int4 dot to execute)
+        jax.eval_shape(
+            lambda *a: sa.sageattn_varlen(*a, qk_bits=4), q, k, v, cu, cu
+        )
+        o = sa.sageattn_varlen(q, k, v, cu, cu, smooth_q=True)
+        for sl in (slice(0, 50), slice(50, 128)):
+            o_ref = reference.attention_reference(
+                jnp.swapaxes(q[sl], 0, 1)[None],
+                jnp.swapaxes(k[sl], 0, 1)[None],
+                jnp.swapaxes(v[sl], 0, 1)[None],
+            )
+            assert cosine(jnp.swapaxes(o[sl], 0, 1), o_ref[0]) > 0.99
+
     def test_causal_varlen(self):
         lens = [128, 128]
         total = sum(lens)
