@@ -273,10 +273,7 @@ def _sageattn_hnd(
                          "is_causal=True")
     if impl == "xla":
         if window is not None:
-            band = (
-                jnp.arange(sk)[None, :]
-                > jnp.arange(sq)[:, None] - window
-            )[None, None]  # upper edge comes from is_causal
+            band = reference.window_band_mask(sq, sk, window)
             attn_mask = (
                 band if attn_mask is None
                 else jnp.logical_and(attn_mask, band)

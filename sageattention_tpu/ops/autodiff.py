@@ -156,11 +156,9 @@ def _cached(fwd_statics, bwd_statics):
             def exact(q, k, v):
                 mask = None
                 if window is not None:
-                    sq, sk = q.shape[2], k.shape[2]
-                    mask = (
-                        jnp.arange(sk)[None, :]
-                        > jnp.arange(sq)[:, None] - window
-                    )[None, None]
+                    mask = reference.window_band_mask(
+                        q.shape[2], k.shape[2], window
+                    )
                 return reference.attention_reference(
                     q, k, v, is_causal=is_causal, sm_scale=sm_scale,
                     attn_mask=mask, return_lse=dlse is not None,

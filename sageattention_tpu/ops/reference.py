@@ -29,6 +29,16 @@ LOG2E = 1.4426950408889634
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def window_band_mask(sq: int, sk: int, window: int) -> jax.Array:
+    """[1, 1, sq, sk] bool: key col within the last ``window`` positions
+    of query row (top-left aligned; the upper edge comes from
+    is_causal).  THE band convention — core.py's forward and the
+    autodiff fallback backward must share it or gradients desync."""
+    return (
+        jnp.arange(sk)[None, :] > jnp.arange(sq)[:, None] - window
+    )[None, None]
+
+
 def _build_mask(
     sq: int,
     sk: int,

@@ -44,7 +44,11 @@ def make_parallel_sageattn(
     jax.grad straight through this function (the round-1 version
     substituted a score-materializing global reference VJP).
     """
+    attn_kwargs.setdefault("pv_dtype", "bf16")  # match sageattn's default
+    return_lse = bool(attn_kwargs.pop("return_lse", False))
     axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if data_axis is not None and data_axis not in axis_sizes:
+        data_axis = None  # compose away like the other axes
     ring_n = axis_sizes.get(ring_axis, 1) if ring_axis else 1
     uly_n = axis_sizes.get(ulysses_axis, 1) if ulysses_axis else 1
 
@@ -58,6 +62,20 @@ def make_parallel_sageattn(
         spec = P(data_axis, seq_spec, None, None)
     else:
         raise ValueError(f"bad tensor_layout {tensor_layout!r}")
+    lse_spec = P(data_axis, None, seq_spec)  # lse is [b, h, s] either way
+
+    def leaf(q, k, v):
+        """Local or ring attention on (possibly head-sharded) full-seq
+        shards — the Ulysses ``inner`` hook."""
+        if ring_n > 1:
+            return ring_sageattn(
+                q, k, v, ring_axis, is_causal=is_causal,
+                sm_scale=sm_scale, return_lse=return_lse, **attn_kwargs,
+            )
+        return autodiff.differentiable_sageattn(
+            q, k, v, is_causal=is_causal, sm_scale=sm_scale,
+            return_lse=return_lse, **attn_kwargs,
+        )
 
     def local_fn(q, k, v):
         if tensor_layout == "NHD":
@@ -65,51 +83,23 @@ def make_parallel_sageattn(
         if uly_n > 1:
             # Ulysses gathers the sequence over its axis (head swap); the
             # inner attention is then ring over ring_axis (or local).
-            def inner(qg, kg, vg):
-                if ring_n > 1:
-                    return ring_sageattn(
-                        qg, kg, vg, ring_axis,
-                        is_causal=is_causal, sm_scale=sm_scale, **attn_kwargs,
-                    )
-                return autodiff.differentiable_sageattn(
-                    qg, kg, vg, is_causal=is_causal, sm_scale=sm_scale,
-                    **attn_kwargs,
-                )
-
-            n = uly_n
-            qg = jax.lax.all_to_all(
-                q, ulysses_axis, split_axis=1, concat_axis=2, tiled=True
-            )
-            kg = jax.lax.all_to_all(
-                k, ulysses_axis, split_axis=1, concat_axis=2, tiled=True
-            )
-            vg = jax.lax.all_to_all(
-                v, ulysses_axis, split_axis=1, concat_axis=2, tiled=True
-            )
-            og = inner(qg, kg, vg)
-            o = jax.lax.all_to_all(
-                og, ulysses_axis, split_axis=2, concat_axis=1, tiled=True
-            )
-        elif ring_n > 1:
-            o = ring_sageattn(
-                q, k, v, ring_axis,
-                is_causal=is_causal, sm_scale=sm_scale, **attn_kwargs,
+            out = ulysses_sageattn(
+                q, k, v, ulysses_axis, is_causal=is_causal,
+                sm_scale=sm_scale, return_lse=return_lse, inner=leaf,
             )
         else:
-            o = autodiff.differentiable_sageattn(
-                q, k, v, is_causal=is_causal, sm_scale=sm_scale,
-                **attn_kwargs
-            )
+            out = leaf(q, k, v)
+        o, lse = out if return_lse else (out, None)
         if tensor_layout == "NHD":
             o = jax.numpy.swapaxes(o, 1, 2)
-        return o
+        return (o, lse) if return_lse else o
 
     return jax.jit(
         jax.shard_map(
             local_fn,
             mesh=mesh,
             in_specs=(spec, spec, spec),
-            out_specs=spec,
+            out_specs=(spec, lse_spec) if return_lse else spec,
             check_vma=False,
         )
     )

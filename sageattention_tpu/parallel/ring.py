@@ -70,6 +70,7 @@ def ring_sageattn(
     q, k, v: local HND shards [b, h, s_local, d]; the global sequence is
     the concatenation over ``axis_name`` in axis-index order.
     """
+    attn_kwargs.setdefault("pv_dtype", "bf16")  # match sageattn's default
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, hq, s_loc, d_og = q.shape
@@ -141,7 +142,15 @@ def make_ring_attention(
     ``data_axis``."""
     from jax.sharding import PartitionSpec as P
 
+    if axis_name not in mesh.axis_names:
+        raise ValueError(
+            f"mesh has no axis {axis_name!r} (axes: {mesh.axis_names})"
+        )
+    if data_axis is not None and data_axis not in mesh.axis_names:
+        data_axis = None  # compose away like the other axes
+    return_lse = bool(attn_kwargs.get("return_lse", False))
     spec = P(data_axis, None, axis_name, None)
+    lse_spec = P(data_axis, None, axis_name)
 
     def fn(q, k, v):
         return ring_sageattn(
@@ -153,7 +162,7 @@ def make_ring_attention(
             fn,
             mesh=mesh,
             in_specs=(spec, spec, spec),
-            out_specs=spec,
+            out_specs=(spec, lse_spec) if return_lse else spec,
             check_vma=False,
         )
     )
@@ -180,6 +189,7 @@ def allgather_sageattn(
     """
     from sageattention_tpu import core
 
+    attn_kwargs.setdefault("pv_dtype", "bf16")  # match sageattn's default
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     b, hq, s_loc, d_og = q.shape

@@ -100,6 +100,77 @@ class TestUlysses:
             jax.block_until_ready(fn(q, k, v))  # 4 heads not divisible by 8
 
 
+class TestFactoryContracts:
+    def test_ring_return_lse(self, qkv):
+        """return_lse=True through the factory: (o, lse) both sharded,
+        matching the single-device contract."""
+        q, k, v = qkv
+        mesh = make_mesh(data=1, seq=4, heads=1, devices=jax.devices()[:4])
+        fn = make_ring_attention(
+            mesh, "seq", data_axis=None, return_lse=True
+        )
+        o, lse = fn(q, k, v)
+        o_ref, lse_ref = reference.attention_reference(
+            q, k, v, return_lse=True
+        )
+        assert cosine(o, o_ref) > 0.999
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(lse_ref), rtol=1e-2, atol=5e-2
+        )
+
+    def test_ulysses_return_lse_and_grad(self, qkv):
+        """Ulysses factory: LSE comes back re-sharded, and the path is
+        differentiable (custom-VJP leaf, like the ring and composed
+        paths)."""
+        q, k, v = qkv
+        mesh = make_mesh(data=1, seq=1, heads=4, devices=jax.devices()[:4])
+        fn = make_ulysses_attention(
+            mesh, "heads", data_axis=None, return_lse=True
+        )
+        o, lse = fn(q, k, v)
+        _, lse_ref = reference.attention_reference(q, k, v, return_lse=True)
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(lse_ref), rtol=1e-2, atol=5e-2
+        )
+        fn_plain = make_ulysses_attention(mesh, "heads", data_axis=None)
+        g = jax.grad(lambda q: fn_plain(q, k, v).astype(jnp.float32).sum())(q)
+        g_ref = jax.grad(
+            lambda q: reference.attention_reference(q, k, v)
+            .astype(jnp.float32).sum()
+        )(q)
+        assert cosine(g, g_ref) > 0.99
+
+    def test_missing_data_axis_composes_away(self, qkv):
+        """A mesh without a 'data' axis must work with the default
+        data_axis (it composes away like the other axes)."""
+        q, k, v = qkv
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:4]), ("seq",)
+        )
+        fn = make_parallel_sageattn(mesh)
+        o = fn(q, k, v)
+        o_ref = reference.attention_reference(q, k, v)
+        assert cosine(o, o_ref) > 0.999
+
+    def test_unknown_ring_axis_raises(self, qkv):
+        mesh = make_mesh(data=1, seq=4, heads=1, devices=jax.devices()[:4])
+        with pytest.raises(ValueError, match="no axis"):
+            make_ring_attention(mesh, "nonexistent")
+
+    def test_parallel_defaults_match_sageattn(self, qkv):
+        """The parallel wrappers default to the same pv_dtype as the
+        public sageattn (bf16) — no silent accuracy downgrade."""
+        q, k, v = qkv
+        mesh = make_mesh(data=1, seq=1, heads=4, devices=jax.devices()[:4])
+        fn = make_ulysses_attention(mesh, "heads", data_axis=None)
+        o = fn(q, k, v)
+        o_single = sa.sageattn(q, k, v)  # defaults to pv_dtype="bf16"
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(o_single, np.float32),
+            atol=2e-2,
+        )
+
+
 class TestComposed:
     def test_dp_ring_ulysses(self, qkv):
         """The full xDiT-style matrix: cfg/data x ring x ulysses = 2x2x2."""
