@@ -111,9 +111,10 @@ def run_video_example(name: str, args, model_cls=None) -> None:
         t = jnp.array([999 - i * (999 // max(args.steps, 1))] * b)
         lat = denoise_step(params, lat, txt, t)
     sync(lat)
-    dt = (time.time() - t0) / args.steps
-    print(f"avg denoise step: {dt*1e3:.1f} ms "
-          f"({args.steps} steps, seq {cfg.seq_len})")
+    if args.steps > 0:
+        dt = (time.time() - t0) / args.steps
+        print(f"avg denoise step: {dt*1e3:.1f} ms "
+              f"({args.steps} steps, seq {cfg.seq_len})")
 
     if args.compare:
         try:

@@ -57,7 +57,10 @@ def main():
 
     base = MODEL_CONFIGS["llm-7b"]
     heads = max(4, int(base.heads * args.scale) // 2 * 2)
-    kv_heads = max(2, heads // 4)  # keep hq a multiple of hkv (GQA)
+    if args.scale >= 1.0:
+        kv_heads = base.kv_heads  # full model: the advertised architecture
+    else:
+        kv_heads = max(2, heads // 4)  # keep hq a multiple of hkv (GQA)
     cfg = base.scaled(
         depth=max(2, int(base.depth * args.scale)),
         hidden=max(128, int(base.hidden * args.scale) // 128 * 128),

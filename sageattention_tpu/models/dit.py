@@ -25,6 +25,44 @@ from sageattention_tpu.models.attention import (
 from sageattention_tpu.models.configs import DiTConfig
 
 
+def embed_video_text(mdl: nn.Module, cfg: DiTConfig, dtype,
+                     latents, text_emb):
+    """Shared DiT trunk entry: 3D patchify (p*p*C voxels per token) +
+    patch/positional embedding of video, linear embedding of text.
+    Called inside a model's ``nn.compact`` __call__; params attach to
+    the caller under the usual names (patch_embed/pos_embed/text_embed).
+    Returns (xt, xv)."""
+    b, F, H, W, C = latents.shape
+    p = cfg.patch
+    xv = latents.reshape(b, F, H // p, p, W // p, p, C)
+    xv = jnp.transpose(xv, (0, 1, 2, 4, 3, 5, 6)).reshape(
+        b, F * (H // p) * (W // p), p * p * C
+    )
+    xv = nn.Dense(cfg.hidden, dtype=dtype, name="patch_embed")(xv)
+    pos = mdl.param(
+        "pos_embed",
+        nn.initializers.normal(0.02),
+        (1, cfg.video_tokens, cfg.hidden),
+        jnp.float32,
+    )
+    xv = xv + pos[:, : xv.shape[1]].astype(dtype)
+    xt = nn.Dense(cfg.hidden, dtype=dtype, name="text_embed")(
+        text_emb.astype(dtype)
+    )
+    return xt, xv
+
+
+def finalize_video(xv, video_shape, p: int):
+    """Shared DiT trunk exit: final norm + unpatchify projection back to
+    the latent video shape.  Per-token ops, so callers may slice video
+    tokens out of a joint sequence before or after equivalently."""
+    b, F, H, W, C = video_shape
+    xv = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(xv)
+    out = nn.Dense(p * p * C, dtype=jnp.float32, name="unpatchify")(xv)
+    out = out.reshape(b, F, H // p, W // p, p, p, C)
+    return jnp.transpose(out, (0, 1, 2, 4, 3, 5, 6)).reshape(b, F, H, W, C)
+
+
 class TimestepEmbed(nn.Module):
     dim: int
 
@@ -114,35 +152,12 @@ class VideoDiT(nn.Module):
     @nn.compact
     def __call__(self, latents, text_emb, t):
         c = self.cfg
-        b, F, H, W, C = latents.shape
-        p = c.patch
-        # 3D patchify: (F, H/p, W/p) tokens of p*p*C voxels
-        xv = latents.reshape(b, F, H // p, p, W // p, p, C)
-        xv = jnp.transpose(xv, (0, 1, 2, 4, 3, 5, 6)).reshape(
-            b, F * (H // p) * (W // p), p * p * C
-        )
-        xv = nn.Dense(c.hidden, dtype=self.dtype, name="patch_embed")(xv)
-        pos = self.param(
-            "pos_embed",
-            nn.initializers.normal(0.02),
-            (1, c.video_tokens, c.hidden),
-            jnp.float32,
-        )
-        xv = xv + pos[:, : xv.shape[1]].astype(self.dtype)
-        xt = nn.Dense(c.hidden, dtype=self.dtype, name="text_embed")(
-            text_emb.astype(self.dtype)
-        )
+        xt, xv = embed_video_text(self, c, self.dtype, latents, text_emb)
         x = jnp.concatenate([xt, xv], axis=1)
 
         cond = TimestepEmbed(c.hidden, name="t_embed")(t)
         for i in range(c.depth):
             x = DiTBlock(c, self.processor, name=f"block_{i}")(x, cond)
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
-        xv = x[:, xt.shape[1] :]
-        out = nn.Dense(p * p * C, dtype=jnp.float32, name="unpatchify")(xv)
-        out = out.reshape(b, F, H // p, W // p, p, p, C)
-        out = jnp.transpose(out, (0, 1, 2, 4, 3, 5, 6)).reshape(
-            b, F, H, W, C
-        )
-        return out
+        # finalize_video's norm is per-token: slicing before == after
+        return finalize_video(x[:, xt.shape[1]:], latents.shape, c.patch)

@@ -66,6 +66,13 @@ class LLMBlock(nn.Module):
         v = to_hnd(v, c.kv_heads)
         W = c.window
         wkw = {} if W is None else {"window": W}
+        if decode and cache is None:
+            # decoding without a cache would attend only the current
+            # token(s) — context-free logits that LOOK valid; fail loudly
+            raise ValueError(
+                "decode=True requires caches (init_caches / "
+                "init_paged_caches); got None"
+            )
         new_cache = None
         if cache is not None and cache.bits == 4 and lengths is not None:
             # int4 cache: freeze per-channel K/V means on each batch's

@@ -29,7 +29,11 @@ from sageattention_tpu.models.attention import (
     attention as _attention,
 )
 from sageattention_tpu.models.configs import DiTConfig
-from sageattention_tpu.models.dit import TimestepEmbed
+from sageattention_tpu.models.dit import (
+    TimestepEmbed,
+    embed_video_text,
+    finalize_video,
+)
 
 
 def _split_heads(x, heads, head_dim):
@@ -40,21 +44,6 @@ def _split_heads(x, heads, head_dim):
 def _merge_heads(x):
     b, h, s, d = x.shape
     return jnp.swapaxes(x, 1, 2).reshape(b, s, h * d)
-
-
-class _Modulated(nn.Module):
-    """adaLN shift/scale/gate modulation around a body fn."""
-    hidden: int
-
-    @nn.compact
-    def mod(self, cond, n):
-        return jnp.split(
-            nn.Dense(n * self.hidden, dtype=jnp.float32)(nn.silu(cond))[
-                :, None, :
-            ],
-            n,
-            axis=-1,
-        )
 
 
 class DualStreamBlock(nn.Module):
@@ -141,34 +130,13 @@ class DualStreamVideoDiT(nn.Module):
     @nn.compact
     def __call__(self, latents, text_emb, t):
         c = self.cfg
-        b, F, H, W, C = latents.shape
-        p = c.patch
-        xv = latents.reshape(b, F, H // p, p, W // p, p, C)
-        xv = jnp.transpose(xv, (0, 1, 2, 4, 3, 5, 6)).reshape(
-            b, F * (H // p) * (W // p), p * p * C
-        )
-        xv = nn.Dense(c.hidden, dtype=self.dtype, name="patch_embed")(xv)
-        pos = self.param(
-            "pos_embed",
-            nn.initializers.normal(0.02),
-            (1, c.video_tokens, c.hidden),
-            jnp.float32,
-        )
-        xv = xv + pos[:, : xv.shape[1]].astype(self.dtype)
-        xt = nn.Dense(c.hidden, dtype=self.dtype, name="text_embed")(
-            text_emb.astype(self.dtype)
-        )
+        xt, xv = embed_video_text(self, c, self.dtype, latents, text_emb)
         cond = TimestepEmbed(c.hidden, name="t_embed")(t)
         for i in range(c.depth):
             xt, xv = DualStreamBlock(
                 c, self.processor, name=f"block_{i}"
             )(xt, xv, cond)
-        xv = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(xv)
-        out = nn.Dense(p * p * C, dtype=jnp.float32, name="unpatchify")(xv)
-        out = out.reshape(b, F, H // p, W // p, p, p, C)
-        return jnp.transpose(out, (0, 1, 2, 4, 3, 5, 6)).reshape(
-            b, F, H, W, C
-        )
+        return finalize_video(xv, latents.shape, c.patch)
 
 
 class CrossAttnBlock(nn.Module):
@@ -226,6 +194,10 @@ class CrossAttnBlock(nn.Module):
             nn.Dense(inner, dtype=xv.dtype, name="cross_v")(text),
             c.heads, c.head_dim,
         )
+        # qk-norm on cross-attention too (Wan2.1 applies norm_q/norm_k
+        # here as well) — tames INT8 ranges on outlier text channels
+        qc = nn.RMSNorm(dtype=qc.dtype, name="cross_q_norm")(qc)
+        kc = nn.RMSNorm(dtype=kc.dtype, name="cross_k_norm")(kc)
         o = _merge_heads(attend(qc, kc, vc))
         xv = xv + nn.Dense(c.hidden, dtype=xv.dtype, name="cross_out")(o)
 
@@ -249,31 +221,10 @@ class CrossAttnVideoDiT(nn.Module):
     @nn.compact
     def __call__(self, latents, text_emb, t):
         c = self.cfg
-        b, F, H, W, C = latents.shape
-        p = c.patch
-        xv = latents.reshape(b, F, H // p, p, W // p, p, C)
-        xv = jnp.transpose(xv, (0, 1, 2, 4, 3, 5, 6)).reshape(
-            b, F * (H // p) * (W // p), p * p * C
-        )
-        xv = nn.Dense(c.hidden, dtype=self.dtype, name="patch_embed")(xv)
-        pos = self.param(
-            "pos_embed",
-            nn.initializers.normal(0.02),
-            (1, c.video_tokens, c.hidden),
-            jnp.float32,
-        )
-        xv = xv + pos[:, : xv.shape[1]].astype(self.dtype)
-        text = nn.Dense(c.hidden, dtype=self.dtype, name="text_embed")(
-            text_emb.astype(self.dtype)
-        )
+        text, xv = embed_video_text(self, c, self.dtype, latents, text_emb)
         cond = TimestepEmbed(c.hidden, name="t_embed")(t)
         for i in range(c.depth):
             xv = CrossAttnBlock(c, self.processor, name=f"block_{i}")(
                 xv, text, cond
             )
-        xv = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(xv)
-        out = nn.Dense(p * p * C, dtype=jnp.float32, name="unpatchify")(xv)
-        out = out.reshape(b, F, H // p, W // p, p, p, C)
-        return jnp.transpose(out, (0, 1, 2, 4, 3, 5, 6)).reshape(
-            b, F, H, W, C
-        )
+        return finalize_video(xv, latents.shape, c.patch)

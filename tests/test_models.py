@@ -176,6 +176,17 @@ class TestCausalLM:
         logits_sage2 = model.apply(params, toks2)
         assert cosine(logits_sage2[:, :150], logits_sage[:, :150]) > 0.999
 
+    def test_decode_without_cache_raises(self):
+        cfg = MODEL_CONFIGS["llm-8b-gqa"].scaled(
+            depth=1, hidden=128, heads=4, kv_heads=2, head_dim=32,
+            vocab=100, mlp_hidden=256,
+        )
+        model = models.CausalLM(cfg)
+        toks = jax.random.randint(jax.random.PRNGKey(0), (1, 4), 0, 100)
+        params = model.init(jax.random.PRNGKey(1), toks)
+        with pytest.raises(ValueError, match="decode=True requires"):
+            model.apply(params, toks, decode=True)
+
     def test_prefill_lengths_default_to_zeros(self):
         """The advertised prefill form — caches given, lengths omitted —
         behaves exactly like explicit zero lengths."""
