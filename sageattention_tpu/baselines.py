@@ -34,15 +34,35 @@ def _from_hnd(x, layout):
     return x if layout == "HND" else jnp.swapaxes(x, 1, 2)
 
 
-def _flash_fn(s: int, causal: bool, sm_scale: float):
+def _div_le(n: int, cap: int) -> int:
+    """Largest divisor of ``n`` that is <= cap, preferring multiples of
+    128 (the kernel's lane-tile requirement for block_k)."""
+    d = min(cap, n) // 128 * 128
+    while d >= 128 and n % d:
+        d -= 128
+    if d >= 128:
+        return d
+    d = min(cap, n)
+    while n % d:
+        d -= 1
+    return d
+
+
+def _flash_fn(sq: int, sk: int, causal: bool, sm_scale: float):
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
         flash_attention,
     )
 
-    bq = min(512, s)
-    bk = min(1024, s)
-    bkm = min(2048, s)
+    # the kernel requires block_q <= q_seq_len and kv_seq_len divisible
+    # by block_k/block_k_major; power-of-two bench shapes keep the tuned
+    # 512/1024/2048 blocks, everything else (cross-attention, odd DiT
+    # lengths) rounds down to a divisor instead of crashing
+    bq = _div_le(sq, min(512, sq))
+    bk = _div_le(sk, min(1024, sk))
+    bkm = _div_le(sk, min(2048, sk))
+    if bkm % bk:
+        bkm = bk
     bs = BlockSizes(
         block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
         block_q_major_dkv=bq, block_k_major_dkv=bkm,
@@ -63,7 +83,12 @@ def flash(q, k, v, tensor_layout: Layout = "HND", is_causal: bool = False,
     v = _to_hnd(v, tensor_layout)
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
-    o = _flash_fn(k.shape[2], is_causal, sm_scale)(q, k, v)
+    try:
+        o = _flash_fn(q.shape[2], k.shape[2], is_causal, sm_scale)(q, k, v)
+    except (NotImplementedError, ValueError):
+        # shapes the tuned kernel cannot tile (e.g. kv_len with no
+        # 128-multiple divisor): XLA attention is the honest baseline
+        o = sdpa(q, k, v, "HND", is_causal, sm_scale)
     return _from_hnd(o, tensor_layout)
 
 
@@ -79,14 +104,22 @@ def flash_int8_pertensor(q, k, v, tensor_layout: Layout = "HND",
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
 
+    from sageattention_tpu.quant import round_half_away
+
     def qdq(x):  # quantize-dequantize with one per-tensor scale
+        # same rounding spec as every other int8 path in the package
         scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-30) / 127.0
-        xi = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+        xi = jnp.clip(round_half_away(x.astype(jnp.float32) / scale), -127, 127)
         return (xi.astype(jnp.int8).astype(jnp.float32) * scale).astype(
             jnp.bfloat16
         )
 
-    o = _flash_fn(k.shape[2], is_causal, sm_scale)(qdq(q), qdq(k), qdq(v))
+    try:
+        o = _flash_fn(q.shape[2], k.shape[2], is_causal, sm_scale)(
+            qdq(q), qdq(k), qdq(v)
+        )
+    except (NotImplementedError, ValueError):
+        o = sdpa(qdq(q), qdq(k), qdq(v), "HND", is_causal, sm_scale)
     return _from_hnd(o, tensor_layout)
 
 

@@ -52,17 +52,25 @@ def ensure_built(force: bool = False) -> str | None:
         return None
     for path in _lib_paths():
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # per-process temp name: concurrent builders (multi-process data
+        # loaders, multi-host launch) must not interleave g++ writes into
+        # one file and os.replace garbage into place
+        tmp = f"{path}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-            "-o", path + ".tmp", _SRC, "-lpthread",
+            "-o", tmp, _SRC, "-lpthread",
         ]
         try:
             subprocess.run(
                 cmd, check=True, capture_output=True, timeout=120
             )
-            os.replace(path + ".tmp", path)
+            os.replace(tmp, path)
             return path
         except (OSError, subprocess.SubprocessError):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             continue
     return None
 

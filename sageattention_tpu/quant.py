@@ -251,7 +251,9 @@ def per_channel_fp8_affine_autoalpha(
             return jnp.sum(hub, axis=-2)  # [b,h,d]
         return jnp.sum(err * err, axis=-2)
 
-    losses = jax.vmap(loss_for)(alphas)  # [A,b,h,d]
+    # sequential map: one alpha's quantize/dequant intermediates live at
+    # a time (vmap would materialize n_alpha copies of V-sized arrays)
+    losses = jax.lax.map(loss_for, alphas)  # [A,b,h,d]
     best = jnp.argmin(losses, axis=0)  # [b,h,d]
     alpha = alphas[best]
     scale = amax * alpha / qmax
