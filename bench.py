@@ -40,10 +40,12 @@ def emit(metric, value, unit, vs_baseline):
                 "metric": metric,
                 "value": round(float(value), 2),
                 "unit": unit,
+                # null (not NaN) when a baseline was unavailable: NaN is
+                # not valid RFC JSON and strict parsers drop the line
                 "vs_baseline": (
                     round(float(vs_baseline), 3)
                     if vs_baseline == vs_baseline
-                    else float("nan")
+                    else None
                 ),
             }
         ),
@@ -51,7 +53,7 @@ def emit(metric, value, unit, vs_baseline):
     )
 
 
-def device_time(fn_one, args, n=10, reps=3):
+def device_time(fn_one, args, n=10, reps=5):
     """Two-point-slope scan-chain timing (see bench/utils.py)."""
     from bench.utils import device_time as _dt
 
@@ -118,7 +120,9 @@ def main():
     b, h = 4, 32
 
     def flops(s, d, causal):
-        return 4 * b * h * d * s * s // (2 if causal else 1)
+        from bench.utils import attention_flops
+
+        return attention_flops(b, h, s, d, causal)
 
     # each metric emits AS SOON as it is measured (headline first), so a
     # driver-side timeout still captures everything finished so far

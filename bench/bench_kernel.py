@@ -121,7 +121,11 @@ def main():
             quant_gran=args.quant_gran,
             block_q=min(args.block_q, s) if args.block_q else bq_t,
             block_k=args.block_k or bk_t,
-            chunk_k=args.chunk_k or ck_t,
+            # a user block_k needs a matching chunk (the tuned default's
+            # chunk may not divide it); --chunk_k still overrides
+            chunk_k=args.chunk_k or (
+                effective_chunk_k(args.block_k) if args.block_k else ck_t
+            ),
             sub_q=args.sub_q or sub_t,
         )
         print(f"seq {s:6d}: {t*1e3:8.3f} ms  {tops:7.1f} TOPS", flush=True)

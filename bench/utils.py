@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def device_time(fn_one, args, n: int = 10, reps: int = 3) -> float:
+def device_time(fn_one, args, n: int = 10, reps: int = 5) -> float:
     """Two-point slope per-iteration device time.
 
     Each jit call through the tunnel carries a FIXED ~30 ms round-trip cost
@@ -48,7 +48,7 @@ def device_time(fn_one, args, n: int = 10, reps: int = 3) -> float:
     _ = np.asarray(lo(*args))  # warm + sync (compiles both)
     _ = np.asarray(hi(*args))
     slopes = []
-    for _ in range(max(reps, 5)):
+    for _ in range(reps):
         t0 = time.time()
         _ = np.asarray(lo(*args))
         t1 = time.time()

@@ -119,9 +119,33 @@ def main():
     # imported late: jax initializes the backend on import of bench utils
     from bench.bench_kernel import bench_one
 
+    from sageattention_tpu.ops.attention_pallas import set_tuned_configs
+
+    # Bypass any persisted tuned table for this process: the "heuristic
+    # default" baseline must be the RAW heuristic, not a previously
+    # persisted winner — otherwise a re-run sees its own past winner as
+    # "default", records "heuristic kept", and --apply silently drops
+    # the entry, regressing production dispatch.
+    set_tuned_configs({})
+
     causals = {"both": (False, True), "true": (True,),
                "false": (False,)}[args.causal]
+    # carry forward previously persisted entries for shapes outside this
+    # sweep; swept shapes are re-decided below (including removal when
+    # the heuristic wins again)
     table: dict[str, list[int]] = {}
+    pkg_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "sageattention_tpu", "data", "tuned_configs.json",
+    )
+    for prior in (args.out, pkg_path if args.apply else ""):
+        if prior and os.path.exists(prior):
+            with open(prior) as f:
+                table.update({
+                    k: v for k, v in json.load(f).items()
+                    if not k.startswith("_")
+                })
+            break
     report = []
     for d in (int(x) for x in args.head_dims.split(",")):
         for s in (int(x) for x in args.seqs.split(",")):
@@ -168,6 +192,9 @@ def main():
                     table[key] = list(best)
                     report.append((key, best, gain))
                 else:
+                    # heuristic wins for this shape now: drop any stale
+                    # carried-forward entry so dispatch uses the heuristic
+                    table.pop(key, None)
                     report.append((key, default, 0.0))
 
     print("# autotune summary", file=sys.stderr)

@@ -17,6 +17,7 @@ compiler actually emits for one.)
 """
 
 import re
+import os
 import sys
 
 import jax
@@ -28,7 +29,8 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def main():
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from jax.experimental import topologies
     from jax.sharding import Mesh, PartitionSpec as P
 
@@ -97,8 +99,15 @@ def main():
         print("FAIL: most KV rotations are scheduled as blocking "
               "transfers — the ring schedule does not hide ICI latency")
         return 1
-    print("OK: the v5e schedule overlaps KV rotation with kernel "
-          "compute")
+    if with_attn * 2 < total:
+        # the docstring contract: the ATTENTION kernels (not just small
+        # quant custom-calls) must hide the transfer — they are the only
+        # compute long enough to cover an ICI rotation at real sizes
+        print("FAIL: rotations overlap only prologue custom-calls; the "
+              "attention kernels are serialized after the transfers")
+        return 1
+    print("OK: the v5e schedule overlaps KV rotation with attention "
+          "kernel compute")
     return 0
 
 
