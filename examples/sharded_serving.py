@@ -133,6 +133,9 @@ def main():
           f"{args.tp}x{args.sp} mesh "
           f"({nbytes / n / 2**20:.1f} MiB cache/device, {kind})")
 
+    if args.gen < 1:
+        print("nothing to decode (--gen 0)")
+        return
     t0 = time.time()
     for step in range(args.gen):
         q = rng(100 + step, (b, hq, 1, d))

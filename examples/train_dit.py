@@ -112,6 +112,10 @@ def main():
         )
 
     def train_step(params, opt_state, x0, txt, key, axis=None):
+        if axis is not None:
+            # the key enters replicated (in_specs P()): decorrelate the
+            # shards or every DP replica draws the same (t, eps) sample
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         loss, grads = jax.value_and_grad(loss_fn)(params, x0, txt, key)
         if axis is not None:
             grads = jax.lax.pmean(grads, axis)

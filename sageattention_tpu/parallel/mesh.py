@@ -64,5 +64,23 @@ def initialize_multihost(
 
 def make_multihost_mesh(data: int = 1, seq: int = 1, heads: int = 1) -> Mesh:
     """make_mesh over the global (all-hosts) device list, ordered so the
-    fastest-varying axes stay intra-host (ICI-local) where possible."""
-    return make_mesh(data=data, seq=seq, heads=heads, devices=jax.devices())
+    fastest-varying axes stay ICI-local where possible.
+
+    Uses jax.experimental.mesh_utils.create_device_mesh, which reorders
+    devices by physical TPU topology (the plain process-major order a
+    raw reshape gives can put a ring axis across DCN).  Falls back to
+    the raw reshape off-TPU (e.g. the virtual CPU test mesh), where
+    there is no topology to exploit."""
+    devices = jax.devices()
+    n = data * seq * heads
+    if n != len(devices):
+        raise ValueError(
+            f"data*seq*heads = {n} must equal device count {len(devices)}"
+        )
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh((data, seq, heads), devices)
+        return Mesh(arr, axis_names=("data", "seq", "heads"))
+    except Exception:
+        return make_mesh(data=data, seq=seq, heads=heads, devices=devices)

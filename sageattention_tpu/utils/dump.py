@@ -42,7 +42,9 @@ class StageDumper:
         path = os.path.join(self.directory, f"{key}.npy")
         if os.path.exists(path):
             return  # another process/run already dumped this stage
-        tmp = path + ".tmp"
+        # per-process temp name: concurrent rank dumps of the same key
+        # must not interleave writes before the atomic publish
+        tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "wb") as f:  # handle: np.save would append .npy
             np.save(f, np.asarray(value))
         os.replace(tmp, path)  # atomic publish

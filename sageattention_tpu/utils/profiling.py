@@ -30,13 +30,16 @@ def trace(log_dir: str, create_perfetto_link: bool = False):
 class StageTimer:
     """Named wall-clock stage timing with a device barrier per stage.
 
-    ::
+    Append the stage's outputs to the yielded holder so the barrier
+    waits on THAT stage's computation (JAX dispatch is async — without
+    it the time would land on whichever later stage happens to block)::
 
         t = StageTimer()
-        with t("quant"):
+        with t("quant") as hold:
             qkv = quantize(...)
-        with t("attention"):
-            o = kernel(...)
+            hold.append(qkv)
+        with t("attention") as hold:
+            hold.append(kernel(...))
         print(t.report())
     """
 
@@ -53,8 +56,16 @@ class StageTimer:
             if result_holder:
                 jax.block_until_ready(result_holder)
             else:
-                # barrier on an empty marker: cheap device round trip
-                jax.block_until_ready(jax.device_put(0))
+                # no outputs handed over: drain EVERYTHING in flight.
+                # (block_until_ready on a fresh transfer would only wait
+                # for that transfer, attributing this stage's async work
+                # to a later stage.)
+                try:
+                    jax.effects_barrier()
+                except Exception:
+                    pass
+                for dev in jax.live_arrays():
+                    jax.block_until_ready(dev)
             self.times[name] = self.times.get(name, 0.0) + (
                 time.perf_counter() - start
             )
