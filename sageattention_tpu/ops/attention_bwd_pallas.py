@@ -72,9 +72,14 @@ def _dq_kernel(
         # sliding band grid (window): the kv axis covers only the blocks
         # the window can reach, offset per q row (init on the RAW first
         # step — the offset row never visits kv 0); steps past the
-        # diagonal fail should_run (the index maps clamp their DMAs)
-        kv_idx = kv_idx + jnp.maximum(
-            (q_idx * block_q - (window - 1)) // block_k, 0
+        # diagonal fail should_run (the index maps clamp their DMAs).
+        # The OFFSET clamps to n_kv-1 (not the sum — that would re-visit
+        # the diagonal and double-count): q rows whose window lies wholly
+        # past the KV length then still visit last_kv on step 0 and the
+        # epilogue writes their true zero gradient.
+        kv_idx = kv_idx + jnp.minimum(
+            jnp.maximum((q_idx * block_q - (window - 1)) // block_k, 0),
+            n_kv - 1,
         )
 
     @pl.when(init)
@@ -245,7 +250,8 @@ def _fit_block(s: int, candidates) -> int | None:
 def quantized_attention_vjp(
     q, k, v, do, *, is_causal: bool, sm_scale: float | None,
     o=None, lse_nat=None, dlse=None, smooth_k: bool = True,
-    window: int | None = None, interpret: bool = False,
+    window: int | None = None, pv_dtype: str = "bf16",
+    smooth_v: bool = False, interpret: bool = False,
 ):
     """Full recomputed backward through the fused kernels.
 
@@ -310,6 +316,23 @@ def quantized_attention_vjp(
 
     rep = hq // hkv  # GQA handled natively by the dkv kernel grid
 
+    # The V the forward ACTUALLY multiplied: with a quantized-V pv_dtype
+    # the saved o (and hence D = rowsum(dO*O)) reflects dequant(V_q);
+    # feeding raw V into the kernels' dP matmul would break the softmax
+    # gradient identity sum_j dS_ij = 0 by the V-quantization error.
+    # Straight-through dV is P^T.dO either way (scales are constants).
+    if pv_dtype in ("int8", "fp8"):
+        vdt = jnp.int8 if pv_dtype == "int8" else jnp.float8_e4m3fn
+        v_q, v_scale, v_mean = quant_mod.per_channel_quant(
+            v, dtype=vdt, smooth=smooth_v
+        )
+        v_eff = v_q.astype(jnp.float32) * v_scale[..., None, :]
+        if v_mean is not None:
+            v_eff = v_eff + v_mean[..., None, :]
+        v_eff = v_eff.astype(jnp.bfloat16)
+    else:
+        v_eff = v.astype(jnp.bfloat16)
+
     km = (
         jnp.mean(k.astype(jnp.float32), axis=-2) if smooth_k else None
     )
@@ -358,7 +381,7 @@ def quantized_attention_vjp(
             # gracefully (the caller falls back) instead of assert-crashing
             return None
         o, lse2 = attention_pallas.sage_attention_fused(
-            q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
+            q_i8, q_scale, k_i8, k_scale, v_eff,
             is_causal=is_causal, pv_dtype="bf16", return_lse=True,
             block_q=fbq, block_k=fbk, sub_q=fsub, chunk_k=fck,
             window=window, interpret=interpret,
@@ -366,7 +389,7 @@ def quantized_attention_vjp(
     dq, dk, dv = sage_attention_bwd(
         q_i8, q_scale, k_i8, k_scale,
         k_sm, q.astype(jnp.bfloat16),
-        v.astype(jnp.bfloat16), o, lse2, do, dlse,
+        v_eff, o, lse2, do, dlse,
         is_causal=is_causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, chunk_k=chunk_k,
         scale_group=scale_group, window=window, interpret=interpret,
@@ -460,6 +483,10 @@ def sage_attention_bwd(
         is_causal and window is None and n_q >= 2 and n_q % 2 == 0
         and block_k % block_q == 0
         and n_q % (block_k // block_q) == 0
+        # the step-count identity f//r + (n_q-1-f)//r == n_kv - 1 holds
+        # only for a complete triangle (sq == sk); cross-length causal
+        # shapes would leave complement rows' epilogues unfired
+        and n_q == n_kv * (block_k // block_q)
     ):
         fold_r = block_k // block_q
 
@@ -483,9 +510,13 @@ def sage_attention_bwd(
                 jnp.where(first, iq, n_q - 1 - iq),
                 jnp.where(first, ik, ik - c1m1 - 1),
             )
-        # band: offset by the row's first in-window kv block; clamp the
-        # DMA in range (overshoot steps fail the kernel's should_run)
-        lo = jnp.maximum((iq * block_q - (window - 1)) // block_k, 0)
+        # band: offset by the row's first in-window kv block (clamped to
+        # the last block, mirroring the kernel's decode); clamp the DMA
+        # in range (overshoot steps fail the kernel's should_run)
+        lo = jnp.minimum(
+            jnp.maximum((iq * block_q - (window - 1)) // block_k, 0),
+            n_kv - 1,
+        )
         return iq, jnp.minimum(lo + ik, n_kv - 1)
 
     def dqmap(f4):
@@ -503,13 +534,19 @@ def sage_attention_bwd(
             )
             if window is None:
                 return (ib, ih // rep, hi, 0)
-            lo = jnp.maximum(
-                (iq * block_q - (window - 1)) // block_k, 0
+            lo = jnp.minimum(
+                jnp.maximum((iq * block_q - (window - 1)) // block_k, 0),
+                n_kv - 1,
             )
             return (ib, ih // rep, jnp.maximum(hi, lo), 0)
 
         def qm_dkv(ib, ih, ik, t):
-            lo = jnp.maximum(t % n_q, (ik * block_k) // block_q)
+            # clamp: with sk > sq the diagonal start exceeds the last q
+            # block; the remapped DMA must stay in range (compute for
+            # those steps is skipped by should_run on the raw q index)
+            lo = jnp.minimum(
+                jnp.maximum(t % n_q, (ik * block_k) // block_q), n_q - 1
+            )
             if window is None:
                 return (ib, ih * rep + t // n_q, lo, 0)
             hi = jnp.minimum(

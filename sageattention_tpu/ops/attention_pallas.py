@@ -755,8 +755,11 @@ def _kernel(
         if window is not None and not aligned:
             @pl.when(_and_live(edge))
             def _edge():
+                # half-width tiles like the diag/ledge regions (pl.when
+                # buffers allocate additively); identical to **common
+                # when diag_chunk_k == chunk_k (the tuned default)
                 parts = _compute_parts(
-                    q_idx=q_idx, kv_idx=kv_idx, causal=True, **common
+                    q_idx=q_idx, kv_idx=kv_idx, causal=True, **half
                 )
                 _merge_into_scratch(
                     parts, n_sub, sub_q, ml_scr, acc_scr
@@ -895,6 +898,10 @@ def _kernel_single(
         # tested.
         from sageattention_tpu.quant import inv_scale, round_half_away
 
+        # qk_int4 narrows K to +-7 like the bits=4 prologue quantizers —
+        # the in-register s8->s4 cast in qk() is only exact in that range
+        k_qmax = 7.0 if qk_int4 else 127.0
+
         @pl.when(q_idx == 0)
         def _quant_k():
             x = k_ref[0, 0].astype(jnp.float32)  # [block_k, d]
@@ -904,9 +911,9 @@ def _kernel_single(
                 rows = slice(c * chunk_k, min((c + 1) * chunk_k, block_k))
                 xc = x[rows, :]
                 amax = jnp.max(jnp.abs(xc))
-                scale, r = inv_scale(amax, 127.0)
+                scale, r = inv_scale(amax, k_qmax)
                 kq_scr[rows, :] = jnp.clip(
-                    round_half_away(xc * r), -127, 127
+                    round_half_away(xc * r), -k_qmax, k_qmax
                 ).astype(jnp.int8)
                 kss_scr[0, 0, 0, c] = scale
 
@@ -1063,6 +1070,12 @@ def sage_attention_fused(
     # quantization groups)
     assert block_q % sub_q == 0
     assert block_k % chunk_k == 0 or n_kv == 1, (block_k, chunk_k, n_kv)
+    if diag_chunk_k is not None:
+        diag_chunk_k = min(diag_chunk_k, chunk_k)
+        # the diagonal region's narrower chunks index K scales by global
+        # column with the quantizer's group (== chunk_k); a non-divisor
+        # would straddle scale groups and dequantize with the wrong scale
+        assert chunk_k % diag_chunk_k == 0, (chunk_k, diag_chunk_k)
     n_chunks_total = -(-sk // chunk_k)
     # k_scale layout: per-row vector [b, hkv, sk] (reference-parity modes)
     # or one scalar per chunk [b, hkv, n_chunks_total] (fast path); with

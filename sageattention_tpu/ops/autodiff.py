@@ -142,6 +142,8 @@ def _cached(fwd_statics, bwd_statics):
                 q, k, v, do, is_causal=is_causal, sm_scale=sm_scale,
                 o=o_saved, lse_nat=lse_saved, dlse=dlse,
                 smooth_k=smooth_k, window=window,
+                pv_dtype=fwd_kwargs.get("pv_dtype", "int8"),
+                smooth_v=fwd_kwargs.get("smooth_v", False),
                 interpret=jax.default_backend() == "cpu",
             )
             if fused_bwd_ok

@@ -283,6 +283,129 @@ class TestWindowedBackward:
                       / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
             assert c > 0.999
 
+    def test_fused_causal_backward_cross_length(self):
+        """Causal sq != sk through the fused kernels (both directions).
+        sq > sk used to mis-engage the fold grid (unfired epilogues);
+        sk > sq used to emit out-of-range q-block DMAs in the dkv maps."""
+        from sageattention_tpu import quant as quant_mod
+        from sageattention_tpu.ops import (
+            attention_bwd_pallas,
+            attention_pallas,
+            reference,
+        )
+
+        LOG2E = 1.4426950408889634
+        for sq, sk in ((1024, 512), (256, 1024)):
+            d = 64
+            q = rand(70, (1, 2, sq, d))
+            k = rand(71, (1, 2, sk, d))
+            v = rand(72, (1, 2, sk, d))
+            do = rand(73, (1, 2, sq, d))
+            sm = d**-0.5
+            km = jnp.mean(k, axis=-2)
+            k_sm = k - km[..., None, :]
+            q_i8, q_scale = quant_mod.quant_int8(
+                q, granularity="per_token", scale_fold=sm * LOG2E
+            )
+            k_i8, k_scale = quant_mod.quant_int8_block_scales(
+                k_sm, group=256
+            )
+            o, lse2 = attention_pallas.sage_attention_fused(
+                q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
+                is_causal=True, pv_dtype="bf16", return_lse=True,
+                block_q=min(256, sq), block_k=256, chunk_k=256,
+                interpret=True,
+            )
+            dq, dk, dv = attention_bwd_pallas.sage_attention_bwd(
+                q_i8, q_scale, k_i8, k_scale,
+                k_sm.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                v.astype(jnp.bfloat16), o, lse2, do,
+                is_causal=True, sm_scale=sm, block_q=128, block_k=256,
+                chunk_k=256, scale_group=256, interpret=True,
+            )
+
+            def exact(q, k, v):
+                return reference.attention_reference(
+                    q, k, v, is_causal=True
+                )
+
+            _, vjp = jax.vjp(exact, q, k, v)
+            ref = vjp(do)
+            for name, g, r in zip("qkv", (dq, dk, dv), ref):
+                c = float(jnp.sum(g * r)
+                          / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
+                assert c > 0.999, (sq, sk, name, c)
+                assert bool(jnp.isfinite(g).all()), (sq, sk, name)
+
+    def test_fused_window_backward_band_overrun(self):
+        """Window band grid where late q rows' windows lie wholly past
+        the KV length: their dq must be exactly zero (the epilogue used
+        to never fire, returning garbage), live rows match the banded
+        reference."""
+        from sageattention_tpu import quant as quant_mod
+        from sageattention_tpu.ops import (
+            attention_bwd_pallas,
+            attention_pallas,
+            reference,
+        )
+
+        LOG2E = 1.4426950408889634
+        sq, sk, W, d = 1024, 512, 128, 64
+        q = rand(75, (1, 2, sq, d))
+        k = rand(76, (1, 2, sk, d))
+        v = rand(77, (1, 2, sk, d))
+        do = rand(78, (1, 2, sq, d))
+        sm = d**-0.5
+        km = jnp.mean(k, axis=-2)
+        k_sm = k - km[..., None, :]
+        q_i8, q_scale = quant_mod.quant_int8(
+            q, granularity="per_token", scale_fold=sm * LOG2E
+        )
+        k_i8, k_scale = quant_mod.quant_int8_block_scales(k_sm, group=128)
+        o, lse2 = attention_pallas.sage_attention_fused(
+            q_i8, q_scale, k_i8, k_scale, v.astype(jnp.bfloat16),
+            is_causal=True, pv_dtype="bf16", return_lse=True,
+            block_q=128, block_k=128, chunk_k=128, window=W,
+            interpret=True,
+        )
+        dq, dk, dv = attention_bwd_pallas.sage_attention_bwd(
+            q_i8, q_scale, k_i8, k_scale,
+            k_sm.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), o, lse2, do,
+            is_causal=True, sm_scale=sm, block_q=128, block_k=128,
+            chunk_k=128, scale_group=128, window=W, interpret=True,
+        )
+        # rows whose window [i-W+1, i] starts past the last key see
+        # nothing: gradient exactly 0
+        dead_from = sk + W  # first row with window start >= sk
+        assert float(jnp.max(jnp.abs(dq[:, :, dead_from:]))) == 0.0
+        # live rows match the banded reference
+        band = jnp.logical_and(
+            jnp.arange(sk)[None, :] <= jnp.arange(sq)[:, None],
+            jnp.arange(sk)[None, :] > jnp.arange(sq)[:, None] - W,
+        )[None, None]
+
+        def exact(q, k, v):
+            return reference.attention_reference(q, k, v, attn_mask=band)
+
+        _, vjp = jax.vjp(exact, q, k, v)
+        # the reference's fully-masked rows degenerate to a uniform
+        # softmax whose vjp pollutes dK/dV; the kernel correctly gives
+        # them zero weight — zero their cotangent for the comparison
+        do_live = do.at[:, :, dead_from:].set(0.0)
+        ref = vjp(do_live)
+        live = slice(0, sk)  # rows fully inside the key range
+        c = float(
+            jnp.sum(dq[:, :, live] * ref[0][:, :, live])
+            / (jnp.linalg.norm(dq[:, :, live])
+               * jnp.linalg.norm(ref[0][:, :, live]))
+        )
+        assert c > 0.999, c
+        for g, r in zip((dk, dv), ref[1:]):
+            c = float(jnp.sum(g * r)
+                      / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
+            assert c > 0.999, c
+
     def test_fused_window_backward_multiblock(self):
         """Sliding-window gradients through the fused kernels at a
         multi-q-block shape, vs the banded exact reference."""
