@@ -47,6 +47,26 @@ LOG2E = 1.4426950408889634
 NEG_INIT = -1e30
 
 
+def _chunk_divisor(S: int, cap: int) -> int:
+    """Chunk width for a cache of length ``S`` under the cap: ``S``
+    itself when it fits (block dims == array dims, any length), else the
+    largest divisor that is a multiple of 128 (the lane width the scale
+    BlockSpecs tile by).  The old power-of-two halving fallback could
+    silently degrade to sub-128 chunks for non-power-of-two lengths —
+    fail loudly instead."""
+    if S <= cap:
+        return S
+    c = cap // 128 * 128
+    while c > 128 and S % c:
+        c -= 128
+    if S % c:
+        raise ValueError(
+            f"cache length {S} larger than the chunk cap {cap} must have "
+            "a 128-multiple divisor (size max_len up to a multiple of 128)"
+        )
+    return c
+
+
 def _int4_widen() -> bool:
     import os
 
@@ -142,6 +162,7 @@ def decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype, ml_ref=None):
         ml_ref[0, 0] = ml_scr[...]
 
 def _decode_kernel(
+    last_ref,   # [b] int32 scalar-prefetch: last live chunk per batch
     q_ref,      # [1, 1, rows8, d] bf16/f32
     k_ref,      # [1, 1, chunk, d] int8
     ks_ref,     # [1, 1, 1, chunk] f32 per-token K scales
@@ -157,6 +178,11 @@ def _decode_kernel(
     out_dtype,
     return_state: bool = False,
 ):
+    # last_ref drives the index maps only (they clamp dead chunks to the
+    # last live one, so the pipeline elides their DMAs — a ragged batch
+    # reads O(its length), not O(cache span)); compute here keys off the
+    # RAW kv index so the clamped re-reads never enter the merge.
+    del last_ref
     if return_state:
         ml_ref, ml_scr, acc_scr = rest
     else:
@@ -235,7 +261,12 @@ def sage_decode_attention(
     k_scale: jax.Array,    # [b, hkv, S] f32 per token
     v_i8: jax.Array,       # [b, hkv, S, d] int8
     v_scale: jax.Array,    # [b, hkv, S] f32 per token
-    lengths: jax.Array,    # [b] int32 live lengths (<= S)
+    lengths: jax.Array,    # [b] int32 live lengths; values OUTSIDE
+                           # [0, S] are part of the contract (sequence-
+                           # parallel shards pass local_len = len - off,
+                           # negative on unreached shards and > S on
+                           # fully-live ones) — do NOT clamp or assert
+                           # them here; the masks handle both ends
     *,
     sm_scale: float | None = None,
     chunk: int = 4096,
@@ -283,9 +314,7 @@ def sage_decode_attention(
         # floor at the 128 lane width: huge extend blocks must shrink
         # the chunk below the perf sweet spot rather than blow VMEM
         chunk = min(chunk, max(128, 1 << (budget.bit_length() - 1)))
-    chunk = min(chunk, S)
-    while S % chunk:
-        chunk //= 2  # largest power-of-two divisor fallback
+    chunk = _chunk_divisor(S, chunk)
     n_kv = S // chunk
     # pack (kv head group, query token) into the row tile, head-major
     q_pack = q.reshape(b, hkv, group, t_q, d).reshape(
@@ -329,9 +358,7 @@ def sage_decode_attention(
         # (floor 1024 — narrower chunks pay per-step overheads)
         target = max(1024, 1 << max((span - 1).bit_length() - 1, 0))
         if chunk > target:
-            chunk = target
-            while S % chunk:
-                chunk //= 2
+            chunk = _chunk_divisor(S, target)
             n_kv = S // chunk
         n_live = min(n_kv, -(-span // chunk) + 1)
         start = jnp.clip(
@@ -382,40 +409,56 @@ def sage_decode_attention(
         )(start, *operands)
         return _unpack(res, b, hq, hkv, group, t_q, d, rows, return_state)
 
-    grid = (b, hkv, n_kv)
-    out_specs = [pl.BlockSpec(
-        (1, 1, rows8, d), lambda ib, ih, ik: (ib, ih, 0, 0)
-    )]
+    # per-batch last live chunk: dead chunks' index maps clamp to it, so
+    # the grid pipeline elides their DMAs (repeat block index) — a short
+    # sequence in a long cache reads O(length) bytes, not O(S).  Negative
+    # / zero lengths (sharded local views) clamp to chunk 0.
+    last_live = jnp.clip(
+        -(-lengths.astype(jnp.int32) // chunk) - 1, 0, n_kv - 1
+    )
+
+    def kvm(ib, ih, ik, ll):
+        return (ib, ih, jnp.minimum(ik, ll[ib]), 0)
+
+    def ksm(ib, ih, ik, ll):
+        return (ib, ih, 0, jnp.minimum(ik, ll[ib]))
+
+    def qm(ib, ih, ik, ll):
+        return (ib, ih, 0, 0)
+
+    out_specs = [pl.BlockSpec((1, 1, rows8, d), qm)]
     out_shape = [jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype)]
     if return_state:
-        out_specs.append(pl.BlockSpec(
-            (1, 1, rows8, 128), lambda ib, ih, ik: (ib, ih, 0, 0)
-        ))
+        out_specs.append(pl.BlockSpec((1, 1, rows8, 128), qm))
         out_shape.append(
             jax.ShapeDtypeStruct((b, hkv, rows8, 128), jnp.float32)
         )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows8, d), qm),
+            pl.BlockSpec((1, 1, chunk, d), kvm),
+            pl.BlockSpec((1, 1, 1, chunk), ksm),
+            pl.BlockSpec((1, 1, chunk, d), kvm),
+            pl.BlockSpec((1, 1, 1, chunk), ksm),
+            pl.BlockSpec((1, 1, 1), lambda ib, ih, ik, ll: (ib, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+    )
     res = pl.pallas_call(
         functools.partial(
             _decode_kernel, chunk=chunk, n_kv=n_kv, t_q=t_q,
             sm_fold=sm_scale * LOG2E, out_dtype=out_dtype,
             return_state=return_state,
         ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, rows8, d), lambda ib, ih, ik: (ib, ih, 0, 0)),
-            pl.BlockSpec((1, 1, chunk, d), lambda ib, ih, ik: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, 1, 1, chunk), lambda ib, ih, ik: (ib, ih, 0, ik)),
-            pl.BlockSpec((1, 1, chunk, d), lambda ib, ih, ik: (ib, ih, ik, 0)),
-            pl.BlockSpec((1, 1, 1, chunk), lambda ib, ih, ik: (ib, ih, 0, ik)),
-            pl.BlockSpec((1, 1, 1), lambda ib, ih, ik: (ib, 0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=out_specs,
+        grid_spec=grid_spec,
         out_shape=out_shape,
-        scratch_shapes=scratch_shapes,
         compiler_params=compiler_params,
         interpret=interpret,
-    )(*operands)
+    )(last_live, *operands)
     return _unpack(res, b, hq, hkv, group, t_q, d, rows, return_state)
 
 

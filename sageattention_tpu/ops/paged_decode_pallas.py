@@ -35,12 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sageattention_tpu.ops.decode_pallas import (
+    LOG2E,  # one source of truth for the base-2 fold
     decode_epilogue,
     decode_init_scratch,
     decode_step_body,
 )
-
-LOG2E = 1.4426950408889634
 
 
 def _paged_kernel(
@@ -184,6 +183,14 @@ def sage_paged_decode_attention(
     (forward-fill), which makes the pipeline skip their DMAs entirely —
     unowned grid steps cost neither bandwidth nor compute.  Partials
     merge exactly via ``decode_pallas.merge_decode_partials``."""
+    if owned is not None and not return_state:
+        # a normalized shard partial is indistinguishable from a full
+        # decode output — refuse the silent footgun
+        raise ValueError(
+            "owned= runs a PARTIAL decode over a pool shard; it requires "
+            "return_state=True so the caller can merge the partials "
+            "(decode_pallas.merge_decode_partials)"
+        )
     b, hq, t_q, d = q.shape
     num_pages, hkv, page, _ = pages_k.shape
     max_pages = page_table.shape[1]

@@ -167,36 +167,41 @@ def make_sharded_append(
             lengths.astype(jnp.int32), max(n_sh * s_local - t, 0)
         )
         off = glen - idx * s_local                            # [b]
-        k_q, k_s = kvcache.quant_calibrated(
-            k_new, cache_shard.k_mean, cache_shard.bits
-        )
-        v_q, v_s = kvcache.quant_calibrated(
-            v_new, cache_shard.v_mean, cache_shard.bits
-        )
         w = min(t, s_local)
         start_j = jnp.clip(-off, 0, t - w)  # [b] window start in block
         offw = off + start_j                # local pos of window row 0
         start = jnp.clip(offw, 0, max(s_local - w, 0))
         shift = offw - start    # rolled[r] = win[(r - shift) mod w]
 
-        def upd4(buf, new, sj, st, sh):  # [h, s_local, d], [h, t, d]
-            win = jax.lax.dynamic_slice(
+        # slice THIS shard's w-row window first, quantize only it:
+        # scales are strictly per-token, so slice-then-quantize is
+        # bit-identical to quantize-then-slice at 1/n_shards the work
+        def slice4(new, sj):  # [h, t, d] -> [h, w, d]
+            return jax.lax.dynamic_slice(
                 new, (0, sj, 0), (new.shape[0], w, new.shape[2])
             )
+
+        k_win = jax.vmap(slice4)(k_new, start_j)
+        v_win = jax.vmap(slice4)(v_new, start_j)
+        k_q, k_s = kvcache.quant_calibrated(
+            k_win, cache_shard.k_mean, cache_shard.bits
+        )
+        v_q, v_s = kvcache.quant_calibrated(
+            v_win, cache_shard.v_mean, cache_shard.bits
+        )
+
+        def upd4(buf, win, st, sh):  # [h, s_local, d], [h, w, d]
             return jax.lax.dynamic_update_slice(
                 buf, jnp.roll(win, sh, axis=1), (0, st, 0)
             )
 
-        def upd3(buf, new, sj, st, sh):  # [h, s_local], [h, t]
-            win = jax.lax.dynamic_slice(new, (0, sj), (new.shape[0], w))
+        def upd3(buf, win, st, sh):  # [h, s_local], [h, w]
             return jax.lax.dynamic_update_slice(
                 buf, jnp.roll(win, sh, axis=1), (0, st)
             )
 
-        u4 = lambda buf, new: jax.vmap(upd4)(buf, new, start_j, start,
-                                             shift)
-        u3 = lambda buf, new: jax.vmap(upd3)(buf, new, start_j, start,
-                                             shift)
+        u4 = lambda buf, win: jax.vmap(upd4)(buf, win, start, shift)
+        u3 = lambda buf, win: jax.vmap(upd3)(buf, win, start, shift)
         written = kvcache.QuantKVCache(
             k_i8=u4(cache_shard.k_i8, k_q),
             k_scale=u3(cache_shard.k_scale, k_s),
