@@ -30,6 +30,12 @@ from sageattention_tpu.ops import attention_pallas, quant_pallas, reference
 
 LOG2E = 1.4426950408889634
 
+# In-kernel K quantization (attention_pallas k_inkernel) is implemented
+# and tested but measured op-total-NEUTRAL at 4k-8k (the quant lands on
+# the kernel's q_idx==0 critical path instead of overlapping) and pushes
+# 16k past the VMEM budget — the K prologue stays the production default.
+_K_INKERNEL = False
+
 Layout = Literal["HND", "NHD"]
 
 
@@ -121,6 +127,17 @@ def _sageattn_hnd(
     if sm_scale is None:
         sm_scale = d_og**-0.5
 
+    # segment ids / positions only mean anything in pairs; a lone side
+    # would either crash deep in the padding code or be silently ignored
+    if (q_segment_ids is None) != (kv_segment_ids is None):
+        raise ValueError(
+            "q_segment_ids and kv_segment_ids must be passed together"
+        )
+    if (q_positions is None) != (kv_positions is None):
+        raise ValueError(
+            "q_positions and kv_positions must be passed together"
+        )
+
     if attn_mask is not None and attn_mask.dtype != jnp.bool_:
         # float masks are additive biases (the reference accepts both on
         # its triton path, reference: core.py:306-316)
@@ -187,7 +204,7 @@ def _sageattn_hnd(
         q_in = q
         score_col_bias = None
     q_fold = None
-    k_inkernel = False  # see the measured-neutral note below
+    k_inkernel = _K_INKERNEL  # module-level note on why this is False
     if qk_quant_gran == "auto":
         if impl == "pallas":
             # Q quantizes INSIDE the attention kernel (bit-identical to
@@ -199,12 +216,6 @@ def _sageattn_hnd(
             # K-mean reduction (+ V quant for int8 V).
             q_i8, q_scale = q_in, None  # unquantized; kernel quantizes
             q_fold = sm_scale * LOG2E
-            # K keeps its prologue kernel: fusing K quant into the
-            # single-step kernel (k_inkernel, implemented and tested)
-            # measured op-total-NEUTRAL at 4k-8k — the quant moves onto
-            # the kernel's q_idx==0 critical path instead of
-            # overlapping — and pushes 16k past the VMEM budget, so the
-            # prologue stays the default.
             k_i8, k_scale = quant_pallas.quant_k_chunked(
                 k, km, group=chunk_k, bits=qk_bits, interpret=_on_cpu()
             )
@@ -291,6 +302,8 @@ def _sageattn_hnd(
                 sm_scale=sm_scale,
                 q_segment_ids=q_segment_ids,
                 kv_segment_ids=kv_segment_ids,
+                q_positions=q_positions,
+                kv_positions=kv_positions,
                 attn_bias=attn_bias,
                 attn_mask=attn_mask,
                 return_lse=return_lse,
@@ -712,6 +725,22 @@ def sageattn_varlen(
         bk_auto = min(bk_auto, max(512, -(-int(max_seqlen_k) // 128) * 128))
     if max_seqlen_q is not None:
         bq_auto = min(bq_auto, max(256, -(-int(max_seqlen_q) // 128) * 128))
+    hnd_kwargs = dict(
+        qk_quant_gran=kwargs.pop("qk_quant_gran", "auto"),
+        pv_dtype=kwargs.pop("pv_dtype", "int8"),
+        smooth_v=kwargs.pop("smooth_v", False),
+        block_q=kwargs.pop("block_q", None) or bq_auto,
+        block_k=kwargs.pop("block_k", None) or bk_auto,
+        impl=kwargs.pop("impl", "auto"),
+        qk_bits=kwargs.pop("qk_bits", 8),
+        smooth_q=kwargs.pop("smooth_q", False),
+    )
+    if kwargs:
+        # silently dropping e.g. window=... would compute the wrong
+        # attention pattern; fail BEFORE dispatching the attention
+        raise TypeError(
+            f"sageattn_varlen got unexpected kwargs {sorted(kwargs)}"
+        )
     out = _sageattn_hnd(
         qh,
         kh,
@@ -724,23 +753,10 @@ def sageattn_varlen(
         None,
         is_causal=is_causal,
         sm_scale=sm_scale,
-        qk_quant_gran=kwargs.pop("qk_quant_gran", "auto"),
-        pv_dtype=kwargs.pop("pv_dtype", "int8"),
         smooth_k=smooth_k,
-        smooth_v=kwargs.pop("smooth_v", False),
         return_lse=return_lse,
-        block_q=kwargs.pop("block_q", None) or bq_auto,
-        block_k=kwargs.pop("block_k", None) or bk_auto,
-        impl=kwargs.pop("impl", "auto"),
-        qk_bits=kwargs.pop("qk_bits", 8),
-        smooth_q=kwargs.pop("smooth_q", False),
+        **hnd_kwargs,
     )
-    if kwargs:
-        # silently dropping e.g. window=... would compute the wrong
-        # attention pattern; fail like a normal unexpected kwarg
-        raise TypeError(
-            f"sageattn_varlen got unexpected kwargs {sorted(kwargs)}"
-        )
     if return_lse:
         o, lse = out
         if lse_corr_seg is not None:

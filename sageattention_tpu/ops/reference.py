@@ -51,22 +51,33 @@ def _build_mask(
     kv_positions: jax.Array | None = None,
 ) -> jax.Array | None:
     """Combine causal / segment-id / position / boolean masks into one
-    [.., sq, sk] bool."""
+    bool mask broadcastable against [b, h, sq, sk] scores.
+
+    Every [b, sq, sk] component gets an explicit head axis before
+    combining: a raw 3-D mask against 4-D scores (or against a 4-D
+    attn_mask) would broadcast batch against heads — a shape error at
+    best, silently wrong masking when the sizes happen to match."""
+    def _bh(m):
+        return m[:, None] if m.ndim == 3 else m
+
     mask = None
     if is_causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
         mask = col <= row
     if q_positions is not None:
-        pm = kv_positions[..., None, :] <= q_positions[..., :, None]
+        pm = _bh(kv_positions[..., None, :] <= q_positions[..., :, None])
         mask = pm if mask is None else jnp.logical_and(mask, pm)
     if q_segment_ids is not None:
-        # [.., sq] x [.., sk] -> [.., sq, sk]
-        seg = q_segment_ids[..., :, None] == kv_segment_ids[..., None, :]
+        # [.., sq] x [.., sk] -> [.., sq, sk] -> head axis
+        seg = _bh(
+            q_segment_ids[..., :, None] == kv_segment_ids[..., None, :]
+        )
         mask = seg if mask is None else jnp.logical_and(mask, seg)
     if attn_mask is not None:
         if attn_mask.dtype == jnp.bool_:
-            mask = attn_mask if mask is None else jnp.logical_and(mask, attn_mask)
+            am = _bh(attn_mask)
+            mask = am if mask is None else jnp.logical_and(mask, am)
         else:
             # additive float masks handled by caller (added to scores)
             raise TypeError("float attn_mask must be added to scores by caller")
@@ -86,6 +97,8 @@ def attention_reference(
     sm_scale: float | None = None,
     q_segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
+    q_positions: jax.Array | None = None,
+    kv_positions: jax.Array | None = None,
     attn_bias: jax.Array | None = None,
     attn_mask: jax.Array | None = None,
     return_lse: bool = False,
@@ -115,6 +128,8 @@ def attention_reference(
         is_causal=is_causal,
         q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids,
+        q_positions=q_positions,
+        kv_positions=kv_positions,
         attn_mask=attn_mask,
     )
     if mask is not None:

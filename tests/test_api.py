@@ -294,6 +294,60 @@ class TestAttnMask:
         o_ref = reference.attention_reference(q, k, v, attn_mask=mask)
         assert cosine(o, o_ref) > 0.999
 
+    def test_segments_xla_path_b_not_h(self):
+        """Segment masking through the XLA fallback with b != h (the
+        [b, sq, sk] mask used to misbroadcast against [b, h, sq, sk]
+        scores)."""
+        b, h, s, d = 2, 4, 64, 32
+        q, k, v = (rand(i + 60, (b, h, s, d)) for i in range(3))
+        seg = jnp.concatenate(
+            [jnp.zeros((b, s // 2), jnp.int32),
+             jnp.ones((b, s // 2), jnp.int32)], axis=1
+        )
+        o = sa.sageattn(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg, impl="xla"
+        )
+        o_ref = reference.attention_reference(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg
+        )
+        assert cosine(o, o_ref) > 0.999
+        # and segment + bool-mask combination broadcasts correctly too
+        m = jnp.ones((b, 1, s, s), bool).at[:, :, :, -8:].set(False)
+        o2 = sa.sageattn(
+            q, k, v, q_segment_ids=seg, kv_segment_ids=seg,
+            attn_mask=m, impl="xla",
+        )
+        assert np.isfinite(np.asarray(o2, np.float32)).all()
+
+    def test_lone_segment_or_position_arg_raises(self):
+        q, k, v = (rand(i, (1, 2, 64, 32)) for i in range(3))
+        seg = jnp.zeros((1, 64), jnp.int32)
+        with pytest.raises(ValueError, match="together"):
+            sa.sageattn(q, k, v, kv_segment_ids=seg)
+        with pytest.raises(ValueError, match="together"):
+            sa.sageattn(q, k, v, q_positions=seg)
+
+    def test_bias_path_honors_positions(self):
+        """attn_bias routes to the unquantized XLA path; shifted
+        positions must still shape the causal mask there."""
+        b, h, s, d = 1, 2, 64, 32
+        q, k, v = (rand(i + 40, (b, h, s, d)) for i in range(3))
+        bias = jnp.zeros((1, 1, s, s))
+        pos_q = jnp.arange(s)[None] + 32  # queries live 32 tokens later
+        pos_k = jnp.arange(s)[None]
+        # convention (see parallel/ring.py allgather): positions REPLACE
+        # is_causal — the mask is kv_pos <= q_pos in shifted coordinates
+        o = sa.sageattn(
+            q, k, v, attn_bias=bias,
+            q_positions=pos_q, kv_positions=pos_k,
+        )
+        # reference: causal in the SHIFTED coordinates
+        mask = pos_k[0][None, :] <= pos_q[0][:, None]
+        o_ref = reference.attention_reference(
+            q, k, v, attn_mask=mask[None, None]
+        )
+        assert cosine(o, o_ref) > 0.9999
+
     def test_float_mask_is_additive_bias(self):
         q = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 128, 64))
         k = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 128, 64))
