@@ -52,9 +52,11 @@ def scaled_config(name: str, scale: float):
         return cfg
     def s(x, q=1):
         return max(q, int(x * scale) // q * q)
+    pt = getattr(cfg, "patch_t", 1)
     return cfg.scaled(
         depth=max(2, int(cfg.depth * scale)),
-        latent_frames=max(2, int(cfg.latent_frames * scale)),
+        # frames stay a multiple of the temporal patch
+        latent_frames=max(2, s(cfg.latent_frames, pt)),
         latent_height=s(cfg.latent_height, 2),
         latent_width=s(cfg.latent_width, 2),
         text_len=max(16, int(cfg.text_len * scale)),

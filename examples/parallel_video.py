@@ -8,10 +8,11 @@ device mesh and the model's attention runs through the in-repo
 ``sage_parallel`` backend (shard_map: ppermute KV ring + head all-to-all +
 batch-sharded data/CFG axis).
 
-On a CPU host, run with a virtual device mesh:
-  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
-      python examples/parallel_video.py --ring_degree 2 --ulysses_degree 2 \\
-      --cfg_parallel
+On a CPU host, run with a virtual device mesh (SAGE_CPU_DEVICES forces
+the CPU platform even where a site package pre-imports jax and clobbers
+JAX_PLATFORMS — e.g. this repo's dev host):
+  SAGE_CPU_DEVICES=8 python examples/parallel_video.py \\
+      --ring_degree 2 --ulysses_degree 2 --cfg_parallel
 On a TPU slice it uses the real chips.
 """
 
@@ -41,13 +42,19 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from examples.common import scaled_config
+from sageattention_tpu.models.configs import MODEL_CONFIGS
 from sageattention_tpu import models
 from sageattention_tpu.parallel import make_mesh
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="cogvideox-2b")
+    ap.add_argument(
+        "--model", default="cogvideox-2b",
+        choices=[
+            n for n, c in MODEL_CONFIGS.items() if hasattr(c, "patch")
+        ],  # video DiTs only (LLM configs have their own examples)
+    )
     ap.add_argument("--ring_degree", type=int, default=2,
                     help="KV-ring (context parallel) degree "
                     "(reference: run_parallel.sh --ring_degree)")

@@ -159,10 +159,21 @@ def _sageattn_hnd(
                 f"attn_mask head dim {attn_mask.shape[1]} must be 1 or {hq}"
             )
         if attn_mask.shape[-2:] != (sq, sk):
-            raise ValueError(
-                f"attn_mask trailing dims {attn_mask.shape[-2:]} must be "
-                f"({sq}, {sk})"
-            )
+            # broadcast size-1 query/key dims (torch-style (B,1,1,S)
+            # key-padding masks) — lazy under jit, no materialization;
+            # anything else is a real shape error
+            if all(
+                ms in (1, full) for ms, full in
+                zip(attn_mask.shape[-2:], (sq, sk))
+            ):
+                attn_mask = jnp.broadcast_to(
+                    attn_mask, attn_mask.shape[:-2] + (sq, sk)
+                )
+            else:
+                raise ValueError(
+                    f"attn_mask trailing dims {attn_mask.shape[-2:]} must "
+                    f"be ({sq}, {sk}) or broadcastable (size 1)"
+                )
     if impl == "auto":
         # bool masks run in-kernel on the Pallas path; only additive
         # biases need the score-materializing XLA fallback

@@ -122,11 +122,29 @@ def patch_torch_sdpa(**default_kwargs):
         scale: float | None = None,
         enable_gqa: bool = False,
     ):
+        import torch
+
         del enable_gqa  # the kernel handles hq != hkv natively
         if dropout_p != 0.0:
             raise NotImplementedError(
                 "sageattn has no attention dropout (reference parity); "
                 "got dropout_p={}".format(dropout_p)
+            )
+        # torch SDPA accepts (..., L, E) with ANY leading batch dims;
+        # normalize to the kernel's 4-D (b, h, L, E) and restore after
+        lead = query.shape[:-2]
+        if query.dim() == 3:
+            query, key, value = (
+                x.unsqueeze(1) for x in (query, key, value)
+            )
+        elif query.dim() > 4:
+            query = query.reshape(-1, *query.shape[-3:])
+            key = key.reshape(-1, *key.shape[-3:])
+            value = value.reshape(-1, *value.shape[-3:])
+        elif query.dim() < 3:
+            raise ValueError(
+                f"scaled_dot_product_attention needs >= 3 dims, got "
+                f"{tuple(query.shape)}"
             )
         kw = dict(default_kwargs)
         if attn_mask is not None:
@@ -134,11 +152,20 @@ def patch_torch_sdpa(**default_kwargs):
             # (e.g. a (B, 1, 1, S) key-padding mask); core requires the
             # trailing dims to be exactly (sq, sk), so expand them here.
             m = attn_mask
+            if m.dtype != torch.bool and bool(
+                ((m == 0) | (m <= torch.finfo(m.dtype).min / 2)).all()
+            ):
+                # a two-valued {0, -inf/min} float mask (the HF padding
+                # convention) is really a bool mask: convert so the
+                # fused in-kernel mask path runs instead of the
+                # score-materializing additive-bias fallback
+                m = m == 0
             while m.dim() < 4:
                 m = m.unsqueeze(0)
-            m = m.expand(*m.shape[:-2], query.shape[-2], key.shape[-2])
+            # core broadcasts size-1 sq/sk dims lazily — no host-side
+            # expand/contiguous materialization needed here
             kw["attn_mask"] = m  # bool or additive; core sorts it
-        return sageattn_torch(
+        out = sageattn_torch(
             query,
             key,
             value,
@@ -147,6 +174,11 @@ def patch_torch_sdpa(**default_kwargs):
             sm_scale=scale,
             **kw,
         )
+        if len(lead) == 1:        # 3-D input: drop the head axis back
+            return out.squeeze(1)
+        if len(lead) > 2:         # >4-D: restore the leading batch dims
+            return out.reshape(*lead, *out.shape[-2:])
+        return out
 
     F.scaled_dot_product_attention = _sdpa
 

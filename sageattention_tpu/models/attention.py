@@ -54,8 +54,14 @@ def get_attention_backend() -> str:
 def attention(q, k, v, *, is_causal=False, sm_scale=None, backend=None, **kw):
     """Scaled-dot-product attention on HND [b, h, s, d] tensors through the
     selected backend."""
-    fn = _BACKENDS[backend or _CURRENT]
-    return fn(q, k, v, is_causal=is_causal, sm_scale=sm_scale, **kw)
+    name = backend or _CURRENT
+    if name not in _BACKENDS:
+        raise ValueError(
+            f"unknown backend {name!r}; have {sorted(_BACKENDS)}"
+        )
+    return _BACKENDS[name](
+        q, k, v, is_causal=is_causal, sm_scale=sm_scale, **kw
+    )
 
 
 def _sdpa(q, k, v, *, is_causal, sm_scale, window=None, **kw):
@@ -195,10 +201,17 @@ def sage_attention_fn(
     accepted and ignored — except attention dropout, which is rejected
     like the reference's kernels (they have none).
     """
-    for name in ("broadcast_dropout", "dropout_rng", "precision", "module",
-                 "force_fp32_for_softmax", "einsum_dot_general",
-                 "qk_attn_weights_einsum", "attn_weights_value_einsum"):
-        sage_kwargs.pop(name, None)
+    # keep only kwargs sageattn understands (a partial() fixing sage
+    # options); anything else is flax's evolving internal plumbing
+    # (precision, dropout rngs, einsum overrides, ...) — ignored, as
+    # documented, instead of chasing flax's call signature by name
+    _sage_opts = {
+        "pv_dtype", "qk_quant_gran", "qk_bits", "smooth_k", "smooth_q",
+        "smooth_v", "window", "block_q", "block_k", "impl",
+    }
+    sage_kwargs = {
+        k_: v_ for k_, v_ in sage_kwargs.items() if k_ in _sage_opts
+    }
     if dropout_rate != 0.0 and not deterministic:
         raise NotImplementedError(
             "sage attention has no attention-weight dropout (reference "

@@ -27,13 +27,14 @@ class DiTConfig:
     latent_height: int
     latent_width: int
     patch: int = 2
+    patch_t: int = 1  # temporal patch (CogVideoX-1.5 uses 2)
     mlp_ratio: float = 4.0
     is_causal: bool = False
 
     @property
     def video_tokens(self) -> int:
         return (
-            self.latent_frames
+            (self.latent_frames // self.patch_t)
             * (self.latent_height // self.patch)
             * (self.latent_width // self.patch)
         )
@@ -71,14 +72,19 @@ MODEL_CONFIGS: dict[str, DiTConfig | LLMConfig] = {
     "cogvideox-2b": DiTConfig(
         "cogvideox-2b", 1920, 30, 64, 30, 226, 13, 60, 90
     ),
-    # CogVideoX-1.5-5B: 42 layers, 48 heads x 64, hidden 3072 (bf16,
-    # 81 frames, reference: example/cogvideox1.5-5b.py).
+    # CogVideoX-1.5-5B: 42 layers, 48 heads x 64, hidden 3072 (bf16).
+    # The reference example runs 1360x768, 81 frames
+    # (example/cogvideox1.5-5b.py) -> latent (22, 96, 170) with temporal
+    # patch 2 (the 1.5 transformer's patch_size_t) + spatial patch 2:
+    # 11*48*85 = 44880 video tokens.
     "cogvideox1.5-5b": DiTConfig(
-        "cogvideox1.5-5b", 3072, 48, 64, 42, 224, 21, 60, 90
+        "cogvideox1.5-5b", 3072, 48, 64, 42, 224, 22, 96, 170, patch_t=2
     ),
-    # HunyuanVideo: 13B dual-stream; attention shape 24 heads x 128.
+    # HunyuanVideo: 13B dual-stream; attention shape 24 heads x 128;
+    # 720p (1280x720, 33 latent frames) -> latent (33, 90, 160):
+    # 33*45*80 = 118800 video tokens.
     "hunyuanvideo": DiTConfig(
-        "hunyuanvideo", 3072, 24, 128, 40, 256, 33, 60, 104
+        "hunyuanvideo", 3072, 24, 128, 40, 256, 33, 90, 160
     ),
     # Mochi-1: AsymmDiT 10B, 24 heads x 128, 44520 video tokens at 480p.
     "mochi-1": DiTConfig("mochi-1", 3072, 24, 128, 48, 256, 28, 60, 106),

@@ -27,16 +27,17 @@ from sageattention_tpu.models.configs import DiTConfig
 
 def embed_video_text(mdl: nn.Module, cfg: DiTConfig, dtype,
                      latents, text_emb):
-    """Shared DiT trunk entry: 3D patchify (p*p*C voxels per token) +
+    """Shared DiT trunk entry: 3D patchify (pt*p*p*C voxels per token,
+    pt = cfg.patch_t temporal patch — CogVideoX-1.5 style) +
     patch/positional embedding of video, linear embedding of text.
     Called inside a model's ``nn.compact`` __call__; params attach to
     the caller under the usual names (patch_embed/pos_embed/text_embed).
     Returns (xt, xv)."""
     b, F, H, W, C = latents.shape
-    p = cfg.patch
-    xv = latents.reshape(b, F, H // p, p, W // p, p, C)
-    xv = jnp.transpose(xv, (0, 1, 2, 4, 3, 5, 6)).reshape(
-        b, F * (H // p) * (W // p), p * p * C
+    p, pt = cfg.patch, cfg.patch_t
+    xv = latents.reshape(b, F // pt, pt, H // p, p, W // p, p, C)
+    xv = jnp.transpose(xv, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
+        b, (F // pt) * (H // p) * (W // p), pt * p * p * C
     )
     xv = nn.Dense(cfg.hidden, dtype=dtype, name="patch_embed")(xv)
     pos = mdl.param(
@@ -52,15 +53,17 @@ def embed_video_text(mdl: nn.Module, cfg: DiTConfig, dtype,
     return xt, xv
 
 
-def finalize_video(xv, video_shape, p: int):
+def finalize_video(xv, video_shape, p: int, pt: int = 1):
     """Shared DiT trunk exit: final norm + unpatchify projection back to
     the latent video shape.  Per-token ops, so callers may slice video
     tokens out of a joint sequence before or after equivalently."""
     b, F, H, W, C = video_shape
     xv = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(xv)
-    out = nn.Dense(p * p * C, dtype=jnp.float32, name="unpatchify")(xv)
-    out = out.reshape(b, F, H // p, W // p, p, p, C)
-    return jnp.transpose(out, (0, 1, 2, 4, 3, 5, 6)).reshape(b, F, H, W, C)
+    out = nn.Dense(pt * p * p * C, dtype=jnp.float32, name="unpatchify")(xv)
+    out = out.reshape(b, F // pt, H // p, W // p, pt, p, p, C)
+    return jnp.transpose(out, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(
+        b, F, H, W, C
+    )
 
 
 class TimestepEmbed(nn.Module):
@@ -160,4 +163,5 @@ class VideoDiT(nn.Module):
             x = DiTBlock(c, self.processor, name=f"block_{i}")(x, cond)
 
         # finalize_video's norm is per-token: slicing before == after
-        return finalize_video(x[:, xt.shape[1]:], latents.shape, c.patch)
+        return finalize_video(x[:, xt.shape[1]:], latents.shape, c.patch,
+                              c.patch_t)

@@ -136,7 +136,7 @@ class DualStreamVideoDiT(nn.Module):
             xt, xv = DualStreamBlock(
                 c, self.processor, name=f"block_{i}"
             )(xt, xv, cond)
-        return finalize_video(xv, latents.shape, c.patch)
+        return finalize_video(xv, latents.shape, c.patch, c.patch_t)
 
 
 class CrossAttnBlock(nn.Module):
@@ -227,4 +227,4 @@ class CrossAttnVideoDiT(nn.Module):
             xv = CrossAttnBlock(c, self.processor, name=f"block_{i}")(
                 xv, text, cond
             )
-        return finalize_video(xv, latents.shape, c.patch)
+        return finalize_video(xv, latents.shape, c.patch, c.patch_t)

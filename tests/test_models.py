@@ -238,6 +238,29 @@ class TestCausalLM:
             - np.asarray(lo_sdpa[:, -1], np.float32)
         ))) > 1e-3
 
+    def test_temporal_patch_model_roundtrip(self):
+        """CogVideoX-1.5-style temporal patching (patch_t=2): the trunk
+        patchifies/unpatchifies consistently and the token count matches
+        the config's video_tokens."""
+        cfg = MODEL_CONFIGS["cogvideox1.5-5b"].scaled(
+            depth=1, latent_frames=4, latent_height=8, latent_width=8,
+            text_len=8, hidden=64, heads=2, head_dim=32,
+        )
+        assert cfg.patch_t == 2
+        assert cfg.video_tokens == (4 // 2) * 4 * 4
+        model = models.VideoDiT(cfg)
+        lat = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 8, 8, 16))
+        txt = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 512))
+        t = jnp.array([500])
+        models.set_attention_backend("sage")
+        params = model.init(jax.random.PRNGKey(2), lat, txt, t)
+        out = model.apply(params, lat, txt, t)
+        assert out.shape == lat.shape
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+        # pos_embed sized to the patched token count
+        pos = params["params"]["pos_embed"]
+        assert pos.shape[1] == cfg.video_tokens
+
     def test_all_configs_instantiate(self):
         for name, cfg in MODEL_CONFIGS.items():
             assert cfg.name == name
