@@ -18,6 +18,10 @@ tensors.  For native JAX pipelines use :mod:`sageattention_tpu.core`
 directly — the adapter syncs per call by design.
 """
 
+from sageattention_tpu.interop.jax_sdpa import (  # noqa: F401
+    dot_product_attention,
+    patch_jax_sdpa,
+)
 from sageattention_tpu.interop.torch_adapter import (  # noqa: F401
     from_torch,
     patch_torch_sdpa,
@@ -25,4 +29,11 @@ from sageattention_tpu.interop.torch_adapter import (  # noqa: F401
     to_torch,
 )
 
-__all__ = ["from_torch", "to_torch", "sageattn_torch", "patch_torch_sdpa"]
+__all__ = [
+    "from_torch",
+    "to_torch",
+    "sageattn_torch",
+    "patch_torch_sdpa",
+    "dot_product_attention",
+    "patch_jax_sdpa",
+]

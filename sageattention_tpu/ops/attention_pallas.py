@@ -184,16 +184,43 @@ def set_tuned_configs(table: dict | str | None) -> None:
     _tuned_loaded_from = "<set_tuned_configs>"
 
 
+def _local_device_kind() -> str | None:
+    """The attached accelerator's device kind (e.g. "TPU v5 lite"), or
+    None when no backend is reachable.  Deliberately lazy: importing this
+    module must not initialize a backend."""
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind
+    except Exception:
+        return None
+
+
 def _load_tuned() -> dict:
-    """The active tuned table (loaded once per process per source path)."""
+    """The active tuned table (loaded once per process per source path).
+
+    The PACKAGED table is device-gated: ``tools/autotune.py`` stamps the
+    device kind it measured on into ``"_device"``, and a packaged table
+    measured on a different TPU generation is ignored (its block-size
+    winners encode that generation's VMEM/MXU balance).  A table the user
+    points at explicitly via ``$SAGE_TUNED_CONFIGS`` or installs via
+    :func:`set_tuned_configs` always applies — an explicit choice
+    outranks the gate."""
     global _tuned_table, _tuned_loaded_from
     if _tuned_loaded_from == "<set_tuned_configs>":
         return _tuned_table or {}
-    path = os.environ.get(_TUNED_ENV) or _TUNED_PACKAGED
+    env_path = os.environ.get(_TUNED_ENV)
+    path = env_path or _TUNED_PACKAGED
     if _tuned_loaded_from != path:
         try:
             with open(path) as f:
-                _tuned_table = _parse_table(json.load(f))
+                raw = json.load(f)
+            tuned_for = raw.get("_device") if isinstance(raw, dict) else None
+            if not env_path and tuned_for:
+                local = _local_device_kind()
+                if local is not None and local != tuned_for:
+                    raw = {}
+            _tuned_table = _parse_table(raw)
         except (OSError, ValueError):
             _tuned_table = {}
         _tuned_loaded_from = path

@@ -81,6 +81,51 @@ def test_malformed_entries_dropped(tmp_path, monkeypatch):
     assert ap.default_config(8192, 8192, 128, False) == (512, 8192, 128, 4096)
 
 
+def _write_packaged(tmp_path, monkeypatch, payload):
+    path = tmp_path / "packaged.json"
+    path.write_text(json.dumps(payload))
+    monkeypatch.delenv(ap._TUNED_ENV, raising=False)
+    monkeypatch.setattr(ap, "_TUNED_PACKAGED", str(path))
+    return path
+
+
+def test_packaged_table_device_gate(tmp_path, monkeypatch):
+    key = ap.config_key(8192, 8192, 128, False)
+    payload = {key: [512, 8192, 128, 4096], "_device": "TPU v5 lite"}
+    _write_packaged(tmp_path, monkeypatch, payload)
+    # measured on a different generation than the attached device: ignored
+    monkeypatch.setattr(ap, "_local_device_kind", lambda: "TPU v4")
+    assert ap.default_config(8192, 8192, 128, False) == BASE_8K
+    # same generation: applies
+    ap.set_tuned_configs(None)
+    monkeypatch.setattr(ap, "_local_device_kind", lambda: "TPU v5 lite")
+    assert ap.default_config(8192, 8192, 128, False) == (512, 8192, 128, 4096)
+    # unknown local device (no backend reachable): trust the table
+    ap.set_tuned_configs(None)
+    monkeypatch.setattr(ap, "_local_device_kind", lambda: None)
+    assert ap.default_config(8192, 8192, 128, False) == (512, 8192, 128, 4096)
+
+
+def test_packaged_table_without_stamp_applies(tmp_path, monkeypatch):
+    # pre-gate tables carry no "_device": keep honoring them
+    key = ap.config_key(8192, 8192, 128, False)
+    _write_packaged(tmp_path, monkeypatch, {key: [512, 8192, 128, 4096]})
+    monkeypatch.setattr(ap, "_local_device_kind", lambda: "TPU v4")
+    assert ap.default_config(8192, 8192, 128, False) == (512, 8192, 128, 4096)
+
+
+def test_env_table_bypasses_device_gate(tmp_path, monkeypatch):
+    # an explicitly pointed-at table outranks the gate (user's choice)
+    path = tmp_path / "tuned.json"
+    key = ap.config_key(8192, 8192, 128, False)
+    path.write_text(json.dumps(
+        {key: [512, 8192, 128, 4096], "_device": "TPU v5 lite"}
+    ))
+    monkeypatch.setenv(ap._TUNED_ENV, str(path))
+    monkeypatch.setattr(ap, "_local_device_kind", lambda: "TPU v4")
+    assert ap.default_config(8192, 8192, 128, False) == (512, 8192, 128, 4096)
+
+
 def test_missing_file_falls_back(monkeypatch):
     monkeypatch.setenv(ap._TUNED_ENV, "/nonexistent/tuned.json")
     assert ap.default_config(4096, 4096, 128, False) == BASE_4K

@@ -208,6 +208,13 @@ def main():
         print(f"  {key}: {cfg}  ({tag})", file=sys.stderr)
 
     out = dict(table)
+    # Stamp the device generation the winners were measured on: the
+    # packaged-table loader ignores a table tuned on a different TPU
+    # generation (attention_pallas._load_tuned), since block-size winners
+    # encode that generation's VMEM/MXU balance.
+    import jax
+
+    out["_device"] = jax.devices()[0].device_kind
     out["_meta"] = {
         "protocol": f"b={args.batch} h={args.heads} pv={args.pv_dtype} "
                     "two-point-slope device_time",
