@@ -32,8 +32,12 @@ from sageattention_tpu.ops import decode_pallas
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuantKVCache:
-    """int8 (or int4, ``bits=4``) K/V with per-token scales;
-    [b, h_kv, max_len, d] + [b, h_kv, max_len].
+    """int8 (or 4-bit, ``bits=4``) K/V with per-token scales;
+    [b, h_kv, max_len, d] + [b, h_kv, max_len].  The 4-bit cache packs
+    two channels per int8 byte (see ``_pack_nibbles``) — half the HBM
+    footprint and read bytes without the ``jnp.int4`` dtype, which this
+    backend cannot pass across jit boundaries (RecursionError in the
+    transfer path).
 
     ``k_mean`` / ``v_mean`` ([b, h_kv, 1, d], default zero) hold fixed
     per-channel means subtracted before quantization (``calibrate``):
@@ -57,31 +61,38 @@ class QuantKVCache:
 
     @property
     def bits(self) -> int:
-        return 4 if self.k_i8.dtype == jnp.int4 else 8
+        # a 4-bit cache stores d/2 packed bytes per token; k_mean always
+        # carries the full head_dim
+        return 4 if self.k_i8.shape[-1] != self.k_mean.shape[-1] else 8
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _int4_zeros(shape) -> jax.Array:
-    # int4 constants must be materialized ON device (a host-side
-    # jnp.zeros(..., int4) trips the axon transfer path); a jitted
-    # producer (module-level: one compile per shape, not per call)
-    # compiles the packed buffer directly
-    return jnp.zeros(shape, jnp.int4)
+def _pack_nibbles(q: jax.Array) -> jax.Array:
+    """Pack int8 values in [-7, 7] two-per-byte, SPLIT-HALF layout:
+    byte j of a d-channel row holds channel j (low nibble, two's
+    complement) and channel j + d/2 (high nibble).  The kernels unpack
+    with two shifts + one lane concat — natural channel order, no
+    lane interleave (a relayout Mosaic would serialize)."""
+    d = q.shape[-1]
+    assert d % 2 == 0, d
+    lo = q[..., : d // 2].astype(jnp.int8)
+    hi = q[..., d // 2 :].astype(jnp.int8)
+    return (hi << 4) | (lo & 0x0F)
 
 
 def _cache_zeros(shape, bits: int) -> jax.Array:
     if bits == 4:
-        return _int4_zeros(shape)
+        assert shape[-1] % 2 == 0, shape
+        shape = shape[:-1] + (shape[-1] // 2,)
     return jnp.zeros(shape, jnp.int8)
 
 
 def init_kv_cache(
     b: int, h_kv: int, max_len: int, head_dim: int, bits: int = 8
 ) -> QuantKVCache:
-    """``bits=4`` stores the cache in packed int4 (2 tokens' worth of
-    channel data per byte): half the HBM footprint AND roughly half the
-    bandwidth-bound decode read time, at ±7 quantization levels (see
-    bench_decode --bits 4 for the measured accuracy/latency trade)."""
+    """``bits=4`` stores the cache nibble-packed (2 channels per int8
+    byte): half the HBM footprint AND roughly half the bandwidth-bound
+    decode read time, at ±7 quantization levels (see bench_decode
+    --bits 4 for the measured accuracy/latency trade)."""
     assert bits in (8, 4), bits
     return QuantKVCache(
         k_i8=_cache_zeros((b, h_kv, max_len, head_dim), bits),
@@ -117,15 +128,19 @@ def calibrate(cache, k_sample: jax.Array, v_sample: jax.Array,
 
 
 def _quant_rows(x: jax.Array, bits: int = 8):
-    """Per-token (row) int8/int4 quantization of [b, h, t, d]."""
+    """Per-token (row) int8 / packed-4-bit quantization of [b, h, t, d].
+    ``bits=4`` returns [..., d/2] int8 with two channels per byte
+    (``_pack_nibbles``)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
     qmax = 127.0 if bits == 8 else 7.0
     scale, r = quant_mod.inv_scale(amax, qmax)
     q = jnp.clip(
         quant_mod.round_half_away(xf * r[..., None]), -qmax, qmax
-    )
-    return q.astype(jnp.int8 if bits == 8 else jnp.int4), scale
+    ).astype(jnp.int8)
+    if bits == 4:
+        q = _pack_nibbles(q)
+    return q, scale
 
 
 def quant_calibrated(x: jax.Array, mean: jax.Array, bits: int):
@@ -258,7 +273,7 @@ class PagedKVCache:
 
     @property
     def bits(self) -> int:
-        return 4 if self.pages_k.dtype == jnp.int4 else 8
+        return 4 if self.pages_k.shape[-1] != self.k_mean.shape[-1] else 8
 
 
 def init_paged_kv_cache(
@@ -353,7 +368,7 @@ def paged_prefill(
     decode steps; a 32k-token prefill would otherwise scatter 32k rows).
     Requires t % page_size == 0 and empty sequences."""
     page = cache.page_size
-    b, h, t, d = k.shape
+    b, h, t, _ = k.shape
     assert t % page == 0, (t, page)
     n_used = t // page
     k_q, k_s = quant_calibrated(k, cache.k_mean, cache.bits)
@@ -363,8 +378,10 @@ def paged_prefill(
     ids = jnp.where(ids < 0, cache.pages_k.shape[0], ids)
 
     def put(pool, rows, has_d):
-        # rows [b, h, t, (d)] -> [b*n_used, h, page, (d)]
+        # rows [b, h, t, (d)] -> [b*n_used, h, page, (d)]; d here is the
+        # STORED width (d/2 packed bytes for the 4-bit cache)
         if has_d:
+            d = rows.shape[-1]
             r = rows.reshape(b, h, n_used, page, d)
             r = jnp.moveaxis(r, 2, 1).reshape(b * n_used, h, page, d)
         else:

@@ -67,11 +67,18 @@ def _chunk_divisor(S: int, cap: int) -> int:
     return c
 
 
-def _int4_widen() -> bool:
-    import os
-
-    return os.environ.get("SAGE_INT4_WIDEN", "") == "1"
-
+def unpack_nibbles(x: jax.Array) -> jax.Array:
+    """In-kernel inverse of kvcache._pack_nibbles: [t, d/2] int8 (two
+    channels per byte, split-half layout) -> [t, d] int8 in natural
+    channel order.  Two arithmetic shifts + one lane concat — no
+    interleave relayout.  The ``jnp.int4`` dtype is deliberately never
+    used: this backend cannot pass int4 arrays across jit boundaries
+    (RecursionError in the transfer path), and packed int8 gets the
+    same 2x footprint/bandwidth win."""
+    x32 = x.astype(jnp.int32)
+    lo = (x32 << 28) >> 28   # sign-extended low nibble
+    hi = x32 >> 4            # arithmetic shift: sign-extended high nibble
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
 
 
 def decode_step_body(
@@ -92,11 +99,12 @@ def decode_step_body(
     amax = jnp.max(jnp.abs(qb), axis=1)[:, None]
     qscale, r = inv_scale(amax, 127.0)
     q_i8 = jnp.clip(round_half_away(qb * r), -127, 127).astype(jnp.int8)
+    # 4-bit cache: K/V blocks arrive nibble-packed at d/2 bytes (half
+    # the HBM read); unpack in-register for the int8 MXU dot
+    packed = k_ref.shape[-1] * 2 == q_ref.shape[-1]
     kq = k_ref[0, 0]
-    if kq.dtype == jnp.int4:
-        # int4 cache (kv_bits=4): K streams HBM->VMEM at half the bytes
-        # (XLA packs int4 2/byte); widen in-register for the int8 MXU dot
-        kq = kq.astype(jnp.int8)
+    if packed:
+        kq = unpack_nibbles(kq)
     s_i32 = jax.lax.dot_general(
         q_i8, kq, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -130,8 +138,8 @@ def decode_step_body(
     psc, pr = inv_scale(pmax, 127.0)
     p_q = round_half_away(pe * pr).astype(jnp.int8)  # pe >= 0
     vq = v_ref[0, 0]
-    if vq.dtype == jnp.int4:
-        vq = vq.astype(jnp.int8)  # int4 cache: half the V bytes off HBM
+    if packed:
+        vq = unpack_nibbles(vq)  # 4-bit cache: half the V bytes off HBM
     pv = jax.lax.dot_general(
         p_q, vq, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -295,6 +303,8 @@ def sage_decode_attention(
     """
     b, hq, t_q, d = q.shape
     hkv, S = k_i8.shape[1], k_i8.shape[2]
+    kd = k_i8.shape[-1]   # d, or d/2 for the nibble-packed 4-bit cache
+    assert kd in (d, d // 2), (kd, d)
     assert hq % hkv == 0
     group = hq // hkv
     if sm_scale is None:
@@ -332,12 +342,6 @@ def sage_decode_attention(
         pltpu.VMEM((rows8, 128), jnp.float32),
         pltpu.VMEM((rows8, d), jnp.float32),
     ]
-    if k_i8.dtype == jnp.int4 and _int4_widen():
-        # escape hatch (SAGE_INT4_WIDEN=1): widen outside the kernel if
-        # a Mosaic version rejects int4 VMEM operands — keeps the 2x
-        # footprint win, forfeits only the 2x read-bandwidth win
-        k_i8 = k_i8.astype(jnp.int8)
-        v_i8 = v_i8.astype(jnp.int8)
     operands = (
         q_pack,
         k_i8,
@@ -386,9 +390,9 @@ def sage_decode_attention(
             grid=(b, hkv, n_live),
             in_specs=[
                 pl.BlockSpec((1, 1, rows8, d), qm),
-                pl.BlockSpec((1, 1, chunk, d), kvm),
+                pl.BlockSpec((1, 1, chunk, kd), kvm),
                 pl.BlockSpec((1, 1, 1, chunk), ksm),
-                pl.BlockSpec((1, 1, chunk, d), kvm),
+                pl.BlockSpec((1, 1, chunk, kd), kvm),
                 pl.BlockSpec((1, 1, 1, chunk), ksm),
                 pl.BlockSpec((1, 1, 1), lambda ib, ih, ik, st: (ib, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -438,9 +442,9 @@ def sage_decode_attention(
         grid=(b, hkv, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, rows8, d), qm),
-            pl.BlockSpec((1, 1, chunk, d), kvm),
+            pl.BlockSpec((1, 1, chunk, kd), kvm),
             pl.BlockSpec((1, 1, 1, chunk), ksm),
-            pl.BlockSpec((1, 1, chunk, d), kvm),
+            pl.BlockSpec((1, 1, chunk, kd), kvm),
             pl.BlockSpec((1, 1, 1, chunk), ksm),
             pl.BlockSpec((1, 1, 1), lambda ib, ih, ik, ll: (ib, 0, 0),
                          memory_space=pltpu.SMEM),

@@ -192,7 +192,8 @@ def sage_paged_decode_attention(
             "(decode_pallas.merge_decode_partials)"
         )
     b, hq, t_q, d = q.shape
-    num_pages, hkv, page, _ = pages_k.shape
+    num_pages, hkv, page, kd = pages_k.shape
+    assert kd in (d, d // 2), (kd, d)  # d/2: nibble-packed 4-bit pool
     max_pages = page_table.shape[1]
     assert hq % hkv == 0
     group = hq // hkv
@@ -227,12 +228,6 @@ def sage_paged_decode_attention(
         pltpu.VMEM((rows8, 128), jnp.float32),
         pltpu.VMEM((rows8, d), jnp.float32),
     ]
-    from sageattention_tpu.ops.decode_pallas import _int4_widen
-
-    if pages_k.dtype == jnp.int4 and _int4_widen():
-        # SAGE_INT4_WIDEN=1 escape hatch — see decode_pallas
-        pages_k = pages_k.astype(jnp.int8)
-        pages_v = pages_v.astype(jnp.int8)
     pool_operands = (
         q_pack,
         pages_k,
@@ -277,9 +272,9 @@ def sage_paged_decode_attention(
             grid=(b, hkv, n_live),
             in_specs=[
                 pl.BlockSpec((1, 1, rows8, d), q_map_w),
-                pl.BlockSpec((1, 1, page, d), page_map_w),
+                pl.BlockSpec((1, 1, page, kd), page_map_w),
                 pl.BlockSpec((1, 1, 1, page), page_map_w),
-                pl.BlockSpec((1, 1, page, d), page_map_w),
+                pl.BlockSpec((1, 1, page, kd), page_map_w),
                 pl.BlockSpec((1, 1, 1, page), page_map_w),
             ],
             out_specs=out_specs,
@@ -328,9 +323,9 @@ def sage_paged_decode_attention(
         grid=(b, hkv, max_pages),
         in_specs=[
             pl.BlockSpec((1, 1, rows8, d), q_map),
-            pl.BlockSpec((1, 1, page, d), page_map),
+            pl.BlockSpec((1, 1, page, kd), page_map),
             pl.BlockSpec((1, 1, 1, page), page_map),
-            pl.BlockSpec((1, 1, page, d), page_map),
+            pl.BlockSpec((1, 1, page, kd), page_map),
             pl.BlockSpec((1, 1, 1, page), page_map),
         ],
         out_specs=out_specs,

@@ -44,11 +44,16 @@ class TestDecode:
             assert cosine(o[bi], ref) > 0.999
 
     def test_int4_cache_matches_oracle(self):
-        """bits=4 cache (packed int4, half the HBM bytes): coarser ±7
-        levels still track the fp32 oracle, just looser than int8."""
+        """bits=4 cache (nibble-packed int8, half the HBM bytes):
+        coarser ±7 levels still track the fp32 oracle, just looser
+        than int8."""
         b, hq, hkv, d, S = 2, 8, 2, 64, 512
         cache = kvcache.init_kv_cache(b, hkv, S, d, bits=4)
-        assert cache.bits == 4 and cache.k_i8.dtype == jnp.int4
+        # packed storage: d/2 int8 bytes per token, never jnp.int4
+        # (the dtype cannot cross jit boundaries on this backend)
+        assert cache.bits == 4
+        assert cache.k_i8.dtype == jnp.int8
+        assert cache.k_i8.shape[-1] == d // 2
         lengths = jnp.zeros((b,), jnp.int32)
         k = rand(1, (b, hkv, 300, d))
         v = rand(2, (b, hkv, 300, d))
@@ -61,6 +66,18 @@ class TestDecode:
             # (channel-biased) data with calibrate() exceeds 0.999 —
             # see test_calibrated_means_rescue_channel_bias
             assert cosine(o[bi], ref) > 0.98
+
+    def test_nibble_pack_roundtrip(self):
+        """_pack_nibbles / unpack_nibbles are exact inverses over the
+        full ±7 range (and the whole [-8, 7] nibble range)."""
+        from sageattention_tpu.ops.decode_pallas import unpack_nibbles
+
+        rng = np.random.default_rng(7)
+        x = rng.integers(-8, 8, size=(16, 128)).astype(np.int8)
+        packed = kvcache._pack_nibbles(jnp.asarray(x))
+        assert packed.shape == (16, 64) and packed.dtype == jnp.int8
+        out = np.asarray(unpack_nibbles(jnp.asarray(packed)))
+        np.testing.assert_array_equal(out, x)
 
     def test_int4_paged_matches_int4_dense(self):
         """Paged int4 pool: same numerics as the dense int4 cache."""
