@@ -39,10 +39,15 @@ def _probe_kernel(x_ref, y_ref, o_ref, *, body, reps: int):
         # dependency chain: a scalar of the previous result perturbs the
         # next lhs (value-neutral for int: +0 or +1 on int8 operands of a
         # dot we only time; for float: + tiny)
+        # rows of acc and x both equal M, so acc[:, 0:1] broadcasts
+        # along lanes only (Mosaic can't broadcast sublanes AND lanes)
         if x.dtype == jnp.int8:
-            x = x_ref[...] + (acc[0:1, 0:1] & 1).astype(jnp.int8)
+            # Mosaic has no vector<i8> add; perturb in i32 and cast back
+            x = (
+                x_ref[...].astype(jnp.int32) + (acc[:, 0:1] & 1)
+            ).astype(jnp.int8)
         else:
-            x = x_ref[...] + acc[0:1, 0:1].astype(x_ref.dtype) * 1e-30
+            x = x_ref[...] + acc[:, 0:1].astype(x_ref.dtype) * 1e-30
         acc = body(x, y_ref[...])
     o_ref[...] = acc[0:8, 0:1].astype(jnp.float32) * jnp.ones(
         (8, 128), jnp.float32
