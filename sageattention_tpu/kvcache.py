@@ -34,10 +34,11 @@ from sageattention_tpu.ops import decode_pallas
 class QuantKVCache:
     """int8 (or 4-bit, ``bits=4``) K/V with per-token scales;
     [b, h_kv, max_len, d] + [b, h_kv, max_len].  The 4-bit cache packs
-    two channels per int8 byte (see ``_pack_nibbles``) — half the HBM
-    footprint and read bytes without the ``jnp.int4`` dtype, which this
-    backend cannot pass across jit boundaries (RecursionError in the
-    transfer path).
+    two TOKENS per int8 byte (see ``pack_token_pairs``) — half the HBM
+    footprint and read bytes without the ``jnp.int4`` dtype anywhere at
+    rest (it cannot cross jit boundaries on this backend); the decode
+    kernels recover the int4 [t, d] view with one free ``pltpu.bitcast``
+    and feed the int4 MXU dot directly.
 
     ``k_mean`` / ``v_mean`` ([b, h_kv, 1, d], default zero) hold fixed
     per-channel means subtracted before quantization (``calibrate``):
@@ -57,43 +58,63 @@ class QuantKVCache:
 
     @property
     def max_len(self) -> int:
-        return self.k_i8.shape[2]
+        # scales are always per token; K/V data rows are token PAIRS in
+        # the packed 4-bit cache
+        return self.k_scale.shape[2]
 
     @property
     def bits(self) -> int:
-        # a 4-bit cache stores d/2 packed bytes per token; k_mean always
-        # carries the full head_dim
-        return 4 if self.k_i8.shape[-1] != self.k_mean.shape[-1] else 8
+        # the 4-bit cache packs token pairs: data token axis is half the
+        # scale token axis
+        return 4 if self.k_i8.shape[2] != self.k_scale.shape[2] else 8
 
 
-def _pack_nibbles(q: jax.Array) -> jax.Array:
-    """Pack int8 values in [-7, 7] two-per-byte, SPLIT-HALF layout:
-    byte j of a d-channel row holds channel j (low nibble, two's
-    complement) and channel j + d/2 (high nibble).  The kernels unpack
-    with two shifts + one lane concat — natural channel order, no
-    lane interleave (a relayout Mosaic would serialize)."""
-    d = q.shape[-1]
-    assert d % 2 == 0, d
-    lo = q[..., : d // 2].astype(jnp.int8)
-    hi = q[..., d // 2 :].astype(jnp.int8)
+def pack_token_pairs(q: jax.Array) -> jax.Array:
+    """Pack int8 values in [-8, 7] two-tokens-per-byte along the token
+    axis (axis -2): byte (t, c) holds token 2t's channel c in the low
+    nibble and token 2t+1's in the high nibble.  This is the layout
+    ``pltpu.bitcast(packed, jnp.int4)`` un-packs FOR FREE inside the
+    decode kernels — the bitcast doubles the sublane (token) axis with
+    even sublane = low nibble, so the int4 view is the natural [t, d]
+    token order and feeds the int4 MXU dot with zero VPU unpack work.
+    (An elementwise in-kernel unpack can never stay under the DMA
+    budget: ~6 VPU passes per chunk vs ~0.65 us of DMA per 4096-token
+    chunk — measured 26x slower than int8 decode.)"""
+    t = q.shape[-2]
+    assert t % 2 == 0, t
+    lo = q[..., 0::2, :].astype(jnp.int8)
+    hi = q[..., 1::2, :].astype(jnp.int8)
     return (hi << 4) | (lo & 0x0F)
+
+
+def unpack_token_pairs(p: jax.Array) -> jax.Array:
+    """XLA-level inverse of pack_token_pairs (cache writers use it for
+    read-modify-write overlays; the decode kernels use the free int4
+    bitcast instead)."""
+    x = p.astype(jnp.int32)
+    lo = (x << 28) >> 28
+    hi = x >> 4
+    out = jnp.stack([lo, hi], axis=-2)            # [..., t/2, 2, d]
+    return out.reshape(*p.shape[:-2], -1, p.shape[-1]).astype(jnp.int8)
 
 
 def _cache_zeros(shape, bits: int) -> jax.Array:
     if bits == 4:
-        assert shape[-1] % 2 == 0, shape
-        shape = shape[:-1] + (shape[-1] // 2,)
+        assert shape[-2] % 2 == 0, shape
+        shape = shape[:-2] + (shape[-2] // 2, shape[-1])
     return jnp.zeros(shape, jnp.int8)
 
 
 def init_kv_cache(
     b: int, h_kv: int, max_len: int, head_dim: int, bits: int = 8
 ) -> QuantKVCache:
-    """``bits=4`` stores the cache nibble-packed (2 channels per int8
-    byte): half the HBM footprint AND roughly half the bandwidth-bound
-    decode read time, at ±7 quantization levels (see bench_decode
-    --bits 4 for the measured accuracy/latency trade)."""
+    """``bits=4`` stores the cache nibble-packed (2 TOKENS per int8
+    byte, ``pack_token_pairs``): half the HBM footprint AND roughly
+    half the bandwidth-bound decode read time, at ±7 quantization
+    levels (see bench_decode --bits 4 for the measured accuracy/latency
+    trade).  ``max_len`` must be even for the 4-bit cache."""
     assert bits in (8, 4), bits
+    assert bits == 8 or max_len % 2 == 0, max_len
     return QuantKVCache(
         k_i8=_cache_zeros((b, h_kv, max_len, head_dim), bits),
         k_scale=jnp.full((b, h_kv, max_len), 1e-30, jnp.float32),
@@ -128,9 +149,10 @@ def calibrate(cache, k_sample: jax.Array, v_sample: jax.Array,
 
 
 def _quant_rows(x: jax.Array, bits: int = 8):
-    """Per-token (row) int8 / packed-4-bit quantization of [b, h, t, d].
-    ``bits=4`` returns [..., d/2] int8 with two channels per byte
-    (``_pack_nibbles``)."""
+    """Per-token (row) int8 / int4 quantization of [b, h, t, d].
+    Always returns UNPACKED int8 rows (±127, or ±7 for ``bits=4``);
+    the writers pack token pairs at write time (packing needs the
+    write offset's parity, which only the writer knows)."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
     qmax = 127.0 if bits == 8 else 7.0
@@ -138,16 +160,44 @@ def _quant_rows(x: jax.Array, bits: int = 8):
     q = jnp.clip(
         quant_mod.round_half_away(xf * r[..., None]), -qmax, qmax
     ).astype(jnp.int8)
-    if bits == 4:
-        q = _pack_nibbles(q)
     return q, scale
 
 
 def quant_calibrated(x: jax.Array, mean: jax.Array, bits: int):
     """THE cache-write quantization recipe (every append/prefill path,
     dense/paged/sharded, uses exactly this): fp32 cast, subtract the
-    frozen per-channel mean, per-token int8/int4 rows."""
+    frozen per-channel mean, per-token int8/int4 rows (unpacked)."""
     return _quant_rows(x.astype(jnp.float32) - mean, bits)
+
+
+def write_rows_packed(
+    buf: jax.Array,      # [h, S/2, d] int8 token-pair-packed
+    rows: jax.Array,     # [h, w, d] int8 in [-8, 7]
+    off: jax.Array,      # scalar int32: target token position of row 0
+):
+    """Write ``rows[j]`` to token position ``off + j`` of a token-pair-
+    packed buffer; positions outside [0, S) drop (``off`` may be
+    negative — the sequence-parallel shard writers rely on this).
+    jit-friendly read-modify-write: slice the fixed-size byte window the
+    rows can touch, unpack, overlay, repack, write back — the nibble a
+    row shares a byte with is always preserved."""
+    h, half, d = buf.shape
+    w = rows.shape[1]
+    wb = min(w // 2 + 1, half)
+    off = off.astype(jnp.int32)
+    # first in-range target token's byte, clamped so the window fits
+    first = jnp.clip(off, 0, 2 * half - 1) // 2
+    b0 = jnp.clip(first, 0, half - wb)
+    old = jax.lax.dynamic_slice(buf, (0, b0, 0), (h, wb, d))
+    toks = unpack_token_pairs(old)                    # [h, 2wb, d]
+    pos = 2 * b0 + jnp.arange(2 * wb, dtype=jnp.int32)  # global tokens
+    j = pos - off                                     # source row index
+    use = (j >= 0) & (j < w)
+    new = jnp.take(rows, jnp.clip(j, 0, w - 1), axis=1)
+    merged = jnp.where(use[None, :, None], new, toks)
+    return jax.lax.dynamic_update_slice(
+        buf, pack_token_pairs(merged), (0, b0, 0)
+    )
 
 
 @jax.jit
@@ -180,19 +230,27 @@ def append_kv(
     longest sequence."""
     k_q, k_s = quant_calibrated(k_new, cache.k_mean, cache.bits)
     v_q, v_s = quant_calibrated(v_new, cache.v_mean, cache.bits)
+    # match dynamic_update_slice clamping for the packed writer too
+    off = jnp.minimum(
+        lengths.astype(jnp.int32),
+        max(cache.max_len - k_new.shape[2], 0),
+    )
 
-    def upd4(buf, new, off):
-        return jax.lax.dynamic_update_slice(buf, new, (0, off, 0))
+    if cache.bits == 4:
+        upd4 = write_rows_packed
+    else:
+        def upd4(buf, new, o):
+            return jax.lax.dynamic_update_slice(buf, new, (0, o, 0))
 
-    def upd3(buf, new, off):
-        return jax.lax.dynamic_update_slice(buf, new, (0, off))
+    def upd3(buf, new, o):
+        return jax.lax.dynamic_update_slice(buf, new, (0, o))
 
     cache = dataclasses.replace(
         cache,
-        k_i8=jax.vmap(upd4)(cache.k_i8, k_q, lengths),
-        k_scale=jax.vmap(upd3)(cache.k_scale, k_s, lengths),
-        v_i8=jax.vmap(upd4)(cache.v_i8, v_q, lengths),
-        v_scale=jax.vmap(upd3)(cache.v_scale, v_s, lengths),
+        k_i8=jax.vmap(upd4)(cache.k_i8, k_q, off),
+        k_scale=jax.vmap(upd3)(cache.k_scale, k_s, off),
+        v_i8=jax.vmap(upd4)(cache.v_i8, v_q, off),
+        v_scale=jax.vmap(upd3)(cache.v_scale, v_s, off),
     )
     return cache, lengths + k_new.shape[2]
 
@@ -269,11 +327,12 @@ class PagedKVCache:
 
     @property
     def page_size(self) -> int:
-        return self.pages_k.shape[2]
+        # scales are per token; packed 4-bit pages hold token PAIRS
+        return self.pages_k_scale.shape[2]
 
     @property
     def bits(self) -> int:
-        return 4 if self.pages_k.shape[-1] != self.k_mean.shape[-1] else 8
+        return 4 if self.pages_k.shape[2] != self.pages_k_scale.shape[2] else 8
 
 
 def init_paged_kv_cache(
@@ -281,6 +340,7 @@ def init_paged_kv_cache(
     page_size: int = 1024, bits: int = 8,
 ) -> PagedKVCache:
     assert bits in (8, 4), bits
+    assert bits == 8 or page_size % 2 == 0, page_size
     b = page_table.shape[0]
     return PagedKVCache(
         pages_k=_cache_zeros((num_pages, h_kv, page_size, head_dim),
@@ -319,6 +379,7 @@ def paged_append(
     v_q, v_s = quant_calibrated(v_new, cache.v_mean, cache.bits)
     # [b,h,t,d], [b,h,t]
     b, h, t, d = k_q.shape
+    n_pool = cache.pages_k.shape[0]
 
     # destination of token j of sequence i: physical page
     # page_table[i, (lengths[i]+j)//page], row (lengths[i]+j) % page.
@@ -334,24 +395,65 @@ def paged_append(
     ) - pool_start                                         # [b, t]
     # negative (another shard's) indices would WRAP under numpy
     # semantics — push them out of range so mode="drop" drops them
-    phys = jnp.where(phys < 0, cache.pages_k.shape[0], phys)
+    phys = jnp.where(phys < 0, n_pool, phys)
     off = pos % page                                        # [b, t]
 
-    def scatter_pool(pool, rows):
-        # pool [P, h, page, d?]; rows [b, h, t, (d)] -> scatter (b*t) rows
+    def scatter_pool(pool, rows, phys_ix, row_ix, n):
+        # pool [P, h, rows_pp, d?]; rows [b, h, n, (d)] -> (b*n) rows
         rows_flat = jnp.moveaxis(rows, 1, 2).reshape(
-            (b * t, h) + rows.shape[3:]
-        )  # [(b t), h, d?]
-        return pool.at[phys.reshape(-1), :, off.reshape(-1)].set(
+            (b * n, h) + rows.shape[3:]
+        )  # [(b n), h, d?]
+        return pool.at[phys_ix.reshape(-1), :, row_ix.reshape(-1)].set(
             rows_flat, mode="drop"
         )
 
+    if cache.bits == 4:
+        # token-pair-packed pool: read-modify-write the byte window the
+        # append touches (each byte couples two adjacent tokens).  The
+        # window is logical bytes [start//2, ...) — contiguous in token
+        # space, scattered physically through the page table.
+        nb = min(t // 2 + 1, span // 2)
+        b0 = jnp.clip(start // 2, 0, span // 2 - nb)       # [b]
+        lb = b0[:, None] + jnp.arange(nb)[None, :]         # [b, nb]
+        tok0 = 2 * lb
+        bphys = jnp.take_along_axis(
+            cache.page_table, tok0 // page, axis=1
+        ) - pool_start                                     # [b, nb]
+        brow = (tok0 % page) // 2                          # [b, nb]
+        gather_ix = jnp.clip(bphys, 0, n_pool - 1)
+
+        gpos = tok0[:, :, None] + jnp.arange(2)[None, None, :]
+        gpos = gpos.reshape(b, 2 * nb)                     # [b, 2nb]
+        j = gpos - start[:, None]                          # [b, 2nb]
+        use = (j >= 0) & (j < t)
+
+        def rmw_pool(pool, rows):
+            old = pool[gather_ix.reshape(-1), :,
+                       brow.reshape(-1)]                   # [(b nb), h, d]
+            old = jnp.moveaxis(
+                old.reshape(b, nb, h, d), 2, 1
+            )                                              # [b, h, nb, d]
+            toks = unpack_token_pairs(old)                 # [b, h, 2nb, d]
+            new = jnp.take_along_axis(
+                rows, jnp.clip(j, 0, t - 1)[:, None, :, None], axis=2
+            )
+            merged = jnp.where(use[:, None, :, None], new, toks)
+            packed = pack_token_pairs(merged)              # [b, h, nb, d]
+            drop = jnp.where(bphys < 0, n_pool, bphys)
+            return scatter_pool(pool, packed, drop, brow, nb)
+
+        pages_k = rmw_pool(cache.pages_k, k_q)
+        pages_v = rmw_pool(cache.pages_v, v_q)
+    else:
+        pages_k = scatter_pool(cache.pages_k, k_q, phys, off, t)
+        pages_v = scatter_pool(cache.pages_v, v_q, phys, off, t)
+
     cache = dataclasses.replace(
         cache,
-        pages_k=scatter_pool(cache.pages_k, k_q),
-        pages_k_scale=scatter_pool(cache.pages_k_scale, k_s),
-        pages_v=scatter_pool(cache.pages_v, v_q),
-        pages_v_scale=scatter_pool(cache.pages_v_scale, v_s),
+        pages_k=pages_k,
+        pages_k_scale=scatter_pool(cache.pages_k_scale, k_s, phys, off, t),
+        pages_v=pages_v,
+        pages_v_scale=scatter_pool(cache.pages_v_scale, v_s, phys, off, t),
     )
     return cache, lengths + t
 
@@ -378,12 +480,16 @@ def paged_prefill(
     ids = jnp.where(ids < 0, cache.pages_k.shape[0], ids)
 
     def put(pool, rows, has_d):
-        # rows [b, h, t, (d)] -> [b*n_used, h, page, (d)]; d here is the
-        # STORED width (d/2 packed bytes for the 4-bit cache)
+        # rows [b, h, rows_pp*n_used, (d)] -> [b*n_used, h, rows_pp, (d)]
+        # where rows_pp = page (scales / int8 data) or page/2 (token-
+        # pair-packed 4-bit data)
         if has_d:
+            if cache.bits == 4:
+                rows = pack_token_pairs(rows)
             d = rows.shape[-1]
-            r = rows.reshape(b, h, n_used, page, d)
-            r = jnp.moveaxis(r, 2, 1).reshape(b * n_used, h, page, d)
+            rpp = rows.shape[2] // n_used
+            r = rows.reshape(b, h, n_used, rpp, d)
+            r = jnp.moveaxis(r, 2, 1).reshape(b * n_used, h, rpp, d)
         else:
             r = rows.reshape(b, h, n_used, page)
             r = jnp.moveaxis(r, 2, 1).reshape(b * n_used, h, page)

@@ -67,24 +67,43 @@ def _chunk_divisor(S: int, cap: int) -> int:
     return c
 
 
-def unpack_nibbles(x: jax.Array) -> jax.Array:
-    """In-kernel inverse of kvcache._pack_nibbles: [t, d/2] int8 (two
-    channels per byte, split-half layout) -> [t, d] int8 in natural
-    channel order.  Two arithmetic shifts + one lane concat — no
-    interleave relayout.  The ``jnp.int4`` dtype is deliberately never
-    used: this backend cannot pass int4 arrays across jit boundaries
-    (RecursionError in the transfer path), and packed int8 gets the
-    same 2x footprint/bandwidth win."""
-    x32 = x.astype(jnp.int32)
-    lo = (x32 << 28) >> 28   # sign-extended low nibble
-    hi = x32 >> 4            # arithmetic shift: sign-extended high nibble
-    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+def _bitcast_int4_tokens(packed: jax.Array, interpret: bool) -> jax.Array:
+    """[t/2, d] token-pair-packed int8 -> [t, d] int4 view, natural
+    token order.  On hardware this is ``pltpu.bitcast`` — a FREE
+    reinterpretation (the int4 sublane tiling is exactly the packed
+    bytes' nibble order: even sublane = low nibble); no VPU unpack ever
+    touches the cache bytes, which is what keeps the 4-bit decode
+    bandwidth-bound (an elementwise unpack costs ~6 VPU passes per
+    chunk vs ~0.65 us of DMA — measured 26x slower than int8 decode).
+    Interpret mode (CPU tests) emulates the same semantics."""
+    if not interpret:
+        return pltpu.bitcast(packed, jnp.int4)
+    # interpret mode (CPU tests): same values, int8 carrier — the XLA
+    # CPU backend cannot run sub-byte dots
+    x = packed.astype(jnp.int32)
+    lo = (x << 28) >> 28
+    hi = x >> 4
+    t2, d = packed.shape
+    return jnp.stack([lo, hi], axis=1).reshape(t2 * 2, d).astype(jnp.int8)
+
+
+def _split_int4(x: jax.Array, interpret: bool):
+    """Exact split of integers in [-119, 119] (fp32-held) into
+    ``16*a + b`` with a, b in the int4 range [-8, 7]: the two-dot trick
+    that runs int8-grade operands through the int4 MXU path against a
+    bitcast 4-bit cache (dot(a, k4) * 16 + dot(b, k4), exact in int32).
+    """
+    a = jnp.floor((x + 8.0) * (1.0 / 16.0))
+    b = x - 16.0 * a
+    dt = jnp.int8 if interpret else jnp.int4
+    return a.astype(jnp.int8).astype(dt), b.astype(jnp.int8).astype(dt)
 
 
 def decode_step_body(
     q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
     *, base_col, length, t_q: int, sm_fold: float,
-    window: int | None = None,
+    window: int | None = None, packed: bool = False,
+    interpret: bool = False,
 ):
     """One KV chunk/page of the bandwidth-shaped decode step: in-register
     per-row Q quant, int8 QK^T, length (+ causal-tail) masking, online
@@ -94,21 +113,36 @@ def decode_step_body(
     kernels — one copy of the numerics, two block-index sources.
     ``base_col`` is the chunk's first global token index.  A fully
     masked chunk yields m_c == NEG_INIT exactly (sf is set to the
-    finite sentinel, never -inf), so the merge stays NaN-free."""
+    finite sentinel, never -inf), so the merge stays NaN-free.
+
+    ``packed``: the 4-bit cache.  K/V blocks arrive token-pair-packed
+    at [chunk/2, d] (half the HBM bytes); the kernel views them as
+    [chunk, d] int4 via one free bitcast and runs the dots on the int4
+    MXU path.  Q (and the folded P) quantize to ±119 and split exactly
+    into two int4 operands (``_split_int4``), so operand precision
+    stays int8-grade — only the cache itself is 4-bit."""
     qb = q_ref[0, 0].astype(jnp.float32)            # [rows8, d]
     amax = jnp.max(jnp.abs(qb), axis=1)[:, None]
-    qscale, r = inv_scale(amax, 127.0)
-    q_i8 = jnp.clip(round_half_away(qb * r), -127, 127).astype(jnp.int8)
-    # 4-bit cache: K/V blocks arrive nibble-packed at d/2 bytes (half
-    # the HBM read); unpack in-register for the int8 MXU dot
-    packed = k_ref.shape[-1] * 2 == q_ref.shape[-1]
-    kq = k_ref[0, 0]
+    q_qmax = 119.0 if packed else 127.0
+    qscale, r = inv_scale(amax, q_qmax)
+    q_int = jnp.clip(round_half_away(qb * r), -q_qmax, q_qmax)
     if packed:
-        kq = unpack_nibbles(kq)
-    s_i32 = jax.lax.dot_general(
-        q_i8, kq, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )  # [rows8, chunk]
+        k4 = _bitcast_int4_tokens(k_ref[0, 0], interpret)  # [chunk, d]
+        qa, qb4 = _split_int4(q_int, interpret)
+        dims = (((1,), (1,)), ((), ()))
+        s_i32 = (
+            jax.lax.dot_general(
+                qa, k4, dims, preferred_element_type=jnp.int32
+            ) << 4
+        ) + jax.lax.dot_general(
+            qb4, k4, dims, preferred_element_type=jnp.int32
+        )
+    else:
+        q_i8 = q_int.astype(jnp.int8)
+        s_i32 = jax.lax.dot_general(
+            q_i8, k_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [rows8, chunk]
     ks = ks_ref[0, 0, 0][None, :]                    # [1, chunk]
     sf = s_i32.astype(jnp.float32) * (qscale * sm_fold) * ks
 
@@ -132,18 +166,30 @@ def decode_step_body(
     l_c = jnp.sum(p, axis=1)[:, None]
 
     # fold the per-token V scales into P, requantize per row, and run
-    # the PV dot int8 x int8 (V streams HBM -> MXU uncast)
+    # the PV dot in integers (V streams HBM -> MXU uncast)
     pe = p * vs_ref[0, 0, 0][None, :]
     pmax = jnp.max(pe, axis=1)[:, None]
-    psc, pr = inv_scale(pmax, 127.0)
-    p_q = round_half_away(pe * pr).astype(jnp.int8)  # pe >= 0
-    vq = v_ref[0, 0]
+    p_qmax = 119.0 if packed else 127.0
+    psc, pr = inv_scale(pmax, p_qmax)
     if packed:
-        vq = unpack_nibbles(vq)  # 4-bit cache: half the V bytes off HBM
-    pv = jax.lax.dot_general(
-        p_q, vq, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32) * psc  # [rows8, d]
+        v4 = _bitcast_int4_tokens(v_ref[0, 0], interpret)  # [chunk, d]
+        p_int = round_half_away(pe * pr)                   # pe >= 0
+        pa, pb = _split_int4(p_int, interpret)
+        dims = (((1,), (0,)), ((), ()))
+        pv = (
+            (jax.lax.dot_general(
+                pa, v4, dims, preferred_element_type=jnp.int32
+            ) << 4)
+            + jax.lax.dot_general(
+                pb, v4, dims, preferred_element_type=jnp.int32
+            )
+        ).astype(jnp.float32) * psc
+    else:
+        p_q = round_half_away(pe * pr).astype(jnp.int8)    # pe >= 0
+        pv = jax.lax.dot_general(
+            p_q, v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * psc  # [rows8, d]
 
     m_prev = ml_scr[:, 0:1]
     m_next = jnp.maximum(m_prev, m_c)
@@ -185,6 +231,8 @@ def _decode_kernel(
     sm_fold: float,  # sm_scale * log2e
     out_dtype,
     return_state: bool = False,
+    packed: bool = False,
+    interpret: bool = False,
 ):
     # last_ref drives the index maps only (they clamp dead chunks to the
     # last live one, so the pipeline elides their DMAs — a ragged batch
@@ -208,7 +256,7 @@ def _decode_kernel(
         decode_step_body(
             q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
             base_col=kv_idx * chunk, length=length, t_q=t_q,
-            sm_fold=sm_fold,
+            sm_fold=sm_fold, packed=packed, interpret=interpret,
         )
 
     @pl.when(kv_idx == n_kv - 1)
@@ -226,6 +274,8 @@ def _decode_kernel_window(
     window: int,
     out_dtype,
     return_state: bool = False,
+    packed: bool = False,
+    interpret: bool = False,
 ):
     """Sliding-window variant: the kv grid covers only the ``n_live``
     chunks that can intersect the window (index maps add the per-batch
@@ -250,7 +300,8 @@ def _decode_kernel_window(
         decode_step_body(
             q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
             base_col=kv_idx * chunk, length=length, t_q=t_q,
-            sm_fold=sm_fold, window=window,
+            sm_fold=sm_fold, window=window, packed=packed,
+            interpret=interpret,
         )
 
     @pl.when(g_idx == n_live - 1)
@@ -302,9 +353,11 @@ def sage_decode_attention(
     cheap LSE merge reduces the partials).
     """
     b, hq, t_q, d = q.shape
-    hkv, S = k_i8.shape[1], k_i8.shape[2]
-    kd = k_i8.shape[-1]   # d, or d/2 for the nibble-packed 4-bit cache
-    assert kd in (d, d // 2), (kd, d)
+    hkv, S = k_i8.shape[1], k_scale.shape[2]
+    # token-pair-packed 4-bit cache: data token axis is S/2
+    packed = k_i8.shape[2] != S
+    assert k_i8.shape[2] in (S, S // 2), (k_i8.shape, S)
+    assert k_i8.shape[-1] == d, (k_i8.shape, d)
     assert hq % hkv == 0
     group = hq // hkv
     if sm_scale is None:
@@ -365,6 +418,7 @@ def sage_decode_attention(
             chunk = _chunk_divisor(S, target)
             n_kv = S // chunk
         n_live = min(n_kv, -(-span // chunk) + 1)
+        kblk = chunk // 2 if packed else chunk
         start = jnp.clip(
             (lengths.astype(jnp.int32) - span) // chunk, 0, n_kv - n_live
         )
@@ -390,9 +444,9 @@ def sage_decode_attention(
             grid=(b, hkv, n_live),
             in_specs=[
                 pl.BlockSpec((1, 1, rows8, d), qm),
-                pl.BlockSpec((1, 1, chunk, kd), kvm),
+                pl.BlockSpec((1, 1, kblk, d), kvm),
                 pl.BlockSpec((1, 1, 1, chunk), ksm),
-                pl.BlockSpec((1, 1, chunk, kd), kvm),
+                pl.BlockSpec((1, 1, kblk, d), kvm),
                 pl.BlockSpec((1, 1, 1, chunk), ksm),
                 pl.BlockSpec((1, 1, 1), lambda ib, ih, ik, st: (ib, 0, 0),
                              memory_space=pltpu.SMEM),
@@ -405,6 +459,7 @@ def sage_decode_attention(
                 _decode_kernel_window, chunk=chunk, n_live=n_live,
                 t_q=t_q, sm_fold=sm_scale * LOG2E, window=window,
                 out_dtype=out_dtype, return_state=return_state,
+                packed=packed, interpret=interpret,
             ),
             grid_spec=grid_spec,
             out_shape=out_shape,
@@ -417,6 +472,7 @@ def sage_decode_attention(
     # the grid pipeline elides their DMAs (repeat block index) — a short
     # sequence in a long cache reads O(length) bytes, not O(S).  Negative
     # / zero lengths (sharded local views) clamp to chunk 0.
+    kblk = chunk // 2 if packed else chunk
     last_live = jnp.clip(
         -(-lengths.astype(jnp.int32) // chunk) - 1, 0, n_kv - 1
     )
@@ -442,9 +498,9 @@ def sage_decode_attention(
         grid=(b, hkv, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, rows8, d), qm),
-            pl.BlockSpec((1, 1, chunk, kd), kvm),
+            pl.BlockSpec((1, 1, kblk, d), kvm),
             pl.BlockSpec((1, 1, 1, chunk), ksm),
-            pl.BlockSpec((1, 1, chunk, kd), kvm),
+            pl.BlockSpec((1, 1, kblk, d), kvm),
             pl.BlockSpec((1, 1, 1, chunk), ksm),
             pl.BlockSpec((1, 1, 1), lambda ib, ih, ik, ll: (ib, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -456,7 +512,8 @@ def sage_decode_attention(
         functools.partial(
             _decode_kernel, chunk=chunk, n_kv=n_kv, t_q=t_q,
             sm_fold=sm_scale * LOG2E, out_dtype=out_dtype,
-            return_state=return_state,
+            return_state=return_state, packed=packed,
+            interpret=interpret,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,

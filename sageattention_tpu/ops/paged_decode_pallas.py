@@ -54,6 +54,8 @@ def _paged_kernel(
     out_dtype,
     has_owned: bool = False,
     return_state: bool = False,
+    packed: bool = False,
+    interpret: bool = False,
 ):
     """The page-table variant of decode_pallas._decode_kernel: identical
     numerics (the shared decode_step_body), with the KV block coming
@@ -89,7 +91,7 @@ def _paged_kernel(
         decode_step_body(
             q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
             base_col=p_idx * page, length=length, t_q=t_q,
-            sm_fold=sm_fold,
+            sm_fold=sm_fold, packed=packed, interpret=interpret,
         )
 
     @pl.when(p_idx == n_pages - 1)
@@ -110,6 +112,8 @@ def _paged_kernel_window(
     out_dtype,
     has_owned: bool = False,
     return_state: bool = False,
+    packed: bool = False,
+    interpret: bool = False,
 ):
     """Sliding-window paged decode: the grid covers only the ``n_live``
     logical pages the window can reach (the index maps gather
@@ -138,7 +142,8 @@ def _paged_kernel_window(
         decode_step_body(
             q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
             base_col=p_idx * page, length=length, t_q=t_q,
-            sm_fold=sm_fold, window=window,
+            sm_fold=sm_fold, window=window, packed=packed,
+            interpret=interpret,
         )
 
     @pl.when(g_idx == n_live - 1)
@@ -192,8 +197,13 @@ def sage_paged_decode_attention(
             "(decode_pallas.merge_decode_partials)"
         )
     b, hq, t_q, d = q.shape
-    num_pages, hkv, page, kd = pages_k.shape
-    assert kd in (d, d // 2), (kd, d)  # d/2: nibble-packed 4-bit pool
+    num_pages, hkv = pages_k.shape[:2]
+    page = pages_k_scale.shape[2]
+    # token-pair-packed 4-bit pool: data token axis is page/2
+    packed = pages_k.shape[2] != page
+    assert pages_k.shape[2] in (page, page // 2), (pages_k.shape, page)
+    assert pages_k.shape[-1] == d, (pages_k.shape, d)
+    kblk = page // 2 if packed else page
     max_pages = page_table.shape[1]
     assert hq % hkv == 0
     group = hq // hkv
@@ -272,9 +282,9 @@ def sage_paged_decode_attention(
             grid=(b, hkv, n_live),
             in_specs=[
                 pl.BlockSpec((1, 1, rows8, d), q_map_w),
-                pl.BlockSpec((1, 1, page, kd), page_map_w),
+                pl.BlockSpec((1, 1, kblk, d), page_map_w),
                 pl.BlockSpec((1, 1, 1, page), page_map_w),
-                pl.BlockSpec((1, 1, page, kd), page_map_w),
+                pl.BlockSpec((1, 1, kblk, d), page_map_w),
                 pl.BlockSpec((1, 1, 1, page), page_map_w),
             ],
             out_specs=out_specs,
@@ -295,7 +305,8 @@ def sage_paged_decode_attention(
                 _paged_kernel_window, page=page, n_live=n_live, t_q=t_q,
                 sm_fold=sm_scale * LOG2E, window=window,
                 out_dtype=out_dtype, has_owned=has_owned,
-                return_state=return_state,
+                return_state=return_state, packed=packed,
+                interpret=interpret,
             ),
             grid_spec=grid_spec,
             out_shape=out_shape,
@@ -323,9 +334,9 @@ def sage_paged_decode_attention(
         grid=(b, hkv, max_pages),
         in_specs=[
             pl.BlockSpec((1, 1, rows8, d), q_map),
-            pl.BlockSpec((1, 1, page, kd), page_map),
+            pl.BlockSpec((1, 1, kblk, d), page_map),
             pl.BlockSpec((1, 1, 1, page), page_map),
-            pl.BlockSpec((1, 1, page, kd), page_map),
+            pl.BlockSpec((1, 1, kblk, d), page_map),
             pl.BlockSpec((1, 1, 1, page), page_map),
         ],
         out_specs=out_specs,
@@ -339,6 +350,7 @@ def sage_paged_decode_attention(
             _paged_kernel, page=page, n_pages=max_pages, t_q=t_q,
             sm_fold=sm_scale * LOG2E, out_dtype=out_dtype,
             has_owned=has_owned, return_state=return_state,
+            packed=packed, interpret=interpret,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,

@@ -200,7 +200,15 @@ def make_sharded_append(
                 buf, jnp.roll(win, sh, axis=1), (0, st)
             )
 
-        u4 = lambda buf, win: jax.vmap(upd4)(buf, win, start, shift)
+        if cache_shard.bits == 4:
+            # token-pair-packed shard data: write_rows_packed drops
+            # out-of-shard rows itself (it bound-checks every token
+            # position), so no roll / mask-restore pass is needed
+            u4 = lambda buf, win: jax.vmap(kvcache.write_rows_packed)(
+                buf, win, offw
+            )
+        else:
+            u4 = lambda buf, win: jax.vmap(upd4)(buf, win, start, shift)
         u3 = lambda buf, win: jax.vmap(upd3)(buf, win, start, shift)
         written = kvcache.QuantKVCache(
             k_i8=u4(cache_shard.k_i8, k_q),
@@ -221,9 +229,11 @@ def make_sharded_append(
             return jnp.where(m, new, old)
 
         merged = kvcache.QuantKVCache(
-            k_i8=pick(written.k_i8, cache_shard.k_i8, False),
+            k_i8=written.k_i8 if cache_shard.bits == 4
+            else pick(written.k_i8, cache_shard.k_i8, False),
             k_scale=pick(written.k_scale, cache_shard.k_scale, True),
-            v_i8=pick(written.v_i8, cache_shard.v_i8, False),
+            v_i8=written.v_i8 if cache_shard.bits == 4
+            else pick(written.v_i8, cache_shard.v_i8, False),
             v_scale=pick(written.v_scale, cache_shard.v_scale, True),
             k_mean=cache_shard.k_mean,
             v_mean=cache_shard.v_mean,

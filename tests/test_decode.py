@@ -49,11 +49,12 @@ class TestDecode:
         than int8."""
         b, hq, hkv, d, S = 2, 8, 2, 64, 512
         cache = kvcache.init_kv_cache(b, hkv, S, d, bits=4)
-        # packed storage: d/2 int8 bytes per token, never jnp.int4
-        # (the dtype cannot cross jit boundaries on this backend)
+        # packed storage: two TOKENS per int8 byte, never jnp.int4 at
+        # rest (the dtype cannot cross jit boundaries on this backend)
         assert cache.bits == 4
         assert cache.k_i8.dtype == jnp.int8
-        assert cache.k_i8.shape[-1] == d // 2
+        assert cache.k_i8.shape[2] == S // 2
+        assert cache.k_i8.shape[-1] == d
         lengths = jnp.zeros((b,), jnp.int32)
         k = rand(1, (b, hkv, 300, d))
         v = rand(2, (b, hkv, 300, d))
@@ -68,16 +69,46 @@ class TestDecode:
             assert cosine(o[bi], ref) > 0.98
 
     def test_nibble_pack_roundtrip(self):
-        """_pack_nibbles / unpack_nibbles are exact inverses over the
-        full ±7 range (and the whole [-8, 7] nibble range)."""
-        from sageattention_tpu.ops.decode_pallas import unpack_nibbles
+        """pack_token_pairs / unpack_token_pairs are exact inverses over
+        the whole [-8, 7] nibble range, and the kernels' interpret-mode
+        int4 view (_bitcast_int4_tokens) matches the unpack."""
+        from sageattention_tpu.ops.decode_pallas import (
+            _bitcast_int4_tokens,
+        )
 
         rng = np.random.default_rng(7)
         x = rng.integers(-8, 8, size=(16, 128)).astype(np.int8)
-        packed = kvcache._pack_nibbles(jnp.asarray(x))
-        assert packed.shape == (16, 64) and packed.dtype == jnp.int8
-        out = np.asarray(unpack_nibbles(jnp.asarray(packed)))
+        packed = kvcache.pack_token_pairs(jnp.asarray(x))
+        assert packed.shape == (8, 128) and packed.dtype == jnp.int8
+        out = np.asarray(kvcache.unpack_token_pairs(packed))
         np.testing.assert_array_equal(out, x)
+        view = np.asarray(
+            _bitcast_int4_tokens(packed, interpret=True).astype(jnp.int8)
+        )
+        np.testing.assert_array_equal(view, x)
+
+    def test_packed_write_parity(self):
+        """write_rows_packed: odd offsets, odd lengths, out-of-range
+        (negative / past-end) rows — every nibble a write shares a byte
+        with survives, every in-range row lands at its position."""
+        h, S, d = 2, 32, 8
+        rng = np.random.default_rng(3)
+        base = rng.integers(-7, 8, size=(h, S, d)).astype(np.int8)
+        buf = kvcache.pack_token_pairs(jnp.asarray(base))
+        for off, w in [(0, 4), (1, 4), (3, 5), (-2, 6), (29, 5), (31, 2),
+                       (-6, 3), (40, 4)]:
+            rows = rng.integers(-7, 8, size=(h, w, d)).astype(np.int8)
+            got = kvcache.write_rows_packed(
+                buf, jnp.asarray(rows), jnp.int32(off)
+            )
+            exp = base.copy()
+            for j in range(w):
+                if 0 <= off + j < S:
+                    exp[:, off + j] = rows[:, j]
+            np.testing.assert_array_equal(
+                np.asarray(kvcache.unpack_token_pairs(got)), exp,
+                err_msg=f"off={off} w={w}",
+            )
 
     def test_int4_paged_matches_int4_dense(self):
         """Paged int4 pool: same numerics as the dense int4 cache."""

@@ -32,32 +32,47 @@ from jax.experimental.pallas import tpu as pltpu
 from bench.utils import device_time
 
 
-def _probe_kernel(x_ref, y_ref, o_ref, *, body, reps: int):
-    x = x_ref[...]
-    acc = body(x, y_ref[...])
-    for _ in range(reps - 1):
-        # dependency chain: a scalar of the previous result perturbs the
-        # next lhs (value-neutral for int: +0 or +1 on int8 operands of a
-        # dot we only time; for float: + tiny)
-        # rows of acc and x both equal M, so acc[:, 0:1] broadcasts
-        # along lanes only (Mosaic can't broadcast sublanes AND lanes)
-        if x.dtype == jnp.int8:
-            # Mosaic has no vector<i8> add; perturb in i32 and cast back
+def _probe_kernel(x_ref, y_ref, o_ref, acc_scr, *, body, reps: int,
+                  skip_body: bool):
+    # fori_loop chain that CONSUMES the full result each iteration: the
+    # accumulator += makes every output element live, so Mosaic cannot
+    # narrow the dot to the lanes a scalar summary would touch (the
+    # failure mode of summary-consuming probes: d=256 "measured" 2067
+    # TOPS, 6x the physical roofline).  The += pass is measured
+    # separately (skip_body) and subtracted by the caller.
+    def step(_, carry):
+        # perturb through a row-shaped slice of the accumulator (rows of
+        # acc_scr == rows of x): lanes-only broadcast — Mosaic cannot
+        # broadcast in sublanes AND lanes at once
+        s = acc_scr[0:x_ref.shape[0], 0:1]
+        if x_ref.dtype == jnp.int8:
+            # Mosaic has no vector<i8> add; perturb in i32, cast back
             x = (
-                x_ref[...].astype(jnp.int32) + (acc[:, 0:1] & 1)
+                x_ref[...].astype(jnp.int32)
+                + (s.astype(jnp.int32) & 1)
             ).astype(jnp.int8)
         else:
-            x = x_ref[...] + acc[:, 0:1].astype(x_ref.dtype) * 1e-30
-        acc = body(x, y_ref[...])
-    o_ref[...] = acc[0:8, 0:1].astype(jnp.float32) * jnp.ones(
-        (8, 128), jnp.float32
+            x = x_ref[...] + s.astype(x_ref.dtype) * 1e-30
+        if skip_body:
+            # baseline: same perturb + same consuming add, no body op
+            acc_scr[...] += x[:, 0:1].astype(acc_scr.dtype)
+        else:
+            acc_scr[...] += body(x, y_ref[...]).astype(acc_scr.dtype)
+        return carry + acc_scr[0:8, 0:1].astype(jnp.float32)
+
+    o_ref[...] = jax.lax.fori_loop(
+        0, reps, step, jnp.zeros((8, 128), jnp.float32)
     )
 
 
-def probe(name, x, y, body, flops_per_rep, reps=64):
+def _time_variant(x, y, body, out_shape, reps, skip_body,
+                  acc_dtype=jnp.float32):
     f = pl.pallas_call(
-        functools.partial(_probe_kernel, body=body, reps=reps),
+        functools.partial(
+            _probe_kernel, body=body, reps=reps, skip_body=skip_body
+        ),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM(out_shape, acc_dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20
         ),
@@ -70,8 +85,26 @@ def probe(name, x, y, body, flops_per_rep, reps=64):
             xx = xx + c.astype(xx.dtype) * 1e-30
         return f(xx, yy)
 
-    t = device_time(one, (x, y), n=10, reps=5)
-    per_rep = t / reps
+    return device_time(one, (x, y), n=10, reps=5)
+
+
+def probe(name, x, y, body, flops_per_rep, reps=512, pure_vpu=False):
+    out = jax.eval_shape(body, x, y)
+    if pure_vpu:
+        # elementwise/VPU probes: the consuming += IS part of the
+        # measured chain; report the raw per-rep time
+        t = _time_variant(x, y, body, out.shape, reps, skip_body=False)
+        per_rep = t / reps
+    else:
+        # dot probes: accumulate in the dot's own output dtype (no
+        # cast pass inside the measured chain) and run a long chain so
+        # the full-minus-baseline subtraction resolves ~0.1 us ops
+        reps = max(reps, 4096)
+        t_full = _time_variant(x, y, body, out.shape, reps,
+                               skip_body=False, acc_dtype=out.dtype)
+        t_base = _time_variant(x, y, body, out.shape, reps,
+                               skip_body=True, acc_dtype=out.dtype)
+        per_rep = max((t_full - t_base) / reps, 1e-9)
     unit = flops_per_rep / per_rep / 1e12
     print(f"{name:44s} {per_rep*1e6:9.3f} us/rep  {unit:8.1f} "
           "T(fl)OPS", flush=True)
@@ -125,27 +158,27 @@ def main():
     print("== VPU: per-element passes on a [128, 2048] f32 tile ==")
     xf, yf = mk((M, N), jnp.float32), mk((M, N), jnp.float32)
     el = M * N
-    probe("exp2(x)", xf, yf, lambda a, b: jnp.exp2(a), el)
+    probe("exp2(x)", xf, yf, lambda a, b: jnp.exp2(a), el, pure_vpu=True)
     probe("exp2(x*r - m) fused", xf, yf,
-          lambda a, b: jnp.exp2(a * 1.1 - 3.0), el)
+          lambda a, b: jnp.exp2(a * 1.1 - 3.0), el, pure_vpu=True)
     probe("max over lanes -> bcast", xf, yf,
           lambda a, b: jnp.broadcast_to(
-              jnp.max(a, axis=1)[:, None], a.shape) + a * 1e-30, el)
+              jnp.max(a, axis=1)[:, None], a.shape) + a * 1e-30, el, pure_vpu=True)
     probe("sum over lanes -> bcast", xf, yf,
           lambda a, b: jnp.broadcast_to(
-              jnp.sum(a, axis=1)[:, None], a.shape) + a * 1e-30, el)
+              jnp.sum(a, axis=1)[:, None], a.shape) + a * 1e-30, el, pure_vpu=True)
     probe("astype bf16 (and back)", xf, yf,
-          lambda a, b: a.astype(jnp.bfloat16).astype(jnp.float32), el)
+          lambda a, b: a.astype(jnp.bfloat16).astype(jnp.float32), el, pure_vpu=True)
     probe("f32 -> int8 quantize (x*127+.5)", xf, yf,
           lambda a, b: (a * 127.0 + 0.5).astype(jnp.int8).astype(
-              jnp.float32), el)
+              jnp.float32), el, pure_vpu=True)
     xi = mk((M, N), jnp.int8).astype(jnp.int32)
     probe("i32 -> f32 cast", xi, yf,
-          lambda a, b: a.astype(jnp.float32), el)
+          lambda a, b: a.astype(jnp.float32), el, pure_vpu=True)
     probe("i32 max over lanes -> bcast", xi, yf,
           lambda a, b: (jnp.broadcast_to(
               jnp.max(a, axis=1)[:, None], a.shape) + a).astype(
-                  jnp.float32), el)
+                  jnp.float32), el, pure_vpu=True)
 
 
 if __name__ == "__main__":
