@@ -312,6 +312,7 @@ def _compute_parts(
     diag_static: bool = False,
     ledge_static: bool = False,
     scale_group: int | None = None,
+    ml_scr=None,
 ):
     """One KV block: the pipelined (sub-tile x chunk) split-softmax.
 
@@ -445,28 +446,19 @@ def _compute_parts(
                 cm = jnp.logical_and(cm, gcol > grow - window)
             mask = cm if mask is None else jnp.logical_and(mask, cm)
 
-        dead = None
+        lazy = not p_int8
         if k_scale_blocked and cbias_ref is None:
-            # FAST PATH: one K scale per chunk from SMEM; masking and the
-            # row max run in the int32 domain (the positive per-row scale
-            # commutes with max), so dequant is one fused multiply feeding
-            # exp2.
+            # FAST PATH: one K scale per chunk from SMEM; dequantization
+            # is one fused multiply feeding exp2.
             ksc = ks_ref[
                 0, 0, 0, (kv_idx * block_k + cb[c][0]) // scale_group
             ]
             rowscale = qs * ksc  # [sub_q, 1]
-            if mask is not None:
-                s_i32 = jnp.where(mask, s_i32, MASK_I32)
-            imax = jnp.max(s_i32, axis=1)[:, None]
-            if mask is not None:
-                # live rows cannot reach the sentinel (|s| <= 127*127*d)
-                dead = imax == MASK_I32
-            m_c = imax.astype(jnp.float32) * rowscale
-            p = jnp.exp2(s_i32.astype(jnp.float32) * rowscale - m_c)
+            sf = None
         elif k_scale_blocked:
             # smooth_q correction: a per-column bias (qm . k_smoothed,
-            # base-2 domain) joins after dequant, so the max runs in f32
-            # (the column-varying bias breaks the int-domain commute)
+            # base-2 domain) joins after dequant in f32 (the column-
+            # varying bias breaks the int-domain max commute)
             ksc = ks_ref[
                 0, 0, 0, (kv_idx * block_k + cb[c][0]) // scale_group
             ]
@@ -475,34 +467,79 @@ def _compute_parts(
                 s_i32.astype(jnp.float32) * rowscale
                 + cbias_ref[0, 0, :, cb[c][0]:cb[c][1]]
             )
-            if mask is not None:
-                sf = jnp.where(mask, sf, MASK_VALUE)
-            m_c = jnp.max(sf, axis=1)[:, None]
-            if mask is not None:
-                dead = m_c == MASK_VALUE
-            p = jnp.exp2(sf - m_c)
         else:
             # Per-row K scales (reference-parity accuracy mode): one extra
             # broadcast multiply per element.
             ks = ks_ref[0, 0, :, cb[c][0]:cb[c][1]]  # [1, chunk]
-            s = s_i32.astype(jnp.float32) * qs * ks
+            sf = s_i32.astype(jnp.float32) * qs * ks
             if cbias_ref is not None:
-                s = s + cbias_ref[0, 0, :, cb[c][0]:cb[c][1]]
-            if mask is not None:
-                s = jnp.where(mask, s, MASK_VALUE)
-            m_c = jnp.max(s, axis=1)[:, None]
-            if mask is not None:
-                dead = m_c == MASK_VALUE
-            p = jnp.exp2(s - m_c)
+                sf = sf + cbias_ref[0, 0, :, cb[c][0]:cb[c][1]]
 
-        if mask is not None:
-            # A fully-masked chunk yields p == 1 everywhere (s - m == 0);
-            # zero it and flag the rows dead via m_c.  ``dead`` comes from
-            # the already-computed row max hitting the mask sentinel
-            # (Mosaic cannot relayout an all(not(mask)) reduction, and the
-            # sentinel compare is cheaper anyway).
-            p = jnp.where(mask, p, 0.0)
-            m_c = jnp.where(dead, NEG_INIT, m_c)
+        if lazy:
+            # LAZY SOFTMAX REFERENCE: the per-chunk row-max pass — one of
+            # the four VPU passes over every [sub, chunk] score tile — is
+            # replaced by a per-sub-tile reference m_ref computed ONCE
+            # from the sub-tile's first chunk (raw row max joined with the
+            # running block max in ml_scr).  exp2 against a trailing
+            # reference is safe: p may exceed 1, but f32/bf16 carry
+            # exponents to 2^127, so correctness holds for any within-
+            # block logit spread < ~120 base-2 units (a softmax with
+            # spread > 30 is already one-hot; the fp32 oracle itself
+            # degrades long before 120).  Masked entries are NOT given a
+            # sentinel — their p is zeroed by one select below, and a
+            # fully-dead row simply accumulates l == 0 (the epilogue
+            # already emits 0 / -inf LSE for l == 0).  The merge is
+            # unchanged: every partial of the sub-tile reports m_ref as
+            # its max, so _merge_into_scratch's max-of-maxes collapses to
+            # m_ref and the per-chunk rescale weights become exp2(0).
+            m_ref = m_ref_map.get(qi)
+            if m_ref is None:
+                if sf is None:
+                    raw = jnp.max(s_i32, axis=1)[:, None]
+                    m_c0 = raw.astype(jnp.float32) * rowscale
+                else:
+                    m_c0 = jnp.max(sf, axis=1)[:, None]
+                if ml_scr is not None:
+                    # multi-step grid: join the running block max so the
+                    # reference never regresses across KV blocks
+                    m_prev = ml_scr[qi * sub_q:(qi + 1) * sub_q, 0:1]
+                    m_c0 = jnp.maximum(m_prev, m_c0)
+                m_ref = m_c0
+                m_ref_map[qi] = m_ref
+            if sf is None:
+                p = jnp.exp2(
+                    s_i32.astype(jnp.float32) * rowscale - m_ref
+                )
+            else:
+                p = jnp.exp2(sf - m_ref)
+            if mask is not None:
+                p = jnp.where(mask, p, 0.0)
+            m_c = m_ref
+        else:
+            # exact per-chunk max (p_int8 requires p <= 1 for its fixed
+            # 127 scale; also the interpret-mode reference semantics)
+            dead = None
+            if sf is None:
+                if mask is not None:
+                    s_i32 = jnp.where(mask, s_i32, MASK_I32)
+                imax = jnp.max(s_i32, axis=1)[:, None]
+                if mask is not None:
+                    # live rows cannot reach the sentinel
+                    dead = imax == MASK_I32
+                m_c = imax.astype(jnp.float32) * rowscale
+                p = jnp.exp2(s_i32.astype(jnp.float32) * rowscale - m_c)
+            else:
+                if mask is not None:
+                    sf = jnp.where(mask, sf, MASK_VALUE)
+                m_c = jnp.max(sf, axis=1)[:, None]
+                if mask is not None:
+                    dead = m_c == MASK_VALUE
+                p = jnp.exp2(sf - m_c)
+            if mask is not None:
+                # A fully-masked chunk yields p == 1 everywhere
+                # (s - m == 0); zero it and flag the rows dead via m_c.
+                p = jnp.where(mask, p, 0.0)
+                m_c = jnp.where(dead, NEG_INIT, m_c)
 
         v = v_ref[0, 0, cb[c][0]:cb[c][1], :]
         if p_int8:
@@ -546,6 +583,7 @@ def _compute_parts(
     # Software pipeline over work items (chunk-major round robin): the QK
     # MXU op for item t+1 is issued before item t's VPU softmax, and items
     # are independent chains, so Mosaic can overlap MXU and VPU.
+    m_ref_map: dict[int, jax.Array] = {}
     work = [(qi, c) for c in range(n_chunks) for qi in range(n_sub)]
     if diag_static:
         # skip items wholly above the diagonal at trace time
@@ -720,6 +758,7 @@ def _kernel(
         q_fold=q_fold,
         window=window,
         rowsum_lane=rowsum_lane,
+        ml_scr=ml_scr,
     )
 
     if causal and block_q == block_k:

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sageattention_tpu import kvcache
 
@@ -328,6 +329,7 @@ class TestWindowedDecode:
             atol=2e-2,
         )
 
+    @pytest.mark.slow
     def test_windowed_llm_loop_matches_band_refeed(self):
         """CausalLM with cfg.window: the cached decode loop must pick
         the same tokens as re-running windowed prefill each step."""
@@ -374,6 +376,7 @@ class TestWindowedDecode:
 
 
 class TestCachedGeneration:
+    @pytest.mark.slow
     def test_decode_loop_matches_refeed(self):
         """Greedy generation with the int8 KV cache must pick the same
         tokens as re-running the full prefill each step."""
@@ -420,6 +423,7 @@ class TestCachedGeneration:
         )
 
 
+    @pytest.mark.slow
     def test_paged_loop_matches_dense_loop(self):
         """The generate loop over paged caches (page-table appends +
         scalar-prefetch decode) must produce the same tokens as the

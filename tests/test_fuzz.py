@@ -16,6 +16,8 @@ import sageattention_tpu as sa
 from sageattention_tpu.ops import reference
 
 
+pytestmark = pytest.mark.fuzz
+
 def cosine(a, b):
     a = np.asarray(a, np.float64).ravel()
     b = np.asarray(b, np.float64).ravel()

@@ -14,6 +14,8 @@ import pytest
 import sageattention_tpu as sa
 
 
+pytestmark = pytest.mark.fuzz
+
 def cosine(a, b):
     a = np.asarray(a, np.float64).ravel()
     b = np.asarray(b, np.float64).ravel()

@@ -86,6 +86,10 @@ def candidates(s: int, d: int, causal: bool):
                     )
                 for ck in cks:
                     emit(bq, bk, 128, ck)
+                    # wider sub-tiles amortize per-item VPU overheads at
+                    # d=64 (half the MACs per score element); round-3 knob
+                    if d <= 64 and bq >= 512:
+                        emit(bq, bk, 256, cks[0])
     if not yield_list:
         # e.g. non-power-of-two seqs whose pad128 none of the swept blocks
         # divide: fall back to the always-valid minimal tiling so the
