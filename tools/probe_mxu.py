@@ -155,6 +155,37 @@ def main():
         x, y = mk((M, S), jnp.int8), mk((S, dv), jnp.int8)
         probe(f"int8 pv dv={dv}", x, y, dot_nn, 2 * M * S * dv)
 
+    print("== transposed formulation (d=64 rescue): S^T = K.Q^T, "
+          "O^T = V^T.P^T ==")
+    # score^T: A = K [chunk, 64] streams M; stationary B = Q^T [64, 128]:
+    # contraction 64 (half-filled) x N = 128 (full) — same rate as the
+    # normal orientation's QK if only the contraction depth matters.
+    x, y = mk((S, 64), jnp.int8), mk((64, M), jnp.int8)
+    probe("int8 qk^T [2048,64]x[64,128]", x, y, dot_nn, 2 * S * 64 * M)
+    # PV^T: A = V^T [64, chunk] streams M=64; stationary B = P^T
+    # [chunk, 128]: contraction AND lanes both full — the full-rate PV
+    # the normal orientation cannot reach at d=64.
+    x, y = mk((64, S), jnp.bfloat16), mk((S, M), jnp.bfloat16)
+    probe("bf16 pv^T [64,2048]x[2048,128]", x, y, dot_nn, 2 * 64 * S * M)
+    # +8 sublane rows (a ones row would carry sum(p) for free): is the
+    # marginal M cost the expected ~12%?
+    x, y = mk((72, S), jnp.bfloat16), mk((S, M), jnp.bfloat16)
+    probe("bf16 pv^T M=72 (rowsum row)", x, y, dot_nn, 2 * 72 * S * M)
+    print("== VPU: passes on a TALL [2048, 128] f32 tile (vt "
+          "orientation: reductions over SUBLANES) ==")
+    xt, yt = mk((S, M), jnp.float32), mk((S, M), jnp.float32)
+    elt = S * M
+    probe("exp2(x*r - m) fused (tall)", xt, yt,
+          lambda a, b: jnp.exp2(a * 1.1 - 3.0), elt, pure_vpu=True)
+    probe("max over sublanes -> bcast (tall)", xt, yt,
+          lambda a, b: jnp.broadcast_to(
+              jnp.max(a, axis=0)[None, :], a.shape) + a * 1e-30,
+          elt, pure_vpu=True)
+    probe("sum over sublanes -> bcast (tall)", xt, yt,
+          lambda a, b: jnp.broadcast_to(
+              jnp.sum(a, axis=0)[None, :], a.shape) + a * 1e-30,
+          elt, pure_vpu=True)
+
     print("== VPU: per-element passes on a [128, 2048] f32 tile ==")
     xf, yf = mk((M, N), jnp.float32), mk((M, N), jnp.float32)
     el = M * N
