@@ -57,6 +57,15 @@ def make_inputs(dist, b, h, s, d):
         # them, so they stress the coarse per-chunk K scales directly
         chans = jnp.zeros((d,)).at[jnp.array([3, 37, 101 % d])].set(1.0)
         k = k * (1.0 + 19.0 * chans)[None, None, None, :]
+    elif dist == "spread":
+        # attention-logit-growth pathology: a late run of keys aligned
+        # with every query at large magnitude, planting a within-block
+        # base-2 logit spread of ~80 against the early keys — the lazy-
+        # softmax reference-max regime (attention_pallas._compute_parts;
+        # boundary-certified in tests/test_lazy_softmax.py)
+        q = q.at[:, :, :, 0].set(jnp.abs(q[:, :, :, 0]) + 1.0)
+        hot = 80.0 / 1.4426950408889634 * d**0.5 / 2.0
+        k = k.at[:, :, -max(8, s // 64):, 0].set(hot)
     return (
         q.astype(jnp.bfloat16),
         k.astype(jnp.bfloat16),

@@ -35,7 +35,7 @@ LOG2E = 1.4426950408889634
 
 
 def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
-              block_k, chunk_k=None, sub_q=128, **fused_kwargs):
+              block_k, chunk_k=None, sub_q=128, vt=None, **fused_kwargs):
     q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d), jnp.bfloat16)
     k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.bfloat16)
@@ -53,10 +53,22 @@ def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
     else:
         dt = jnp.int8 if pv_dtype == "int8" else jnp.float8_e4m3fn
         v_q, vs, _ = quant.per_channel_quant(v, dtype=dt)
+    # mirror core.py's production dispatch: d <= 64 rides the transposed
+    # (vt) kernel when eligible; pass vt=False to force the normal
+    # orientation + free-lane rowsum for comparison
+    if vt is None:
+        vt = (
+            d <= 64 and quant_gran == "auto"
+            and not fused_kwargs.get("k_inkernel")
+            and (causal or s > 8192)  # core.py's measured shape rule
+        )
     rowsum_lane = None
-    if d <= 64:
-        # mirror core.py's production path: V pads to 128 lanes anyway, so
-        # a ones column at lane 64 makes the PV matmul emit sum(p) for free
+    if vt:
+        q_i8 = jnp.swapaxes(q_i8, 2, 3)
+        v_q = jnp.swapaxes(v_q, 2, 3)
+    elif d <= 64:
+        # V pads to 128 lanes anyway, so a ones column at lane 64 makes
+        # the PV matmul emit sum(p) for free
         rowsum_lane = 64
         v_q = jnp.pad(v_q, ((0, 0), (0, 0), (0, 0), (0, 128 - v_q.shape[-1])))
         v_q = v_q.at[:, :, :, rowsum_lane].set(jnp.ones((), v_q.dtype))
@@ -72,6 +84,7 @@ def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
         chunk_k=chunk_k,
         sub_q=sub_q,
         rowsum_lane=rowsum_lane,
+        vt=vt,
         **fused_kwargs,
     )
 

@@ -117,6 +117,7 @@ def _sageattn_hnd(
     qk_bits: int = 8,
     sub_q: int = 128,
     chunk_k: int | None = None,
+    diag_chunk_k: int | None = None,
     window: int | None = None,
 ):
     """Quantize-then-attend pipeline on HND tensors (the call sequence of
@@ -188,7 +189,25 @@ def _sageattn_hnd(
     # same way (reference: bench/README.md:22-27).
     if chunk_k is None:
         chunk_k = attention_pallas.effective_chunk_k(block_k)
-    km = jnp.mean(k.astype(jnp.float32), axis=-2) if smooth_k else None
+    # ONE-READ fused K prologue: mean + smooth-subtract + per-chunk quant
+    # on a VMEM-resident slab (eliminates the separate XLA k.mean HBM
+    # pass; reference fuses the same chain, csrc/fused/fused.cu:594-682)
+    k_fused = (
+        impl == "pallas"
+        and qk_quant_gran == "auto"
+        and quant_pallas.k_fused_eligible(
+            k.shape[-2], k.shape[-1], chunk_k
+        )
+    )
+    if k_fused:
+        k_i8_f, k_scale_f, km = quant_pallas.quant_k_fused_mean(
+            k, group=chunk_k, bits=qk_bits, smooth=smooth_k,
+            interpret=_on_cpu(),
+        )
+    else:
+        km = (
+            jnp.mean(k.astype(jnp.float32), axis=-2) if smooth_k else None
+        )
     # smooth_q (SageAttention2's Q-mean smoothing): quantize q - qm and add
     # the per-column correction qm . k_smoothed back inside the kernel
     # (q . k = (q-qm).(k-km) + qm.(k-km) + row-constants dropped by softmax;
@@ -227,9 +246,12 @@ def _sageattn_hnd(
             # K-mean reduction (+ V quant for int8 V).
             q_i8, q_scale = q_in, None  # unquantized; kernel quantizes
             q_fold = sm_scale * LOG2E
-            k_i8, k_scale = quant_pallas.quant_k_chunked(
-                k, km, group=chunk_k, bits=qk_bits, interpret=_on_cpu()
-            )
+            if k_fused:
+                k_i8, k_scale = k_i8_f, k_scale_f
+            else:
+                k_i8, k_scale = quant_pallas.quant_k_chunked(
+                    k, km, group=chunk_k, bits=qk_bits, interpret=_on_cpu()
+                )
         else:
             if smooth_k:
                 k_sm = k.astype(jnp.float32) - km[..., None, :]
@@ -386,11 +408,40 @@ def _sageattn_hnd(
     km_pad = (
         _pad_axis(km, 2, d_pad) if (k_inkernel and km is not None) else None
     )
-    # Free-lane rowsum: head_dim <= 64 pads V to 128 lanes anyway, so a
-    # ones column at lane 64 makes the PV matmul emit sum(p) and the
-    # kernel skips its VPU cross-lane sum (reference rowsum-via-MMA:
-    # csrc/mma.cuh:683-721).
-    rowsum_lane = 64 if d_pad <= 64 else None
+    # head_dim <= 64: the TRANSPOSED kernel formulation (vt) is the MXU
+    # rescue — the normal orientation runs the PV matmul at half
+    # utilization (64 of 128 output lanes), while S^T = K.Q^T /
+    # O^T = V^T.P^T puts sub_q = 128 on the PV lane axis (measured ~1.3x
+    # kernel TOPS at 4k/hd64; tools/probe_mxu.py "transposed formulation").
+    # v1 scope (attention_pallas.sage_attention_fused docstring): falls
+    # back to the normal orientation + free-lane rowsum whenever an
+    # explicit mask / segments / positions / smooth-q bias / per-row K
+    # scales ride in the kernel.
+    k_scale_chunked = (
+        k_scale is not None
+        and k_scale.shape[-1] == -(-sk // chunk_k)
+        and k_scale.shape[-1] != sk
+    )
+    use_vt = (
+        d_pad <= 64
+        and mask_i8 is None
+        and q_segment_ids is None
+        and q_positions is None
+        and score_col_bias is None
+        and not k_inkernel
+        and k_scale_chunked
+        # measured shape rule (v5e): the transposed PV's full MXU rate
+        # beats the tall-tile VPU tax on the fold-grid causal path
+        # (+34% at 4k) and long sequences (+13% at 16k); at short
+        # non-causal single-step shapes the VPU tax wins (-9% at 4k),
+        # so those keep the normal orientation + free-lane rowsum
+        and (is_causal or max(sq_pad, sk_pad) > 8192)
+    )
+    # Free-lane rowsum (normal orientation only): head_dim <= 64 pads V
+    # to 128 lanes anyway, so a ones column at lane 64 makes the PV
+    # matmul emit sum(p) and the kernel skips its VPU cross-lane sum
+    # (reference rowsum-via-MMA: csrc/mma.cuh:683-721).
+    rowsum_lane = 64 if (d_pad <= 64 and not use_vt) else None
     d_v = 128 if rowsum_lane is not None else d_pad
     v_q = _pad_axis(_pad_axis(v_q, 3, d_v), 2, sk_pad)
     if rowsum_lane is not None:
@@ -412,6 +463,11 @@ def _sageattn_hnd(
         v_mean = _pad_axis(v_mean, 2, d_v)
     if score_col_bias is not None:
         score_col_bias = _pad_axis(score_col_bias, 2, sk_pad)
+    if use_vt:
+        # the kernel consumes Q and V transposed ([d, s] minor) — one XLA
+        # relayout each, fused into the quant prologue's output writes
+        q_i8 = jnp.swapaxes(q_i8, 2, 3)
+        v_q = jnp.swapaxes(v_q, 2, 3)
 
     out = attention_pallas.sage_attention_fused(
         q_i8,
@@ -428,6 +484,7 @@ def _sageattn_hnd(
         score_col_bias,
         mask_i8,
         km_pad,
+        vt=use_vt,
         k_inkernel=k_inkernel,
         is_causal=is_causal,
         pv_dtype=pv_dtype,
@@ -441,6 +498,7 @@ def _sageattn_hnd(
         block_k=block_k,
         sub_q=sub_q,
         chunk_k=chunk_k,
+        diag_chunk_k=diag_chunk_k,
         rowsum_lane=rowsum_lane,
         out_dtype=out_dtype,
         interpret=_on_cpu(),
@@ -493,6 +551,9 @@ def _entry(
     bq_auto, bk_auto, sub_q, chunk_k = attention_pallas.default_config(
         q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked
     )
+    diag_chunk_k = attention_pallas.default_diag_chunk(
+        q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked
+    )
     if block_q is None:
         block_q = bq_auto
     if block_k is None:
@@ -523,6 +584,7 @@ def _entry(
         qk_bits=qk_bits,
         sub_q=sub_q,
         chunk_k=chunk_k,
+        diag_chunk_k=diag_chunk_k,
         window=window,
     )
     if return_lse:

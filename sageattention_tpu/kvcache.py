@@ -266,6 +266,7 @@ def sageattn_decode(
                              # tokens q corresponds to
     *,
     sm_scale: float | None = None,
+    chunk: int = 4096,
     window: int | None = None,
     return_state: bool = False,
     interpret: bool = False,
@@ -292,6 +293,7 @@ def sageattn_decode(
         cache.v_scale,
         lengths,
         sm_scale=sm_scale,
+        chunk=chunk,
         window=window,
         return_state=return_state,
         interpret=interpret or jax.default_backend() == "cpu",

@@ -150,16 +150,25 @@ def _parse_table(raw: dict) -> dict:
         if k.startswith("_"):
             continue
         try:
-            bq, bk, sub, ck = (int(x) for x in v)
+            vals = [int(x) for x in v]
         except (TypeError, ValueError):
             continue
+        if len(vals) == 4:
+            bq, bk, sub, ck = vals
+            dck = ck
+        elif len(vals) == 5:
+            # optional 5th element: the causal diagonal region's chunk
+            # width (diag_chunk_k) — must divide the quant group ck
+            bq, bk, sub, ck, dck = vals
+        else:
+            continue
         if (
-            min(bq, bk, sub, ck) <= 0
+            min(bq, bk, sub, ck, dck) <= 0
             or bq % 128 or bk % 128
-            or bq % sub or bk % ck
+            or bq % sub or bk % ck or ck % dck
         ):
             continue
-        table[k] = (bq, bk, sub, ck)
+        table[k] = (bq, bk, sub, ck, dck)
     return table
 
 
@@ -256,7 +265,7 @@ def default_config(
     """
     tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked))
     if tuned is not None:
-        return tuned
+        return tuned[:4]
     if is_causal:
         cap = 2048 if d <= 128 else 1024
         blk = min(cap, _pad128(max(sq, sk)))
@@ -275,6 +284,21 @@ def default_config(
     )
     block_k = min(cap, _pad128(sk))
     return block_q, block_k, 128, effective_chunk_k(block_k)
+
+
+def default_diag_chunk(
+    sq: int, sk: int, d: int, is_causal: bool, masked: bool = False
+) -> int | None:
+    """The causal diagonal region's chunk width for a shape, when the
+    tuned table records one (the optional 5th entry element); None means
+    "use chunk_k" (the built-in behavior).  Narrower diagonal chunks
+    trade VPU efficiency for trace-time skipping of above-diagonal work
+    items inside the diagonal block — a measured win at small causal
+    grids where diagonal blocks dominate (see tools/autotune.py)."""
+    tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked))
+    if tuned is not None and len(tuned) == 5 and tuned[4] != tuned[3]:
+        return tuned[4]
+    return None
 
 
 def _compute_parts(
@@ -313,8 +337,21 @@ def _compute_parts(
     ledge_static: bool = False,
     scale_group: int | None = None,
     ml_scr=None,
+    vt: bool = False,
 ):
     """One KV block: the pipelined (sub-tile x chunk) split-softmax.
+
+    ``vt`` (transposed formulation, the d<=64 MXU rescue): every tile is
+    transposed — scores are S^T = K.Q^T [chunk, sub_q] and the PV matmul
+    is O^T = V^T.P^T [d_v, sub_q].  At head_dim 64 the NORMAL orientation
+    runs both matmuls at half MXU utilization (QK's contraction depth 64
+    half-fills the 128-deep systolic array; PV's 64 output lanes waste
+    half the array width even when padded).  Transposing moves sub_q
+    (=128) onto the PV matmul's lane axis, so PV runs at the FULL bf16
+    rate; QK keeps its 64-deep contraction either way (measured:
+    tools/probe_mxu.py, "transposed formulation" section).  Q arrives as
+    [d, block_q] blocks, V as [d_v, block_k], q scales as rows
+    [1, block_q]; reductions go over sublanes; masks/iotas swap axes.
 
     Returns per-sub-tile lists of independent (m_c, l_c, pv_c) partials.
 
@@ -340,6 +377,10 @@ def _compute_parts(
     SMEM scale index is derived from the chunk's global column."""
     if scale_group is None:
         scale_group = chunk_k
+    # the softmax-reduction (kv) axis of a score tile; q rows live on the
+    # other axis.  All reductions below use keepdims so the same code
+    # yields [sub_q, 1] (normal) or [1, sub_q] (vt) broadcast shapes.
+    red = 0 if vt else 1
     if q_fold is not None:
         # Q arrives UNQUANTIZED (bf16): quantize per row in-register —
         # bit-identical to the quant_q_per_token prologue (same amax /
@@ -350,16 +391,32 @@ def _compute_parts(
         q_qmax = 7.0 if qk_int4 else 127.0
         subs, qs_subs = [], []
         for i in range(n_sub):
-            qb = q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :].astype(
-                jnp.float32
-            )
-            amax = jnp.max(jnp.abs(qb), axis=1)[:, None]
+            if vt:
+                # transposed Q block [d, block_q]: q rows are COLUMNS, so
+                # the per-row amax reduces over sublanes
+                qb = q_ref[0, 0, :, i * sub_q:(i + 1) * sub_q].astype(
+                    jnp.float32
+                )
+            else:
+                qb = q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :].astype(
+                    jnp.float32
+                )
+            # the head-dim axis of the Q tile (0 when transposed, 1
+            # normally — coincides with ``red``'s value)
+            amax = jnp.max(jnp.abs(qb), axis=red, keepdims=True)
             scale, r = inv_scale(amax, q_qmax)
             qi8 = jnp.clip(
                 round_half_away(qb * r), -q_qmax, q_qmax
             ).astype(jnp.int8)
             subs.append(qi8)
             qs_subs.append(scale * q_fold)
+    elif vt:
+        subs = [
+            q_ref[0, 0, :, i * sub_q:(i + 1) * sub_q] for i in range(n_sub)
+        ]
+        qs_subs = [
+            qs_ref[0, 0, :, i * sub_q:(i + 1) * sub_q] for i in range(n_sub)
+        ]
     else:
         subs = [
             q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :] for i in range(n_sub)
@@ -388,6 +445,15 @@ def _compute_parts(
             # (reference int4 MMA: csrc/mma.cuh:429-527 s4s4s32).
             qq = qq.astype(jnp.int4)
             k = k.astype(jnp.int4)
+        if vt:
+            # S^T = K . Q^T: K [chunk, d] streams through the MXU while
+            # the small Q^T [d, sub_q] is the stationary operand
+            return jax.lax.dot_general(
+                k,
+                qq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [chunk_k, sub_q] int32
         return jax.lax.dot_general(
             qq,
             k,
@@ -398,8 +464,11 @@ def _compute_parts(
     def soft_pv(item, s_i32):
         """Independent chunk softmax: returns (m_c, l_c, pv_c, dead_mask)."""
         qi, c = item
-        qs = qs_subs[qi]  # [sub_q, 1] f32, sm_scale*log2e folded
+        qs = qs_subs[qi]  # [sub_q, 1] f32 ([1, sub_q] in vt), folded
 
+        # score-tile axes: q rows on axis 0 and kv columns on axis 1
+        # normally; swapped under vt
+        kv_ax, q_ax = (0, 1) if vt else (1, 0)
         mask = None
         if mask_ref is not None:
             # explicit bool mask block (int8 storage; the reference's
@@ -422,31 +491,43 @@ def _compute_parts(
             # static relative offsets: the block's global row/col offsets
             # cancel (kv_idx * block_k == q_idx * block_q on the diagonal)
             if (c + 1) * chunk_k - 1 > qi * sub_q:  # straddles the diagonal
-                row = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
-                cm = (col + c * chunk_k) <= (row + qi * sub_q)
+                kvi = jax.lax.broadcasted_iota(
+                    jnp.int32, s_i32.shape, kv_ax
+                )
+                qqi = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, q_ax)
+                cm = (kvi + c * chunk_k) <= (qqi + qi * sub_q)
                 mask = cm if mask is None else jnp.logical_and(mask, cm)
         elif ledge_static:
             # block-aligned window left edge: offsets cancel the same way
             # (kv_idx * block_k == q_idx * block_q - window), leaving the
             # strict upper triangle live
             if c * chunk_k <= qi * sub_q + sub_q - 1:  # straddles
-                row = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
-                cm = (col + c * chunk_k) > (row + qi * sub_q)
+                kvi = jax.lax.broadcasted_iota(
+                    jnp.int32, s_i32.shape, kv_ax
+                )
+                qqi = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, q_ax)
+                cm = (kvi + c * chunk_k) > (qqi + qi * sub_q)
                 mask = cm if mask is None else jnp.logical_and(mask, cm)
         elif causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, 1)
-            gcol = col + kv_idx * block_k + c * chunk_k
-            grow = row + q_idx * block_q + qi * sub_q
-            cm = gcol <= grow
+            kvi = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, kv_ax)
+            qqi = jax.lax.broadcasted_iota(jnp.int32, s_i32.shape, q_ax)
+            gkv = kvi + kv_idx * block_k + c * chunk_k
+            gq = qqi + q_idx * block_q + qi * sub_q
+            cm = gkv <= gq
             if window is not None:
                 # sliding window: key j visible iff q - W < j <= q
-                cm = jnp.logical_and(cm, gcol > grow - window)
+                cm = jnp.logical_and(cm, gkv > gq - window)
             mask = cm if mask is None else jnp.logical_and(mask, cm)
 
-        lazy = not p_int8
+        # Lazy softmax only on UNMASKED work items: computing m_ref from
+        # an unmasked first chunk risks silently zeroing live rows when
+        # masked columns carry spuriously large logits, and computing it
+        # from a masked chunk risks exp2 overflow when the chunk is fully
+        # dead — masked items take the exact per-chunk max instead (they
+        # are the small minority: diagonal straddles, window edges,
+        # segment boundaries).  The merge handles mixed lazy/exact
+        # partials exactly.
+        lazy = not p_int8 and mask is None
         if k_scale_blocked and cbias_ref is None:
             # FAST PATH: one K scale per chunk from SMEM; dequantization
             # is one fused multiply feeding exp2.
@@ -479,30 +560,31 @@ def _compute_parts(
             # LAZY SOFTMAX REFERENCE: the per-chunk row-max pass — one of
             # the four VPU passes over every [sub, chunk] score tile — is
             # replaced by a per-sub-tile reference m_ref computed ONCE
-            # from the sub-tile's first chunk (raw row max joined with the
-            # running block max in ml_scr).  exp2 against a trailing
-            # reference is safe: p may exceed 1, but f32/bf16 carry
-            # exponents to 2^127, so correctness holds for any within-
-            # block logit spread < ~120 base-2 units (a softmax with
-            # spread > 30 is already one-hot; the fp32 oracle itself
-            # degrades long before 120).  Masked entries are NOT given a
-            # sentinel — their p is zeroed by one select below, and a
-            # fully-dead row simply accumulates l == 0 (the epilogue
-            # already emits 0 / -inf LSE for l == 0).  The merge is
-            # unchanged: every partial of the sub-tile reports m_ref as
-            # its max, so _merge_into_scratch's max-of-maxes collapses to
-            # m_ref and the per-chunk rescale weights become exp2(0).
+            # from the sub-tile's first unmasked chunk (raw row max joined
+            # with the running block max in ml_scr).  exp2 against a
+            # trailing reference is safe: p may exceed 1, but f32/bf16
+            # carry exponents to 2^127, so correctness holds for any
+            # within-block logit spread < ~120 base-2 units (a softmax
+            # with spread > 30 is already one-hot; the fp32 oracle itself
+            # degrades long before 120) — certified at the boundary by
+            # tests/test_lazy_softmax.py.  The merge is unchanged: every
+            # lazy partial of the sub-tile reports m_ref as its max, so
+            # _merge_into_scratch's max-of-maxes collapses to m_ref and
+            # the per-chunk rescale weights become exp2(0).
             m_ref = m_ref_map.get(qi)
             if m_ref is None:
                 if sf is None:
-                    raw = jnp.max(s_i32, axis=1)[:, None]
+                    raw = jnp.max(s_i32, axis=red, keepdims=True)
                     m_c0 = raw.astype(jnp.float32) * rowscale
                 else:
-                    m_c0 = jnp.max(sf, axis=1)[:, None]
+                    m_c0 = jnp.max(sf, axis=red, keepdims=True)
                 if ml_scr is not None:
                     # multi-step grid: join the running block max so the
                     # reference never regresses across KV blocks
-                    m_prev = ml_scr[qi * sub_q:(qi + 1) * sub_q, 0:1]
+                    if vt:
+                        m_prev = ml_scr[0:1, qi * sub_q:(qi + 1) * sub_q]
+                    else:
+                        m_prev = ml_scr[qi * sub_q:(qi + 1) * sub_q, 0:1]
                     m_c0 = jnp.maximum(m_prev, m_c0)
                 m_ref = m_c0
                 m_ref_map[qi] = m_ref
@@ -512,17 +594,16 @@ def _compute_parts(
                 )
             else:
                 p = jnp.exp2(sf - m_ref)
-            if mask is not None:
-                p = jnp.where(mask, p, 0.0)
             m_c = m_ref
         else:
             # exact per-chunk max (p_int8 requires p <= 1 for its fixed
-            # 127 scale; also the interpret-mode reference semantics)
+            # 127 scale; also any item carrying a mask, and the
+            # interpret-mode reference semantics)
             dead = None
             if sf is None:
                 if mask is not None:
                     s_i32 = jnp.where(mask, s_i32, MASK_I32)
-                imax = jnp.max(s_i32, axis=1)[:, None]
+                imax = jnp.max(s_i32, axis=red, keepdims=True)
                 if mask is not None:
                     # live rows cannot reach the sentinel
                     dead = imax == MASK_I32
@@ -531,7 +612,7 @@ def _compute_parts(
             else:
                 if mask is not None:
                     sf = jnp.where(mask, sf, MASK_VALUE)
-                m_c = jnp.max(sf, axis=1)[:, None]
+                m_c = jnp.max(sf, axis=red, keepdims=True)
                 if mask is not None:
                     dead = m_c == MASK_VALUE
                 p = jnp.exp2(sf - m_c)
@@ -541,7 +622,10 @@ def _compute_parts(
                 p = jnp.where(mask, p, 0.0)
                 m_c = jnp.where(dead, NEG_INIT, m_c)
 
-        v = v_ref[0, 0, cb[c][0]:cb[c][1], :]
+        if vt:
+            v = v_ref[0, 0, :, cb[c][0]:cb[c][1]]  # [d_v, chunk] (V^T)
+        else:
+            v = v_ref[0, 0, cb[c][0]:cb[c][1], :]
         if p_int8:
             # Quantized-P PV: the int8 MXU runs ~1.9x bf16 on this chip
             # (measured roofline 343 vs 178 TOPS), so P is requantized
@@ -558,6 +642,19 @@ def _compute_parts(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * (1.0 / 127.0)  # [sub_q, d_v]
+        elif vt:
+            # O^T = V^T . P^T: stationary operand P^T [chunk, sub_q] has
+            # a FULL 128-deep contraction and FULL 128 lanes — the d=64
+            # MXU rescue (the normal orientation wastes half the array
+            # on d_v = 64 output lanes)
+            if v_needs_cast:
+                v = v.astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                v,
+                p.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [d_v, sub_q] f32
         else:
             if v_needs_cast:
                 v = v.astype(jnp.bfloat16)
@@ -577,7 +674,7 @@ def _compute_parts(
             # with the quantized numerator.
             l_c = pv[:, rowsum_lane:rowsum_lane + 1]
         else:
-            l_c = jnp.sum(p, axis=1)[:, None]
+            l_c = jnp.sum(p, axis=red, keepdims=True)
         return m_c, l_c, pv
 
     # Software pipeline over work items (chunk-major round robin): the QK
@@ -624,28 +721,41 @@ def _merge_parts(ps, m_to=None):
     for m_c, l_c, pv_c in ps:
         w = jnp.exp2(m_c - m)
         l = l + w * l_c
-        acc = acc + pv_c * w[:, :1]
+        # w is [sub_q, 1] (normal) or [1, sub_q] (vt); either broadcasts
+        # against its pv_c orientation directly
+        acc = acc + pv_c * w
     return m, l, acc
 
 
-def _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr):
+def _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr, vt=False):
     """Merge per-sub-tile partials into the running cross-KV-block state.
 
     ``ml_scr`` packs the running row max (lane 0) and row sum (lane 1)
     into ONE (block_q, 128) scratch — separate buffers would each pad to
-    128 lanes and waste a megabyte at block_q = 2048."""
+    128 lanes and waste a megabyte at block_q = 2048.  Under ``vt`` the
+    scratch transposes to (8, block_q): the max in sublane ROW 0, the sum
+    in row 1, and ``acc_scr`` is the transposed (d_v, block_q) running O^T."""
     for qi in range(n_sub):
         rows = slice(qi * sub_q, (qi + 1) * sub_q)
         m_blk = parts[qi][0][0]
         for m_c, _, _ in parts[qi][1:]:
             m_blk = jnp.maximum(m_blk, m_c)
-        m_prev = ml_scr[rows, 0:1]
-        m_next = jnp.maximum(m_prev, m_blk)
-        _, l_blk, acc_blk = _merge_parts(parts[qi], m_to=m_next)
-        alpha = jnp.exp2(m_prev - m_next)
-        ml_scr[rows, 0:1] = m_next
-        ml_scr[rows, 1:2] = alpha * ml_scr[rows, 1:2] + l_blk
-        acc_scr[rows, :] = acc_scr[rows, :] * alpha[:, :1] + acc_blk
+        if vt:
+            m_prev = ml_scr[0:1, rows]
+            m_next = jnp.maximum(m_prev, m_blk)
+            _, l_blk, acc_blk = _merge_parts(parts[qi], m_to=m_next)
+            alpha = jnp.exp2(m_prev - m_next)
+            ml_scr[0:1, rows] = m_next
+            ml_scr[1:2, rows] = alpha * ml_scr[1:2, rows] + l_blk
+            acc_scr[:, rows] = acc_scr[:, rows] * alpha + acc_blk
+        else:
+            m_prev = ml_scr[rows, 0:1]
+            m_next = jnp.maximum(m_prev, m_blk)
+            _, l_blk, acc_blk = _merge_parts(parts[qi], m_to=m_next)
+            alpha = jnp.exp2(m_prev - m_next)
+            ml_scr[rows, 0:1] = m_next
+            ml_scr[rows, 1:2] = alpha * ml_scr[rows, 1:2] + l_blk
+            acc_scr[rows, :] = acc_scr[rows, :] * alpha[:, :1] + acc_blk
 
 
 def _kernel(
@@ -690,6 +800,7 @@ def _kernel(
     out_dtype,
     kv_shift: int | None = None,
     fold: int | None = None,
+    vt: bool = False,
 ):
     q_idx = pl.program_id(2)
     g_idx = pl.program_id(3)
@@ -715,7 +826,10 @@ def _kernel(
     @pl.when(init)
     def _init():
         ml_scr[...] = jnp.zeros_like(ml_scr)
-        ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], NEG_INIT)
+        if vt:
+            ml_scr[0:1, :] = jnp.full_like(ml_scr[0:1, :], NEG_INIT)
+        else:
+            ml_scr[:, 0:1] = jnp.full_like(ml_scr[:, 0:1], NEG_INIT)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # per-(q block, kv block) liveness from the mask summary: fully-masked
@@ -759,6 +873,7 @@ def _kernel(
         window=window,
         rowsum_lane=rowsum_lane,
         ml_scr=ml_scr,
+        vt=vt,
     )
 
     if causal and block_q == block_k:
@@ -806,7 +921,7 @@ def _kernel(
             parts = _compute_parts(
                 q_idx=q_idx, kv_idx=kv_idx, causal=False, **common
             )
-            _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
+            _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr, vt)
 
         # Edge regions run half-width chunks: Mosaic allocates the
         # pl.when regions' buffers additively, so the edge tiles must be
@@ -828,7 +943,7 @@ def _kernel(
                     q_idx=q_idx, kv_idx=kv_idx, causal=True, **half
                 )
                 _merge_into_scratch(
-                    parts, n_sub, sub_q, ml_scr, acc_scr
+                    parts, n_sub, sub_q, ml_scr, acc_scr, vt
                 )
 
         if window is None or aligned:
@@ -838,7 +953,7 @@ def _kernel(
                     q_idx=q_idx, kv_idx=kv_idx, causal=False,
                     diag_static=True, **half
                 )
-                _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
+                _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr, vt)
 
         if aligned:
             @pl.when(_and_live(kv_idx + m_blocks == q_idx))
@@ -847,7 +962,7 @@ def _kernel(
                     q_idx=q_idx, kv_idx=kv_idx, causal=False,
                     ledge_static=True, **half
                 )
-                _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
+                _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr, vt)
 
     else:
         if causal:
@@ -869,7 +984,7 @@ def _kernel(
             parts = _compute_parts(
                 q_idx=q_idx, kv_idx=kv_idx, causal=causal, **common
             )
-            _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr)
+            _merge_into_scratch(parts, n_sub, sub_q, ml_scr, acc_scr, vt)
 
     if causal:
         last_kv = jnp.minimum(
@@ -880,6 +995,28 @@ def _kernel(
 
     @pl.when(kv_idx == last_kv)
     def _epilogue():
+        if vt:
+            # transposed state: l/m are sublane rows of ml_scr, the
+            # output block is O^T [d_out, block_q], per-channel v scale /
+            # mean broadcast as COLUMNS
+            l = ml_scr[1:2, :]
+            l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            d_out = o_ref.shape[-2]
+            o = acc_scr[:d_out, :] * l_inv
+            if has_v_scale:
+                o = o * vs_ref[0, 0, :d_out, :]  # [d, 1] per-channel
+            if has_v_mean:
+                o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[
+                    0, 0, :d_out, :
+                ]
+            o_ref[0, 0] = o.astype(out_dtype)
+            if return_lse:
+                lse_ref[0, 0] = (
+                    jnp.where(l == 0.0, -jnp.inf,
+                              jnp.log2(jnp.maximum(l, 1e-45)))
+                    + ml_scr[0:1, :]
+                )
+            return
         l = ml_scr[:, 1:2]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         d_out = o_ref.shape[-1]
@@ -940,6 +1077,7 @@ def _kernel_single(
     window: int | None,
     rowsum_lane: int | None,
     out_dtype,
+    vt: bool = False,
 ):
     """Single-KV-step specialization (the whole KV row fits one grid step):
     no scratch round-trips, no pl.when regions — the fastest configuration
@@ -1018,7 +1156,32 @@ def _kernel_single(
         q_fold=q_fold,
         window=window,
         rowsum_lane=rowsum_lane,
+        vt=vt,
     )
+    if vt:
+        d_out = o_ref.shape[-2]
+        for qi in range(n_sub):
+            rows = slice(qi * sub_q, (qi + 1) * sub_q)
+            m, l, acc = _merge_parts(parts[qi])
+            if masked:
+                l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+            else:
+                l_inv = 1.0 / l
+            o = acc[:d_out, :] * l_inv
+            if has_v_scale:
+                o = o * vs_ref[0, 0, :d_out, :]
+            if has_v_mean:
+                o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[
+                    0, 0, :d_out, :
+                ]
+            o_ref[0, 0, :, rows] = o.astype(out_dtype)
+            if return_lse:
+                lse_ref[0, 0, :, rows] = (
+                    jnp.where(l == 0.0, -jnp.inf,
+                              jnp.log2(jnp.maximum(l, 1e-45)))
+                    + m
+                )
+        return
     d_out = o_ref.shape[-1]
     for qi in range(n_sub):
         rows = slice(qi * sub_q, (qi + 1) * sub_q)
@@ -1044,6 +1207,7 @@ def _kernel_single(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "vt",
         "is_causal",
         "pv_dtype",
         "pv_compute",
@@ -1078,6 +1242,7 @@ def sage_attention_fused(
     attn_mask_i8: jax.Array | None = None,
     k_mean: jax.Array | None = None,
     *,
+    vt: bool = False,
     k_inkernel: bool = False,
     is_causal: bool = False,
     pv_dtype: str = "int8",
@@ -1117,10 +1282,38 @@ def sage_attention_fused(
     Multi-KV-step grids also get a per-(q block, kv block) liveness
     summary in SMEM so fully-masked KV blocks skip all compute.
 
+    ``vt`` (transposed formulation — the d<=64 MXU rescue, see
+    :func:`_compute_parts`): q_i8 arrives TRANSPOSED [b,hq,d,sq] (int8,
+    or bf16 with ``q_fold``), v_q arrives transposed [b,hkv,d_v,sk];
+    k_i8/k_scale/q_scale keep their normal layouts (k_scale must be the
+    per-chunk fast path).  The return value is UNCHANGED —
+    [b,hq,sq,d] — via one XLA transpose of the kernel's O^T output
+    (fused into the consumer in real models).  v1 scope: explicit
+    attn_mask / segments / positions / smooth-q bias / per-row K scales /
+    p_int8 / k_inkernel fall back to the normal orientation in core.py.
+
     Returns o [b,hq,sq,d] (and base-2 LSE [b,hq,sq] fp32 if return_lse).
     """
-    b, hq, sq, d = q_i8.shape
-    d_v = v_q.shape[-1]
+    if vt:
+        b, hq, d, sq = q_i8.shape
+        d_v = v_q.shape[-2]
+        unsupported = [
+            name for name, val in (
+                ("attn_mask_i8", attn_mask_i8),
+                ("q_segment_ids", q_segment_ids),
+                ("q_positions", q_positions),
+                ("score_col_bias", score_col_bias),
+            ) if val is not None
+        ]
+        if unsupported or pv_compute == "int8" or k_inkernel:
+            raise ValueError(
+                f"vt=True does not support {unsupported or pv_compute} "
+                "— core.py routes these to the normal orientation"
+            )
+        assert rowsum_lane is None, "vt computes l on the VPU"
+    else:
+        b, hq, sq, d = q_i8.shape
+        d_v = v_q.shape[-1]
     assert rowsum_lane is None or d <= rowsum_lane < d_v
     hkv, sk = k_i8.shape[1], k_i8.shape[2]
     assert hq % hkv == 0, (hq, hkv)
@@ -1156,6 +1349,12 @@ def sage_attention_fused(
             raise ValueError(
                 f"k_scale last dim {k_scale.shape[-1]} must be kv_len "
                 f"{sk} (per-row) or n_chunks {n_chunks_total} (per-chunk)"
+            )
+        if vt and not k_scale_blocked:
+            raise ValueError(
+                "vt=True requires per-chunk K scales (per-row scales "
+                "would broadcast over sublanes; core.py routes per-row "
+                "granularities to the normal orientation)"
             )
 
     has_v_scale = v_scale is not None
@@ -1314,27 +1513,59 @@ def sage_attention_fused(
         assert k_scale is None and k_i8.dtype != jnp.int8, (
             "k_inkernel takes unquantized K and no k_scale"
         )
-    in_specs = [mk((1, 1, block_q, d), qm)]
-    inputs = [q_i8]
-    if has_q_scale:
-        in_specs.append(mk((1, 1, block_q, 1), qm))
-        inputs.append(q_scale.astype(jnp.float32)[..., None])  # [b,hq,sq,1]
-    in_specs.append(mk((1, 1, block_k, d), km))
-    inputs.append(k_i8)
-    if not k_inkernel:
+    def qm_t(ib, ih, iq, ik):
+        # transposed q/o blocks: the q-block index rides the LAST axis
+        return (ib, ih, 0, iq)
+
+    if vt:
+        in_specs = [mk((1, 1, d, block_q), qm_t)]
+        inputs = [q_i8]
+        if has_q_scale:
+            in_specs.append(mk((1, 1, 1, block_q), qm_t))
+            inputs.append(
+                q_scale.astype(jnp.float32)[:, :, None, :]  # [b,hq,1,sq]
+            )
+        in_specs.append(mk((1, 1, block_k, d), km))
+        inputs.append(k_i8)
         in_specs.append(ks_spec)
         inputs.append(ks_in)
-    in_specs.append(mk((1, 1, block_k, d_v), km))
-    inputs.append(v_q)
-    vchan_spec = mk(
-        (1, 1, 1, d_v), lambda ib, ih, iq, ik: (ib, ih // group, 0, 0)
-    )
-    if has_v_scale:
-        in_specs.append(vchan_spec)
-        inputs.append(v_scale.astype(jnp.float32)[:, :, None, :])
-    if has_v_mean:
-        in_specs.append(vchan_spec)
-        inputs.append(v_mean.astype(jnp.float32)[:, :, None, :])
+        # V^T blocks [d_v, block_k] share the K-scale index map (head
+        # divided by the GQA group, kv block possibly causal-clamped)
+        in_specs.append(mk((1, 1, d_v, block_k), ksm))
+        inputs.append(v_q)
+        vchan_spec = mk(
+            (1, 1, d_v, 1), lambda ib, ih, iq, ik: (ib, ih // group, 0, 0)
+        )
+        if has_v_scale:
+            in_specs.append(vchan_spec)
+            inputs.append(v_scale.astype(jnp.float32)[:, :, :, None])
+        if has_v_mean:
+            in_specs.append(vchan_spec)
+            inputs.append(v_mean.astype(jnp.float32)[:, :, :, None])
+    else:
+        in_specs = [mk((1, 1, block_q, d), qm)]
+        inputs = [q_i8]
+        if has_q_scale:
+            in_specs.append(mk((1, 1, block_q, 1), qm))
+            inputs.append(
+                q_scale.astype(jnp.float32)[..., None]  # [b,hq,sq,1]
+            )
+        in_specs.append(mk((1, 1, block_k, d), km))
+        inputs.append(k_i8)
+        if not k_inkernel:
+            in_specs.append(ks_spec)
+            inputs.append(ks_in)
+        in_specs.append(mk((1, 1, block_k, d_v), km))
+        inputs.append(v_q)
+        vchan_spec = mk(
+            (1, 1, 1, d_v), lambda ib, ih, iq, ik: (ib, ih // group, 0, 0)
+        )
+        if has_v_scale:
+            in_specs.append(vchan_spec)
+            inputs.append(v_scale.astype(jnp.float32)[:, :, None, :])
+        if has_v_mean:
+            in_specs.append(vchan_spec)
+            inputs.append(v_mean.astype(jnp.float32)[:, :, None, :])
     if has_segments:
         in_specs.append(
             mk((1, block_q, 1), lambda ib, ih, iq, ik: (ib, iq, 0))
@@ -1419,11 +1650,24 @@ def sage_attention_fused(
         )
         inputs.append(k_mean.astype(jnp.float32)[:, :, None, :])
 
-    out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype)]
-    out_specs = [mk((1, 1, block_q, d), qm)]
-    if return_lse:
-        out_shape.append(jax.ShapeDtypeStruct((b, hq, sq, 1), jnp.float32))
-        out_specs.append(mk((1, 1, block_q, 1), qm))
+    if vt:
+        # the kernel writes O^T; one XLA swapaxes below restores the
+        # public [b,hq,sq,d] layout (fused into the consumer in models)
+        out_shape = [jax.ShapeDtypeStruct((b, hq, d, sq), out_dtype)]
+        out_specs = [mk((1, 1, d, block_q), qm_t)]
+        if return_lse:
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, hq, 1, sq), jnp.float32)
+            )
+            out_specs.append(mk((1, 1, 1, block_q), qm_t))
+    else:
+        out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype)]
+        out_specs = [mk((1, 1, block_q, d), qm)]
+        if return_lse:
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, hq, sq, 1), jnp.float32)
+            )
+            out_specs.append(mk((1, 1, block_q, 1), qm))
 
     statics = dict(
         causal=is_causal,
@@ -1444,6 +1688,7 @@ def sage_attention_fused(
         window=window,
         rowsum_lane=rowsum_lane,
         out_dtype=out_dtype,
+        vt=vt,
     )
     if single_step:
         inner = functools.partial(
@@ -1518,10 +1763,18 @@ def sage_attention_fused(
                 ]
                 if k_inkernel else []
             )
-            if single_step else [
-                pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
-                pltpu.VMEM((block_q, d_v), jnp.float32),
-            ]
+            if single_step else (
+                [
+                    # transposed running state: (m; l) in sublane rows
+                    # 0/1 and O^T accumulator
+                    pltpu.VMEM((8, block_q), jnp.float32),
+                    pltpu.VMEM((d_v, block_q), jnp.float32),
+                ]
+                if vt else [
+                    pltpu.VMEM((block_q, MIN_LANES), jnp.float32),
+                    pltpu.VMEM((block_q, d_v), jnp.float32),
+                ]
+            )
         ),
         compiler_params=pltpu.CompilerParams(
             # with in-kernel K quant the q axis carries scratch state
@@ -1543,6 +1796,11 @@ def sage_attention_fused(
         ),
         interpret=interpret,
     )(*inputs)
+    if vt:
+        o = jnp.swapaxes(outs[0], 2, 3)
+        if return_lse:
+            return o, outs[1][:, :, 0, :]
+        return o
     if return_lse:
         return outs[0], outs[1][..., 0]
     return outs[0]

@@ -173,7 +173,11 @@ def decode_step_body(
     psc, pr = inv_scale(pmax, p_qmax)
     if packed:
         v4 = _bitcast_int4_tokens(v_ref[0, 0], interpret)  # [chunk, d]
-        p_int = round_half_away(pe * pr)                   # pe >= 0
+        # clip before the int4 split (mirrors the Q-side clip): with
+        # exact inv_scale arithmetic p_int <= 119, but one fp ulp above
+        # would split to a = 8, which wraps to -8 in int4 and flips the
+        # sign of the 16x-weighted operand (ADVICE r3)
+        p_int = jnp.clip(round_half_away(pe * pr), 0.0, p_qmax)  # pe >= 0
         pa, pb = _split_int4(p_int, interpret)
         dims = (((1,), (0,)), ((), ()))
         pv = (

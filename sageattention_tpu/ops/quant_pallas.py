@@ -208,6 +208,112 @@ def quant_k_chunked(
 
 
 # --------------------------------------------------------------------------
+# K: ONE-READ fused mean + per-chunk quantization (whole slab per step)
+# --------------------------------------------------------------------------
+
+# input-slab cap for the single-pass fused K quantizer (see _V_VMEM_BYTES
+# on Mosaic's temporary-allocation multiplier)
+_K_FUSED_BYTES = 4 * 2**20
+
+
+def _quant_k_fused_kernel(
+    k_ref, o_ref, s_ref, km_ref, *, qmax, group, n_chunks, smooth
+):
+    i = pl.program_id(0)
+    x = k_ref[0].astype(jnp.float32)  # [s, d]
+    if smooth:
+        km = jnp.mean(x, axis=0, keepdims=True)  # [1, d]
+        x = x - km
+        km_ref[0] = km
+    for c in range(n_chunks):
+        rows = slice(c * group, (c + 1) * group)
+        xc = x[rows, :]
+        amax = jnp.max(jnp.abs(xc))
+        scale, r = _inv_scale(amax, qmax)
+        o_ref[0, rows, :] = jnp.clip(
+            _round_half_away(xc * r), -qmax, qmax
+        ).astype(jnp.int8)
+        s_ref[0, c] = scale
+
+
+def k_fused_eligible(s: int, d: int, group: int) -> bool:
+    """Shapes the one-read fused K prologue handles (see fallback note
+    in :func:`quant_k_fused_mean`)."""
+    return s % group == 0 and s * d * 2 <= _K_FUSED_BYTES
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "bits", "smooth", "interpret")
+)
+def quant_k_fused_mean(
+    k: jax.Array,
+    *,
+    group: int,
+    bits: int = 8,
+    smooth: bool = True,
+    interpret: bool = False,
+):
+    """ONE-pass K prologue: [b,h,s,d] -> (int8 [b,h,s,d], per-chunk
+    scales [b,h,s/group], channel mean km [b,h,d] | None).
+
+    Replaces the XLA ``k.mean`` pass + :func:`quant_k_chunked` (two HBM
+    reads of K) with a single read: a whole (b, h) K slab is VMEM-
+    resident per grid step, so the mean reduce, the smooth_k subtraction,
+    the per-chunk amax, and the int8 cast all run on the resident slab
+    (the reference fuses the same chain on the SM tile:
+    quant_per_block_int8_fuse_sub_mean_cuda, csrc/fused/fused.cu:594-682).
+    The chain is bit-identical to ``jnp.mean`` + ``quant_k_chunked``
+    except the mean's accumulation order (ULP-level).
+
+    Falls back to the two-pass path for slabs over ``_K_FUSED_BYTES``
+    (Mosaic materializes the f32 slab ~3x during the chain) or ragged
+    sequences — callers gate on :func:`k_fused_eligible`.
+    """
+    b, h, s, d = k.shape
+    assert k_fused_eligible(s, d, group), (s, d, group)
+    qmax = 7.0 if bits == 4 else 127.0
+    n_chunks = s // group
+    k3 = k.reshape(b * h, s, d)
+    out_shape = [
+        jax.ShapeDtypeStruct((b * h, s, d), jnp.int8),
+        jax.ShapeDtypeStruct((b * h, n_chunks), jnp.float32),
+        jax.ShapeDtypeStruct((b * h, 1, d), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, n_chunks), lambda i: (i, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+    ]
+    if not smooth:
+        out_shape = out_shape[:2]
+        out_specs = out_specs[:2]
+
+    def kernel(k_ref, o_ref, s_ref, km_ref=None):
+        _quant_k_fused_kernel(
+            k_ref, o_ref, s_ref, km_ref, qmax=qmax, group=group,
+            n_chunks=n_chunks, smooth=smooth,
+        )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b * h,),
+        in_specs=[pl.BlockSpec((1, s, d), lambda i: (i, 0, 0))],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 2**20,
+        ),
+        interpret=interpret,
+    )(k3)
+    k_i8 = outs[0].reshape(b, h, s, d)
+    scales = outs[1].reshape(b, h, n_chunks)
+    km = outs[2].reshape(b, h, d) if smooth else None
+    return k_i8, scales, km
+
+
+# --------------------------------------------------------------------------
 # V: per-channel scales (+ optional mean), whole sequence per grid step
 # --------------------------------------------------------------------------
 

@@ -169,6 +169,53 @@ class TestQuantPallas:
             np.asarray(got_s), np.asarray(ref_s), rtol=1e-6
         )
 
+    def test_k_fused_mean_matches_two_pass(self):
+        """One-read fused mean+quant == jnp.mean + chunked spec (the
+        mean accumulation order may differ at ULP level -> allclose on
+        scales/km, exact-or-off-by-one-ulp rounding tolerated via the
+        int8 comparison on a margin-free distribution)."""
+        from sageattention_tpu.ops import quant_pallas
+
+        k = jax.random.normal(
+            jax.random.PRNGKey(7), (2, 3, 256, 64), jnp.float32
+        )
+        km_ref = jnp.mean(k.astype(jnp.float32), axis=-2)
+        ref_i8, ref_s = quant.quant_int8_block_scales(
+            k.astype(jnp.float32) - km_ref[..., None, :], group=128
+        )
+        got_i8, got_s, got_km = quant_pallas.quant_k_fused_mean(
+            k, group=128, smooth=True, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_km), np.asarray(km_ref), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(ref_s), rtol=1e-5
+        )
+        # ULP-level mean differences can flip a rounding on exact .5
+        # boundaries; allow <=1 lsb on <0.1% of elements
+        diff = np.abs(
+            np.asarray(got_i8, np.int32) - np.asarray(ref_i8, np.int32)
+        )
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+
+    def test_k_fused_mean_no_smooth_exact(self):
+        from sageattention_tpu.ops import quant_pallas
+
+        k = jax.random.normal(jax.random.PRNGKey(8), (1, 2, 256, 128))
+        ref_i8, ref_s = quant.quant_int8_block_scales(k, group=128)
+        got_i8, got_s, got_km = quant_pallas.quant_k_fused_mean(
+            k, group=128, smooth=False, interpret=True
+        )
+        assert got_km is None
+        np.testing.assert_array_equal(
+            np.asarray(got_i8), np.asarray(ref_i8)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(ref_s), rtol=1e-6
+        )
+
     def test_k_chunked_unaligned_no_smooth(self):
         from sageattention_tpu.ops import quant_pallas
 

@@ -64,6 +64,26 @@ def test_env_file_load(tmp_path, monkeypatch):
     assert ap.default_config(2048, 2048, 64, True) == (2048, 2048, 128, 2048)
 
 
+def test_five_element_entry_carries_diag_chunk():
+    key = ap.config_key(4096, 4096, 128, True)
+    ap.set_tuned_configs({key: [2048, 2048, 128, 2048, 512]})
+    try:
+        assert ap.default_config(4096, 4096, 128, True) == (
+            2048, 2048, 128, 2048
+        )
+        assert ap.default_diag_chunk(4096, 4096, 128, True) == 512
+        # a redundant or missing 5th element means "use chunk_k" (None)
+        ap.set_tuned_configs({key: [2048, 2048, 128, 2048, 2048]})
+        assert ap.default_diag_chunk(4096, 4096, 128, True) is None
+        ap.set_tuned_configs({key: [2048, 2048, 128, 2048]})
+        assert ap.default_diag_chunk(4096, 4096, 128, True) is None
+        # a 5th element that does not divide chunk_k drops the entry
+        ap.set_tuned_configs({key: [2048, 2048, 128, 2048, 768]})
+        assert ap.default_diag_chunk(4096, 4096, 128, True) is None
+    finally:
+        ap.set_tuned_configs(None)
+
+
 def test_malformed_entries_dropped(tmp_path, monkeypatch):
     path = tmp_path / "tuned.json"
     key_bad3 = ap.config_key(2048, 2048, 64, True)
@@ -139,13 +159,17 @@ def test_candidates_are_valid_and_include_default():
             for causal in (False, True):
                 cands, heuristic_valid = candidates(s, d, causal)
                 assert heuristic_valid
-                assert cands[0] == ap.default_config(s, s, d, causal)
+                # candidates carry the diag-chunk 5th element; the
+                # first must be the heuristic default with dck == ck
+                assert cands[0][:4] == ap.default_config(s, s, d, causal)
+                assert cands[0][4] == cands[0][3]
                 assert len(cands) == len(set(cands))
                 sp = ap._pad128(s)
-                for bq, bk, sub, ck in cands:
+                for bq, bk, sub, ck, dck in cands:
                     assert bq % 128 == 0 and bk % 128 == 0
                     assert bq % sub == 0
                     assert bk % ck == 0
+                    assert ck % dck == 0
                     assert sp % bq == 0 and sp % bk == 0
                     if causal:
                         assert bq == bk  # diagonal-split / fold scheduling
@@ -158,5 +182,5 @@ def test_candidates_never_empty_for_odd_seq():
     cands, heuristic_valid = candidates(1280, 128, False)
     assert cands  # falls back to the minimal 128-tiling
     sp = ap._pad128(1280)
-    for bq, bk, sub, ck in cands:
+    for bq, bk, sub, ck, dck in cands:
         assert sp % bq == 0 and sp % bk == 0

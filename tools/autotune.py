@@ -48,14 +48,16 @@ def candidates(s: int, d: int, causal: bool):
     sp = _pad128(s)
     seen = set()
 
-    def emit(bq, bk, sub, ck):
+    def emit(bq, bk, sub, ck, dck=None):
         bq, bk = min(bq, sp), min(bk, sp)
         ck = min(ck, bk)
-        cfg = (bq, bk, sub, ck)
+        dck = min(dck, ck) if dck else ck
+        cfg = (bq, bk, sub, ck, dck)
         if (
-            bq % 128 or bk % 128 or ck % 128
+            bq % 128 or bk % 128 or ck % 128 or dck % 128
             or bq % sub
             or bk % ck
+            or ck % dck
             or sp % bk
             or sp % bq
             or cfg in seen
@@ -64,14 +66,19 @@ def candidates(s: int, d: int, causal: bool):
         seen.add(cfg)
         yield_list.append(cfg)
 
-    yield_list: list[tuple[int, int, int, int]] = []
+    yield_list: list[tuple[int, int, int, int, int]] = []
     emit(*default_config(s, s, d, causal))
     heuristic_valid = bool(yield_list)
     if causal:
         # equal Q/KV blocks ride the diagonal-split (and fold) scheduling;
         # 4096 explodes Mosaic compile time (measured >9 min) — never try.
+        # The diagonal chunk (dck < ck) trades VPU-efficient wide chunks
+        # for trace-time skipping of above-diagonal work items in the
+        # diagonal block — the dominant waste at small causal grids.
         for blk in (1024, 2048):
-            emit(blk, blk, 128, blk)
+            for dck in (blk, blk // 2, blk // 4):
+                if dck >= 256:
+                    emit(blk, blk, 128, blk, dck)
     else:
         for bq in (512, 1024):
             for bk in (sp, 16384, 8192, 4096):
@@ -158,7 +165,7 @@ def main():
                 default = cands[0] if heuristic_valid else None
                 best, best_t, default_t = None, float("inf"), None
                 for cfg in cands:
-                    bq, bk, sub, ck = cfg
+                    bq, bk, sub, ck, dck = cfg
                     t0 = time.time()
                     try:
                         tops, t = bench_one(
@@ -166,6 +173,7 @@ def main():
                             causal=causal, pv_dtype=args.pv_dtype,
                             quant_gran="auto",
                             block_q=bq, block_k=bk, chunk_k=ck, sub_q=sub,
+                            diag_chunk_k=dck,
                         )
                     except Exception as e:  # OOM / Mosaic reject: skip
                         print(f"  s={s} d={d} causal={causal} {cfg}: "
@@ -183,17 +191,22 @@ def main():
                 if best is None:
                     continue
                 key = config_key(s, s, d, causal)
+                def _trim(cfg):
+                    # drop a redundant 5th element (dck == ck) so plain
+                    # 4-element entries stay the common case
+                    return list(cfg[:4]) if cfg[4] == cfg[3] else list(cfg)
+
                 if default_t is None:
                     # the heuristic default failed to bench (or was not a
                     # valid candidate for this shape): ALWAYS persist the
                     # measured winner — production would otherwise keep
                     # dispatching a config that just failed here
-                    table[key] = list(best)
+                    table[key] = _trim(best)
                     report.append((key, best, float("nan")))
                     continue
                 gain = (default_t - best_t) / default_t
                 if best != default and gain >= args.min_gain:
-                    table[key] = list(best)
+                    table[key] = _trim(best)
                     report.append((key, best, gain))
                 else:
                     # heuristic wins for this shape now: drop any stale

@@ -145,6 +145,12 @@ c4, _ = sa.append_kv(c4, lens0, kd, vd)
 o4 = sa.sageattn_decode(qd, c4, lens)
 ok &= check("decode int4-cache calibrated", o4, jnp.concatenate(refs),
             0.98)
+# int4-vs-int8 parity ON HARDWARE (ADVICE r3): CI only exercises the
+# interpret-mode emulation of pltpu.bitcast nibble unpack and the dual
+# int4 MXU dot; a Mosaic ordering / int4-dot discrepancy would return
+# garbage while CI stays green.  The two caches quantize independently
+# (int4 is coarser), so the bar is cosine, not exactness.
+ok &= check("decode int4 vs int8 parity (hw bitcast)", o4, od, 0.985)
 
 # 12. PROBE: chunked prefill (extend block, t_q=64 with causal tail)
 t_ext = 64
