@@ -109,10 +109,15 @@ def init_kv_cache(
     b: int, h_kv: int, max_len: int, head_dim: int, bits: int = 8
 ) -> QuantKVCache:
     """``bits=4`` stores the cache nibble-packed (2 TOKENS per int8
-    byte, ``pack_token_pairs``): half the HBM footprint AND roughly
-    half the bandwidth-bound decode read time, at ±7 quantization
-    levels (see bench_decode --bits 4 for the measured accuracy/latency
-    trade).  ``max_len`` must be even for the 4-bit cache."""
+    byte, ``pack_token_pairs``): half the HBM footprint, at ±7
+    quantization levels.  Decode latency: MEASURED 1.06-1.3x faster
+    than the int8 cache at 32k (not the naive 2x — the halved bytes
+    stream at a lower effective rate: the dual int4 dots + shift/merge
+    and the [t/2, d] packed-row DMA shape cost real time; numbers in
+    BASELINE.md).  The footprint halving itself is the serving win
+    (2x contexts per HBM byte).  See bench_decode --bits 4 for the
+    accuracy/latency trade.  ``max_len`` must be even for the 4-bit
+    cache."""
     assert bits in (8, 4), bits
     assert bits == 8 or max_len % 2 == 0, max_len
     return QuantKVCache(
