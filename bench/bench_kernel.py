@@ -64,6 +64,9 @@ def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
         )
     rowsum_lane = None
     if vt:
+        # mirror core.py: no ones-row rowsum in the transposed form (l is
+        # a cheap cross-sublane sum there; the ones-row analogue measured
+        # 27% slower — int8 tiling breaks at 72 sublanes)
         q_i8 = jnp.swapaxes(q_i8, 2, 3)
         v_q = jnp.swapaxes(v_q, 2, 3)
     elif d <= 64:

@@ -465,7 +465,12 @@ def _sageattn_hnd(
         score_col_bias = _pad_axis(score_col_bias, 2, sk_pad)
     if use_vt:
         # the kernel consumes Q and V transposed ([d, s] minor) — one XLA
-        # relayout each, fused into the quant prologue's output writes
+        # relayout each, fused into the quant prologue's output writes.
+        # No ones-row rowsum here: in the transposed orientation l is a
+        # cross-SUBLANE reduction (cheap on the VPU, unlike the normal
+        # orientation's cross-lane sum), and the +8 V^T pad rows break
+        # the int8 32-sublane tile — measured 105.2 -> 77.3 TOPS on
+        # 4k-causal hd64 when tried (r4).
         q_i8 = jnp.swapaxes(q_i8, 2, 3)
         v_q = jnp.swapaxes(v_q, 2, 3)
 

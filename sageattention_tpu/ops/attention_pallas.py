@@ -1310,6 +1310,10 @@ def sage_attention_fused(
                 f"vt=True does not support {unsupported or pv_compute} "
                 "— core.py routes these to the normal orientation"
             )
+        # vt computes l as a cross-sublane VPU sum — CHEAP in this
+        # orientation (the normal orientation's free-lane rowsum exists
+        # to avoid the expensive cross-LANE sum; a ones-ROW analogue
+        # measured 27% SLOWER: the +8 pad rows break int8 tiling)
         assert rowsum_lane is None, "vt computes l on the VPU"
     else:
         b, hq, sq, d = q_i8.shape

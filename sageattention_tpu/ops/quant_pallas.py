@@ -233,7 +233,10 @@ def _quant_k_fused_kernel(
         o_ref[0, rows, :] = jnp.clip(
             _round_half_away(xc * r), -qmax, qmax
         ).astype(jnp.int8)
-        s_ref[0, c] = scale
+        # scales live in one flat SMEM row mapped whole at every grid
+        # step (Mosaic rejects a per-row (1, n_chunks) block: sublane
+        # dim 1 is neither 8-divisible nor the full array dim)
+        s_ref[0, i * n_chunks + c] = scale
 
 
 def k_fused_eligible(s: int, d: int, group: int) -> bool:
@@ -276,12 +279,12 @@ def quant_k_fused_mean(
     k3 = k.reshape(b * h, s, d)
     out_shape = [
         jax.ShapeDtypeStruct((b * h, s, d), jnp.int8),
-        jax.ShapeDtypeStruct((b * h, n_chunks), jnp.float32),
+        jax.ShapeDtypeStruct((1, b * h * n_chunks), jnp.float32),
         jax.ShapeDtypeStruct((b * h, 1, d), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, n_chunks), lambda i: (i, 0),
+        pl.BlockSpec((1, b * h * n_chunks), lambda i: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
     ]
@@ -308,7 +311,7 @@ def quant_k_fused_mean(
         interpret=interpret,
     )(k3)
     k_i8 = outs[0].reshape(b, h, s, d)
-    scales = outs[1].reshape(b, h, n_chunks)
+    scales = outs[1].reshape(b, h, n_chunks)  # flat SMEM row, row-major
     km = outs[2].reshape(b, h, d) if smooth else None
     return k_i8, scales, km
 

@@ -1,0 +1,128 @@
+"""Transposed-formulation (vt) kernel parity vs the normal orientation.
+
+The d<=64 MXU rescue (`attention_pallas.sage_attention_fused(vt=True)`)
+computes S^T = K.Q^T and O^T = V^T.P^T; these tests drive both
+orientations on identical quantized inputs (interpret mode) and assert
+output equality to fp rounding plus cosine fidelity vs the fp32 oracle,
+across: single/multi-step grids, the causal fold grid, GQA, block-
+aligned windows (band grid), in-kernel Q quantization, and LSE output.
+Measured motivation + on-hardware numbers: BASELINE.md "hd64" section.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sageattention_tpu import quant
+from sageattention_tpu.ops.attention_pallas import sage_attention_fused
+
+LOG2E = 1.4426950408889634
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+
+
+def _run_pair(b, h, s, d, causal, bq, bk, sub, ck, hkv=None, window=None,
+              q_fold_mode=False, return_lse=False):
+    hkv = hkv or h
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, hkv, s, d),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, hkv, s, d),
+                          jnp.float32)
+    q_i8, qs = quant.quant_int8(
+        q.astype(jnp.bfloat16), granularity="per_token",
+        scale_fold=d**-0.5 * LOG2E)
+    k_i8, ks = quant.quant_int8_block_scales(
+        k.astype(jnp.bfloat16), group=ck)
+    v_q, vs, _ = quant.per_channel_quant(
+        v.astype(jnp.bfloat16), dtype=jnp.int8)
+
+    kw = dict(is_causal=causal, pv_dtype="int8", block_q=bq, block_k=bk,
+              sub_q=sub, chunk_k=ck, window=window,
+              return_lse=return_lse, interpret=True)
+    if q_fold_mode:
+        a_n = dict(q_i8=q.astype(jnp.bfloat16), q_scale=None,
+                   q_fold=d**-0.5 * LOG2E)
+        a_t = dict(q_i8=jnp.swapaxes(q.astype(jnp.bfloat16), 2, 3),
+                   q_scale=None, q_fold=d**-0.5 * LOG2E)
+    else:
+        a_n = dict(q_i8=q_i8, q_scale=qs)
+        a_t = dict(q_i8=jnp.swapaxes(q_i8, 2, 3), q_scale=qs)
+
+    o_n = sage_attention_fused(
+        k_i8=k_i8, k_scale=ks, v_q=v_q, v_scale=vs, **a_n, **kw)
+    o_t = sage_attention_fused(
+        k_i8=k_i8, k_scale=ks, v_q=jnp.swapaxes(v_q, 2, 3), v_scale=vs,
+        vt=True, **a_t, **kw)
+    if return_lse:
+        (o_n, lse_n), (o_t, lse_t) = o_n, o_t
+        np.testing.assert_allclose(
+            np.asarray(lse_n), np.asarray(lse_t), rtol=1e-4, atol=1e-4
+        )
+
+    g = h // hkv
+    kr = jnp.repeat(k, g, axis=1)
+    vr = jnp.repeat(v, g, axis=1)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q, kr) * d**-0.5
+    if causal:
+        ii = jnp.arange(s)
+        m = ii[:, None] >= ii[None, :]
+        if window is not None:
+            m = jnp.logical_and(m, ii[None, :] > ii[:, None] - window)
+        sc = jnp.where(m, sc, -1e30)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1), vr)
+
+    assert _cos(o_t, ref) > 0.999
+    np.testing.assert_allclose(
+        np.asarray(o_n, np.float32), np.asarray(o_t, np.float32),
+        rtol=2e-2, atol=2e-3,
+    )
+
+
+@pytest.mark.parametrize(
+    "name,kwargs",
+    [
+        ("single_step", dict(s=512, causal=False, bq=256, bk=512)),
+        ("single_step_causal", dict(s=512, causal=True, bq=256, bk=512)),
+        ("multi_step", dict(s=1024, causal=False, bq=256, bk=256)),
+        ("fold_grid", dict(s=1024, causal=True, bq=256, bk=256)),
+        ("gqa", dict(s=512, causal=False, bq=256, bk=512, h=4, hkv=2)),
+        ("band_window", dict(s=2048, causal=True, bq=256, bk=256,
+                             window=512)),
+        ("q_fold", dict(s=512, causal=False, bq=256, bk=512,
+                        q_fold_mode=True)),
+        ("lse", dict(s=512, causal=False, bq=256, bk=512,
+                     return_lse=True)),
+        ("fold_lse", dict(s=1024, causal=True, bq=256, bk=256,
+                          return_lse=True)),
+    ],
+)
+def test_vt_matches_normal(name, kwargs):
+    kwargs = dict(kwargs)
+    h = kwargs.pop("h", 2)
+    _run_pair(1, h, kwargs.pop("s"), 64, kwargs.pop("causal"),
+              kwargs.pop("bq"), kwargs.pop("bk"), 128, 256, **kwargs)
+def test_vt_rejects_unsupported():
+    q = jnp.zeros((1, 1, 64, 256), jnp.int8)   # transposed [b,h,d,sq]
+    k = jnp.zeros((1, 1, 256, 64), jnp.int8)
+    v = jnp.zeros((1, 1, 64, 256), jnp.int8)
+    ks = jnp.ones((1, 1, 1), jnp.float32)
+    qs = jnp.ones((1, 1, 256), jnp.float32)
+    mask = jnp.ones((1, 1, 256, 256), jnp.int8)
+    with pytest.raises(ValueError, match="vt=True does not support"):
+        sage_attention_fused(
+            q, qs, k, ks, v, attn_mask_i8=mask, vt=True,
+            block_q=256, block_k=256, chunk_k=256, interpret=True,
+        )
+    # per-row K scales are normal-orientation-only
+    ks_row = jnp.ones((1, 1, 256), jnp.float32)
+    with pytest.raises(ValueError, match="per-chunk K scales"):
+        sage_attention_fused(
+            q, qs, k, ks_row, v, vt=True,
+            block_q=256, block_k=256, chunk_k=256, interpret=True,
+        )

@@ -134,6 +134,12 @@ def main():
             if a.dtype == jnp.int8 else jnp.float32,
         )
 
+    # KNOWN LIMITATION (r4 measured): the int8 QK^T probes at d=64/128
+    # report impossible rates (33k+ TOPS) — Mosaic folds the dependent
+    # chain despite the full-consume accumulator, so ONLY the d=256 row
+    # and the bf16/int8 PV + VPU sections below are trustworthy.  The
+    # honest int8 matmul rate comes from bench.py's max-consumed
+    # 8192^3 roofline (343 TOPS on v5e).
     print("== QK^T int8: [M,d] x [N,d], contraction width d ==")
     for d in (64, 128, 256):
         x, y = mk((M, d), jnp.int8), mk((N, d), jnp.int8)
