@@ -94,6 +94,7 @@ def flash_block_sizes(s):
 
 
 def flash_time(q, k, v, causal, n=10, reps=5):
+    from bench.utils import device_time_carry
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention,
     )
@@ -102,21 +103,24 @@ def flash_time(q, k, v, causal, n=10, reps=5):
         flash_attention, causal=causal,
         block_sizes=flash_block_sizes(q.shape[2]),
     )
-
-    def one(i, c, q, k, v):
-        return fb(q + c.astype(q.dtype) * 1e-12, k, v)
-
-    return device_time(one, (q, k, v), n=n, reps=reps)
+    # carry-perturbed: an additive q perturbation materializes a fresh
+    # 64+ MB copy per iteration (~0.85 ms, see bench/utils) — it was
+    # inflating the BASELINE and flattering the sage ratios
+    return device_time_carry(fb, q, (k, v), n=n, reps=reps)
 
 
 def sage_kernel_time(b, h, s, d, causal, n=10, reps=5):
     from bench.bench_kernel import bench_one
-    from sageattention_tpu.ops.attention_pallas import default_config
+    from sageattention_tpu.ops.attention_pallas import (
+        default_config, default_diag_chunk,
+    )
 
-    bq, bk, sub, ck = default_config(s, s, d, causal)
+    vt = d <= 64  # mirrors core.py's dispatch (and bench_one's default)
+    bq, bk, sub, ck = default_config(s, s, d, causal, vt=vt)
     tops, t = bench_one(
         b, h, s, d, causal=causal, pv_dtype="int8", quant_gran="auto",
         block_q=bq, block_k=bk, chunk_k=ck, sub_q=sub,
+        diag_chunk_k=default_diag_chunk(s, s, d, causal, vt=vt),
     )
     return t
 
@@ -176,23 +180,27 @@ def sec_roofline():
     a16 = jnp.ones((m, m), jnp.bfloat16)
     b16 = jnp.ones((m, m), jnp.bfloat16)
 
-    def mm_int8(i, c, a, bb):
+    from bench.utils import device_time_carry
+
+    def mm_int8(a, bb):
         out = jax.lax.dot_general(
-            a + c.astype(jnp.int8) * 0 + i.astype(jnp.int8) % 2, bb,
+            a, bb,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
         )
         return jnp.max(out)[None]
 
-    def mm_bf16(i, c, a, bb):
+    def mm_bf16(a, bb):
         out = jax.lax.dot_general(
-            a + c.astype(jnp.bfloat16) * 1e-12, bb,
+            a, bb,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         return jnp.max(out)[None]
 
+    # carry-perturbed a (an additive perturbation copies the 64-128 MB
+    # operand per iteration and DEFLATES the measured roofline)
     mm_flops = 2 * m**3
-    t_i8 = device_time(mm_int8, (a8, b8), n=10)
-    t_bf = device_time(mm_bf16, (a16, b16), n=10)
+    t_i8 = device_time_carry(mm_int8, a8, (b8,), n=10)
+    t_bf = device_time_carry(mm_bf16, a16, (b16,), n=10)
     tops_i8 = mm_flops / t_i8 / 1e12
     tops_bf = mm_flops / t_bf / 1e12
     log(f"matmul roofline {m}^3: int8 {tops_i8:.1f} TOPS, "
@@ -428,26 +436,28 @@ def sec_train():
     vt = jax.random.normal(jax.random.PRNGKey(10), (tb, th, ts, td))
     dot = jax.random.normal(jax.random.PRNGKey(11), (tb, th, ts, td))
 
-    def train_one(i, c, q, k, v, do):
+    from bench.utils import device_time_carry
+
+    def train_one(q, k, v, do):
         dq, dk, dv = attention_bwd_pallas.quantized_attention_vjp(
-            q + c * 1e-9, k, v, do, is_causal=True, sm_scale=None)
+            q, k, v, do, is_causal=True, sm_scale=None)
         return dq
 
-    t_train = device_time(train_one, (qt, kt, vt, dot), n=5)
+    t_train = device_time_carry(train_one, qt, (kt, vt, dot), n=5)
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         flash_attention,
     )
     bs = flash_block_sizes(ts)
 
-    def flash_train(i, c, q, k, v, do):
+    def flash_train(q, k, v, do):
         f = lambda q, k, v: flash_attention(
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             v.astype(jnp.bfloat16), causal=True, block_sizes=bs)
-        _, vjp = jax.vjp(f, q + c * 1e-9, k, v)
+        _, vjp = jax.vjp(f, q, k, v)
         return vjp(do.astype(jnp.bfloat16))[0]
 
     try:
-        t_ftrain = device_time(flash_train, (qt, kt, vt, dot), n=5)
+        t_ftrain = device_time_carry(flash_train, qt, (kt, vt, dot), n=5)
         train_ratio = t_ftrain / t_train
     except Exception as e:
         log(f"flash fwd+bwd baseline failed ({e})")
@@ -462,12 +472,11 @@ def sec_op_total():
     # op-total (quant prologue included) at the headline shape
     from sageattention_tpu import sageattn
 
+    from bench.utils import device_time_carry
+
     d, s = 128, 4096
     q, k, v = qkv(s, d)
-    t_op = device_time(
-        lambda i, c, q, k, v: sageattn(q + (c * 1e-30).astype(q.dtype), k, v),
-        (q, k, v),
-    )
+    t_op = device_time_carry(sageattn, q, (k, v))
     tops_op = flops(s, d, False) / t_op / 1e12
     try:
         t_fl = flash_time(q, k, v, False)

@@ -57,10 +57,11 @@ def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
     # (vt) kernel when eligible; pass vt=False to force the normal
     # orientation + free-lane rowsum for comparison
     if vt is None:
+        # core.py's gate: always transposed when eligible at d <= 64
+        # (measured better at EVERY swept hd64 shape, 1k-32k, r4)
         vt = (
             d <= 64 and quant_gran == "auto"
             and not fused_kwargs.get("k_inkernel")
-            and (causal or s > 8192)  # core.py's measured shape rule
         )
     rowsum_lane = None
     if vt:
@@ -91,16 +92,21 @@ def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
         **fused_kwargs,
     )
 
-    if vs is None:
-        def one(i, c, qi, qss, ki, kss, vq):
-            return fo(qi, qss + c * 1e-30, ki, kss, vq)
-        args = (q_i8, qs, k_i8, ks, v_q)
-    else:
-        def one(i, c, qi, qss, ki, kss, vq, vsc):
-            return fo(qi, qss + c * 1e-30, ki, kss, vq, vsc)
-        args = (q_i8, qs, k_i8, ks, v_q, vs)
+    from bench.utils import device_time_carry
 
-    t = device_time(one, args)
+    if vs is None:
+        def one(qss, qi, ki, kss, vq):
+            return fo(qi, qss, ki, kss, vq)
+        extra = (q_i8, k_i8, ks, v_q)
+    else:
+        def one(qss, qi, ki, kss, vq, vsc):
+            return fo(qi, qss, ki, kss, vq, vsc)
+        extra = (q_i8, k_i8, ks, v_q, vs)
+
+    # the q-scale vector rides the scan carry with an in-place scalar
+    # perturbation (an additive perturbation materializes a copy per
+    # iteration — small here, but free to avoid; see bench/utils)
+    t = device_time_carry(one, qs, extra)
     return attention_flops(b, h, s, d, causal) / t / 1e12, t
 
 
@@ -129,7 +135,8 @@ def main():
 
     for s in (int(x) for x in args.seqs.split(",")):
         bq_t, bk_t, sub_t, ck_t = default_config(
-            s, s, args.head_dim, args.causal
+            s, s, args.head_dim, args.causal,
+            vt=args.head_dim <= 64 and args.quant_gran == "auto",
         )
         tops, t = bench_one(
             args.batch, args.heads, s, args.head_dim,

@@ -61,6 +61,55 @@ def device_time(fn_one, args, n: int = 10, reps: int = 5) -> float:
     return slopes[len(slopes) // 2]
 
 
+def device_time_carry(fn, big, extra=(), n: int = 10,
+                      reps: int = 5) -> float:
+    """Two-point-slope timing with an in-place carry perturbation.
+
+    ``device_time``'s ``x + c*0`` perturbation MATERIALIZES a fresh copy
+    of ``x`` per iteration when x feeds a pallas_call / big fusion —
+    measured ~850 us per 64 MB operand on v5e (r4), silently inflating
+    every big-input measurement.  Here the big operand rides the scan
+    CARRY and is perturbed by a scalar ``.at[0,...,0].set()`` — XLA
+    aliases scan carries, so the update is in-place and costs ~nothing.
+    ``fn(big, *extra)`` must return an array; extra operands pass through
+    as explicit jit args (closures would embed them as HLO constants —
+    the tunnel's compile endpoint rejects >100 MB request bodies)."""
+
+    def make(steps):
+        @jax.jit
+        def many(big, *extra):
+            def body(carry, i):
+                bigc, acc = carry
+                bigc = bigc.at[(0,) * bigc.ndim].set(
+                    (acc * 1e-30).astype(bigc.dtype))
+                r = fn(bigc, *extra)
+                return (
+                    bigc,
+                    acc + r.ravel()[0].astype(jnp.float32),
+                ), None
+
+            (_, acc), _ = jax.lax.scan(
+                body, (big, jnp.float32(0)), jnp.arange(steps)
+            )
+            return acc
+
+        return many
+
+    lo, hi = make(n), make(3 * n)
+    _ = np.asarray(lo(big, *extra))
+    _ = np.asarray(hi(big, *extra))
+    slopes = []
+    for _ in range(reps):
+        t0 = time.time()
+        _ = np.asarray(lo(big, *extra))
+        t1 = time.time()
+        _ = np.asarray(hi(big, *extra))
+        t2 = time.time()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (2 * n))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
+
+
 def attention_flops(b: int, h: int, s: int, d: int, causal: bool) -> int:
     """The reference's TOPS metric: 4*h*b*hd*s^2 / (2 if causal)
     (reference: bench/bench_qk_int8_pv_fp8_cuda.py:71)."""

@@ -87,6 +87,7 @@ def _pad_axis(x: jax.Array, axis: int, to: int) -> jax.Array:
         "block_k",
         "sub_q",
         "chunk_k",
+        "diag_chunk_k",
         "impl",
         "qk_bits",
         "window",
@@ -430,13 +431,14 @@ def _sageattn_hnd(
         and score_col_bias is None
         and not k_inkernel
         and k_scale_chunked
-        # measured shape rule (v5e): the transposed PV's full MXU rate
-        # beats the tall-tile VPU tax on the fold-grid causal path
-        # (+34% at 4k) and long sequences (+13% at 16k); at short
-        # non-causal single-step shapes the VPU tax wins (-9% at 4k),
-        # so those keep the normal orientation + free-lane rowsum
-        and (is_causal or max(sq_pad, sk_pad) > 8192)
     )
+    if not use_vt and d_pad <= 64:
+        # the configs above may have been tuned for the vt path (core
+        # _entry's vt_hint mispredicts only on rare ragged-KV edge
+        # shapes); the normal orientation keeps its own measured
+        # sub-tile width and diagonal chunking
+        sub_q = min(sub_q, 128)
+        diag_chunk_k = None
     # Free-lane rowsum (normal orientation only): head_dim <= 64 pads V
     # to 128 lanes anyway, so a ones column at lane 64 makes the PV
     # matmul emit sum(p) and the kernel skips its VPU cross-lane sum
@@ -553,11 +555,31 @@ def _entry(
     masked = attn_mask is not None and (
         not hasattr(attn_mask, "dtype") or attn_mask.dtype == jnp.bool_
     )
+    # Predict whether _sageattn_hnd will take the transposed (vt) path —
+    # its block-size winners differ a lot from the normal orientation's
+    # (see default_config).  The prediction must be a SUBSET of the real
+    # gate: a vt-tuned config on the normal kernel risks VMEM blowups
+    # (sub_q 1024), so _sageattn_hnd clamps sub_q if it falls back.
+    vt_hint = (
+        _pad_head_dim(q.shape[-1]) <= 64
+        and attn_mask is None
+        and q_segment_ids is None
+        and q_positions is None
+        and attn_bias is None
+        and not smooth_q
+        and qk_quant_gran == "auto"
+        and impl in ("auto", "pallas")
+        # ragged KV lengths inject pad segment ids inside _sageattn_hnd,
+        # which fall back to the normal orientation
+        and k.shape[2] % 128 == 0
+    )
     bq_auto, bk_auto, sub_q, chunk_k = attention_pallas.default_config(
-        q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked
+        q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked,
+        vt=vt_hint,
     )
     diag_chunk_k = attention_pallas.default_diag_chunk(
-        q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked
+        q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked,
+        vt=vt_hint,
     )
     if block_q is None:
         block_q = bq_auto

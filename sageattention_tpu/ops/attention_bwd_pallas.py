@@ -289,7 +289,11 @@ def quantized_attention_vjp(
     # it.  The kernels' own compute chunk is independent (the SMEM scale
     # index is derived from the chunk's global column); it only has to be
     # group- and block-aligned.
-    scale_group = attention_pallas.default_config(sq, sk, d, is_causal)[3]
+    # vt mirrors core._entry's dispatch: the fused-bwd region has no
+    # masks/segments and 128-aligned shapes, so eligibility is d <= 64
+    scale_group = attention_pallas.default_config(
+        sq, sk, d, is_causal, vt=d <= 64
+    )[3]
     if sk % scale_group and sk > scale_group:
         # the forward's quantizer fell back to a ragged-group layout the
         # kernels' scale indexing does not model
@@ -371,12 +375,16 @@ def quantized_attention_vjp(
         else:
             lse2 = lse_nat * LOG2E
     else:
-        # recompute (o, lse2) with the forward's own default config so the
-        # per-group K-scale layout matches the kernel's chunk arithmetic
-        fbq, fbk, fsub, fck = attention_pallas.default_config(
+        # recompute (o, lse2) in the NORMAL orientation with its own
+        # block sizes, but the forward's K-quant group as the chunk
+        # width so the per-group K-scale layout matches the kernel's
+        # chunk arithmetic (at d <= 64 the forward ran the vt configs,
+        # whose sub-tile widths would blow VMEM here)
+        fbq, fbk, fsub, _ = attention_pallas.default_config(
             sq, sk, d, is_causal
         )
-        if sq % fbq or sk % fbk:
+        fck = scale_group
+        if sq % fbq or sk % fbk or (fbk % fck and sk > fbk):
             # the unpadded shape doesn't tile the forward config; decline
             # gracefully (the caller falls back) instead of assert-crashing
             return None

@@ -132,12 +132,16 @@ _tuned_loaded_from: str | None = None
 
 
 def config_key(
-    sq: int, sk: int, d: int, is_causal: bool, masked: bool = False
+    sq: int, sk: int, d: int, is_causal: bool, masked: bool = False,
+    vt: bool = False,
 ) -> str:
-    """The tuned-table key for a shape (padded-seq granularity)."""
+    """The tuned-table key for a shape (padded-seq granularity).  ``vt``
+    keys the transposed-formulation dispatch (d <= 64, core.py): its
+    block-size winners differ from the normal orientation's, and a shape
+    can run either depending on runtime features (masks disable vt)."""
     return (
         f"{_pad128(sq)}:{_pad128(sk)}:{d}:"
-        f"{int(bool(is_causal))}:{int(bool(masked))}"
+        f"{int(bool(is_causal))}:{int(bool(masked))}:{int(bool(vt))}"
     )
 
 
@@ -237,7 +241,8 @@ def _load_tuned() -> dict:
 
 
 def default_config(
-    sq: int, sk: int, d: int, is_causal: bool, masked: bool = False
+    sq: int, sk: int, d: int, is_causal: bool, masked: bool = False,
+    vt: bool = False,
 ) -> tuple[int, int, int, int]:
     """Tuned (block_q, block_k, sub_q, chunk_k) for a shape (measured on
     TPU v5e; the single recommended-config table that replaces the
@@ -263,9 +268,34 @@ def default_config(
     An autotuned table (see :func:`set_tuned_configs`) overrides the
     heuristic per exact (padded) shape.
     """
-    tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked))
+    tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked, vt))
     if tuned is not None:
         return tuned[:4]
+    if vt and d <= 64:
+        # transposed-formulation winners (measured r4, v5e, b4 h32; see
+        # BASELINE.md "hd64"): much wider sub-tiles pay off because the
+        # PV matmul runs at full MXU rate and the VPU passes are
+        # per-item, and the causal fold grid wants narrow diagonal
+        # chunks (default_diag_chunk below)
+        sq_p, sk_p = _pad128(sq), _pad128(sk)
+        if is_causal:
+            # small grids prefer 1024-blocks (76.8 vs 63.8 TOPS at 2k:
+            # the fold grid needs >= 2 rows to fill the pipeline)
+            sp = max(sq_p, sk_p)
+            blk = min(1024 if sp <= 2048 else 2048, sp)
+            bq = min(blk, sq_p)
+            return bq, blk, min(256, bq), blk
+        if sk_p <= 2048:
+            # single KV step; half-size Q blocks keep >= 2 grid steps
+            bq = min(sq_p, max(256, sk_p // 2))
+            return bq, sk_p, min(256, bq), sk_p
+        if sk_p <= 4096:
+            # 4k: one whole-slab step, widest sub-tile (129.8 TOPS vs
+            # 116 at sub256)
+            bq = min(sq_p, 4096)
+            return bq, sk_p, min(1024, bq), sk_p
+        bk = min(16384, sk_p)  # 32k single-step fails to compile
+        return min(1024, sq_p), bk, 512, min(4096, bk)
     if is_causal:
         cap = 2048 if d <= 128 else 1024
         blk = min(cap, _pad128(max(sq, sk)))
@@ -287,7 +317,8 @@ def default_config(
 
 
 def default_diag_chunk(
-    sq: int, sk: int, d: int, is_causal: bool, masked: bool = False
+    sq: int, sk: int, d: int, is_causal: bool, masked: bool = False,
+    vt: bool = False,
 ) -> int | None:
     """The causal diagonal region's chunk width for a shape, when the
     tuned table records one (the optional 5th entry element); None means
@@ -295,9 +326,15 @@ def default_diag_chunk(
     trade VPU efficiency for trace-time skipping of above-diagonal work
     items inside the diagonal block — a measured win at small causal
     grids where diagonal blocks dominate (see tools/autotune.py)."""
-    tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked))
+    tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked, vt))
     if tuned is not None and len(tuned) == 5 and tuned[4] != tuned[3]:
         return tuned[4]
+    if tuned is None and vt and d <= 64 and is_causal:
+        # the vt kernel's cheap per-item softmax makes narrow diagonal
+        # chunks a large win (111.3 vs 75.8 TOPS at 4k with dck 256,
+        # measured r4); 512 at the small 1k-2k grids
+        blk = min(2048, max(_pad128(sq), _pad128(sk)))
+        return 256 if blk >= 2048 else min(512, blk)
     return None
 
 
@@ -405,9 +442,8 @@ def _compute_parts(
             # normally — coincides with ``red``'s value)
             amax = jnp.max(jnp.abs(qb), axis=red, keepdims=True)
             scale, r = inv_scale(amax, q_qmax)
-            qi8 = jnp.clip(
-                round_half_away(qb * r), -q_qmax, q_qmax
-            ).astype(jnp.int8)
+            # no clip: r = qmax/amax of this tile, |qb*r| <= qmax+2ulp
+            qi8 = round_half_away(qb * r).astype(jnp.int8)
             subs.append(qi8)
             qs_subs.append(scale * q_fold)
     elif vt:
@@ -1116,9 +1152,8 @@ def _kernel_single(
                 xc = x[rows, :]
                 amax = jnp.max(jnp.abs(xc))
                 scale, r = inv_scale(amax, k_qmax)
-                kq_scr[rows, :] = jnp.clip(
-                    round_half_away(xc * r), -k_qmax, k_qmax
-                ).astype(jnp.int8)
+                # no clip: r = qmax/amax of this chunk (see quant_pallas)
+                kq_scr[rows, :] = round_half_away(xc * r).astype(jnp.int8)
                 kss_scr[0, 0, 0, c] = scale
 
         k_ref_eff, ks_ref_eff = kq_scr, kss_scr

@@ -63,8 +63,8 @@ def _quant_rows_kernel(q_ref, o_ref, s_ref, *, scale_fold, qmax):
     x = q_ref[...].astype(jnp.float32)  # [rows_blk, d]
     amax = jnp.max(jnp.abs(x), axis=1)[:, None]
     scale, r = _inv_scale(amax, qmax)
-    q = _round_half_away(x * r)
-    o_ref[...] = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+    # no clip: r = qmax/amax of these rows, |x*r| <= qmax + 2ulp
+    o_ref[...] = _round_half_away(x * r).astype(jnp.int8)
     # dense 128-lane store of the per-row scales (a [rows, 1] store would
     # issue one masked lane per vector op — measured ~5x slower)
     s_ref[...] = (scale * scale_fold).reshape(s_ref.shape)
@@ -132,8 +132,8 @@ def _quant_k_kernel(k_ref, km_ref, o_ref, s_ref, *, qmax, smooth):
         x = x - km_ref[...]  # [1, 1, d]
     amax = jnp.max(jnp.abs(x))
     scale, r = _inv_scale(amax, qmax)
-    q = _round_half_away(x * r)
-    o_ref[...] = jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+    # no clip: r = qmax/amax of this chunk, |x*r| <= qmax + 2ulp
+    o_ref[...] = _round_half_away(x * r).astype(jnp.int8)
     s_ref[0, i] = scale
 
 
@@ -217,26 +217,47 @@ _K_FUSED_BYTES = 4 * 2**20
 
 
 def _quant_k_fused_kernel(
-    k_ref, o_ref, s_ref, km_ref, *, qmax, group, n_chunks, smooth
+    k_ref, o_ref, s_ref, km_ref, *, qmax, group, n_chunks, smooth, slabs
 ):
-    i = pl.program_id(0)
-    x = k_ref[0].astype(jnp.float32)  # [s, d]
-    if smooth:
-        km = jnp.mean(x, axis=0, keepdims=True)  # [1, d]
-        x = x - km
-        km_ref[0] = km
-    for c in range(n_chunks):
-        rows = slice(c * group, (c + 1) * group)
-        xc = x[rows, :]
-        amax = jnp.max(jnp.abs(xc))
-        scale, r = _inv_scale(amax, qmax)
-        o_ref[0, rows, :] = jnp.clip(
-            _round_half_away(xc * r), -qmax, qmax
-        ).astype(jnp.int8)
-        # scales live in one flat SMEM row mapped whole at every grid
-        # step (Mosaic rejects a per-row (1, n_chunks) block: sublane
-        # dim 1 is neither 8-divisible nor the full array dim)
-        s_ref[0, i * n_chunks + c] = scale
+    # ``slabs`` (b,h) rows per grid step: the chain is overhead-bound,
+    # not bandwidth-bound, at one slab per step (measured 988 us for
+    # b*h=128 4k/hd64 slabs ~ 7.7 us/step of which ~5 us is per-step
+    # cost; batching slabs amortizes it)
+    step_scales = []
+    for g in range(slabs):
+        x = k_ref[g].astype(jnp.float32)  # [s, d]
+        if smooth:
+            km = jnp.mean(x, axis=0, keepdims=True)  # [1, d]
+            x = x - km
+            km_ref[g] = km
+        for c in range(n_chunks):
+            rows = slice(c * group, (c + 1) * group)
+            xc = x[rows, :]
+            amax = jnp.max(jnp.abs(xc))
+            scale, r = _inv_scale(amax, qmax)
+            # no clip: r = qmax/amax of THIS data, so |xc*r| <=
+            # qmax + 2ulp and round cannot reach qmax+1 (saves 2 of ~9
+            # VPU passes on the prologue's critical path)
+            o_ref[g, rows, :] = _round_half_away(xc * r).astype(jnp.int8)
+            step_scales.append(scale)
+    # one vector store per step into the (1, 1, slabs*n_chunks) VMEM
+    # block (Mosaic rejects scalar stores to VMEM; SMEM whole-row
+    # outputs would force sequential grid semantics)
+    s_ref[0, 0, :] = jnp.stack(step_scales)
+
+
+def _slabs_per_step(n_slabs: int, slab_bytes: int,
+                    budget: int = _K_FUSED_BYTES) -> int:
+    """Largest divisor of ``n_slabs`` whose combined input stays under
+    ``budget`` (the whole-slab quantizers are per-grid-step-overhead
+    bound at one slab per step: measured ~5 us/step fixed cost vs
+    ~2.5 us of VPU work for a 4k/hd64 slab)."""
+    cap = max(1, budget // max(1, slab_bytes))
+    g = 1
+    for cand in range(1, min(cap, n_slabs) + 1):
+        if n_slabs % cand == 0:
+            g = cand
+    return g
 
 
 def k_fused_eligible(s: int, d: int, group: int) -> bool:
@@ -277,16 +298,17 @@ def quant_k_fused_mean(
     qmax = 7.0 if bits == 4 else 127.0
     n_chunks = s // group
     k3 = k.reshape(b * h, s, d)
+    slabs = _slabs_per_step(b * h, s * d * k.dtype.itemsize)
+    n_steps = (b * h) // slabs
     out_shape = [
         jax.ShapeDtypeStruct((b * h, s, d), jnp.int8),
-        jax.ShapeDtypeStruct((1, b * h * n_chunks), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps, 1, slabs * n_chunks), jnp.float32),
         jax.ShapeDtypeStruct((b * h, 1, d), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
-        pl.BlockSpec((1, b * h * n_chunks), lambda i: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((slabs, s, d), lambda i: (i, 0, 0)),
+        pl.BlockSpec((1, 1, slabs * n_chunks), lambda i: (i, 0, 0)),
+        pl.BlockSpec((slabs, 1, d), lambda i: (i, 0, 0)),
     ]
     if not smooth:
         out_shape = out_shape[:2]
@@ -295,23 +317,24 @@ def quant_k_fused_mean(
     def kernel(k_ref, o_ref, s_ref, km_ref=None):
         _quant_k_fused_kernel(
             k_ref, o_ref, s_ref, km_ref, qmax=qmax, group=group,
-            n_chunks=n_chunks, smooth=smooth,
+            n_chunks=n_chunks, smooth=smooth, slabs=slabs,
         )
 
     outs = pl.pallas_call(
         kernel,
-        grid=(b * h,),
-        in_specs=[pl.BlockSpec((1, s, d), lambda i: (i, 0, 0))],
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec((slabs, s, d), lambda i: (i, 0, 0))],
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
     )(k3)
     k_i8 = outs[0].reshape(b, h, s, d)
-    scales = outs[1].reshape(b, h, n_chunks)  # flat SMEM row, row-major
+    # [n_steps, 1, slabs*n_chunks] row-major == slab-major chunk order
+    scales = outs[1].reshape(b, h, n_chunks)
     km = outs[2].reshape(b, h, d) if smooth else None
     return k_i8, scales, km
 
@@ -321,22 +344,23 @@ def quant_k_fused_mean(
 # --------------------------------------------------------------------------
 
 
-def _quant_v_kernel(v_ref, o_ref, s_ref, m_ref, *, qmax, smooth, out_dt):
-    x = v_ref[0].astype(jnp.float32)  # [s, d]
-    if smooth:
-        mean = jnp.mean(x, axis=0, keepdims=True)  # [1, d]
-        x = x - mean
-        m_ref[0] = mean
-    amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)  # [1, d]
-    scale, r = _inv_scale(amax, qmax)
-    scaled = x * r
-    if jnp.dtype(out_dt) == jnp.int8.dtype:
-        o_ref[0] = jnp.clip(
-            _round_half_away(scaled), -127, 127
-        ).astype(jnp.int8)
-    else:
-        o_ref[0] = scaled.astype(out_dt)
-    s_ref[0] = scale
+def _quant_v_kernel(v_ref, o_ref, s_ref, m_ref, *, qmax, smooth, out_dt,
+                    slabs):
+    for g in range(slabs):  # overhead amortization, see _slabs_per_step
+        x = v_ref[g].astype(jnp.float32)  # [s, d]
+        if smooth:
+            mean = jnp.mean(x, axis=0, keepdims=True)  # [1, d]
+            x = x - mean
+            m_ref[g] = mean
+        amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)  # [1, d]
+        scale, r = _inv_scale(amax, qmax)
+        scaled = x * r
+        if jnp.dtype(out_dt) == jnp.int8.dtype:
+            # no clip: see _quant_k_fused_kernel (amax-derived r)
+            o_ref[g] = _round_half_away(scaled).astype(jnp.int8)
+        else:
+            o_ref[g] = scaled.astype(out_dt)
+        s_ref[g] = scale
 
 
 def _v_stats_kernel(
@@ -506,16 +530,19 @@ def quant_v_per_channel(
         quant_spec._QMAX[jnp.dtype(dtype)]
     )
     v3 = v.reshape(b * h, s, d)
+    slabs = _slabs_per_step(b * h, s * d * v.dtype.itemsize,
+                            budget=_V_VMEM_BYTES)
     outs = pl.pallas_call(
         functools.partial(
-            _quant_v_kernel, qmax=qmax, smooth=smooth, out_dt=dtype
+            _quant_v_kernel, qmax=qmax, smooth=smooth, out_dt=dtype,
+            slabs=slabs,
         ),
-        grid=(b * h,),
-        in_specs=[pl.BlockSpec((1, s, d), lambda i: (i, 0, 0))],
+        grid=((b * h) // slabs,),
+        in_specs=[pl.BlockSpec((slabs, s, d), lambda i: (i, 0, 0))],
         out_specs=[
-            pl.BlockSpec((1, s, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((slabs, s, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((slabs, 1, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((slabs, 1, d), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * h, s, d), dtype),

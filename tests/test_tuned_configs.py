@@ -160,9 +160,15 @@ def test_candidates_are_valid_and_include_default():
                 cands, heuristic_valid = candidates(s, d, causal)
                 assert heuristic_valid
                 # candidates carry the diag-chunk 5th element; the
-                # first must be the heuristic default with dck == ck
-                assert cands[0][:4] == ap.default_config(s, s, d, causal)
-                assert cands[0][4] == cands[0][3]
+                # first must be the heuristic default (vt-keyed at
+                # d <= 64, mirroring bench_one/core dispatch), with
+                # dck == ck unless the heuristic itself chunks the
+                # diagonal (vt causal)
+                vt = d <= 64
+                assert cands[0][:4] == ap.default_config(
+                    s, s, d, causal, vt=vt)
+                dck0 = ap.default_diag_chunk(s, s, d, causal, vt=vt)
+                assert cands[0][4] == (dck0 or cands[0][3])
                 assert len(cands) == len(set(cands))
                 sp = ap._pad128(s)
                 for bq, bk, sub, ck, dck in cands:

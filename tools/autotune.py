@@ -36,6 +36,7 @@ from sageattention_tpu.ops.attention_pallas import (  # noqa: E402
     _pad128,
     config_key,
     default_config,
+    default_diag_chunk,
 )
 
 
@@ -44,8 +45,10 @@ def candidates(s: int, d: int, causal: bool):
     ``(configs, heuristic_valid)``: a list of (block_q, block_k, sub_q,
     chunk_k) tuples — the heuristic default first when it is itself a
     valid dividing config (so ties keep the current behavior) — and
-    whether it was."""
+    whether it was.  d <= 64 sweeps the transposed-formulation (vt)
+    knobs, matching bench_one's dispatch."""
     sp = _pad128(s)
+    vt = d <= 64
     seen = set()
 
     def emit(bq, bk, sub, ck, dck=None):
@@ -67,9 +70,31 @@ def candidates(s: int, d: int, causal: bool):
         yield_list.append(cfg)
 
     yield_list: list[tuple[int, int, int, int, int]] = []
-    emit(*default_config(s, s, d, causal))
+    emit(*default_config(s, s, d, causal, vt=vt),
+         dck=default_diag_chunk(s, s, d, causal, vt=vt))
     heuristic_valid = bool(yield_list)
-    if causal:
+    if vt and causal:
+        # fold-grid diagonal chunking is the load-bearing vt knob; the
+        # sub-tile width second
+        for blk in (1024, 2048):
+            for sub in (128, 256):
+                for dck in (blk, 512, 256):
+                    emit(blk, blk, sub, blk, dck)
+    elif vt:
+        if sp <= 4096:
+            for bq in (sp // 2, sp):
+                for sub in (256, 512, 1024):
+                    if sub <= bq:
+                        emit(bq, sp, sub, sp)
+        else:
+            for bk in (16384, 8192):
+                if bk > sp:
+                    continue
+                for ck in (4096, 8192):
+                    if ck <= bk:
+                        for sub in (256, 512):
+                            emit(1024, bk, sub, ck)
+    elif causal:
         # equal Q/KV blocks ride the diagonal-split (and fold) scheduling;
         # 4096 explodes Mosaic compile time (measured >9 min) — never try.
         # The diagonal chunk (dck < ck) trades VPU-efficient wide chunks
@@ -190,7 +215,7 @@ def main():
                         best, best_t = cfg, t
                 if best is None:
                     continue
-                key = config_key(s, s, d, causal)
+                key = config_key(s, s, d, causal, vt=d <= 64)
                 def _trim(cfg):
                     # drop a redundant 5th element (dck == ck) so plain
                     # 4-element entries stay the common case
