@@ -261,6 +261,12 @@ def main():
         "protocol": f"b={args.batch} h={args.heads} pv={args.pv_dtype} "
                     "two-point-slope device_time",
         "min_gain": args.min_gain,
+        # shapes where the heuristic default beat (or tied, within
+        # min_gain) every swept candidate — the sweep's record that the
+        # built-in config is confirmed optimal there, not merely untested
+        "confirmed_optimal": sorted(
+            key for key, _, gain in report if gain == 0.0
+        ),
     }
     text = json.dumps(out, indent=1, sort_keys=True)
     print(text)
