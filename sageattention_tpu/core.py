@@ -383,9 +383,12 @@ def _sageattn_hnd(
         mask_i8 = _pad_axis(
             _pad_axis(attn_mask.astype(jnp.int8), 3, sk_pad), 2, sq_pad
         )
-    if need_kv_mask and q_segment_ids is None and mask_i8 is None:
-        q_segment_ids = jnp.zeros((b, sq), jnp.int32)
-        kv_segment_ids = jnp.zeros((b, sk), jnp.int32)
+    # ragged-KV pad masking is deferred past the vt decision below: the
+    # vt kernel takes it as per-q-row live ranges, the normal kernel as
+    # matching pad segment ids
+    need_pad_ids = (
+        need_kv_mask and q_segment_ids is None and mask_i8 is None
+    )
     if q_segment_ids is not None:
         q_segment_ids = _pad_axis(q_segment_ids + 2, 1, sq_pad)
         kv_segment_ids = _pad_axis(kv_segment_ids + 2, 1, sk_pad)
@@ -414,10 +417,13 @@ def _sageattn_hnd(
     # utilization (64 of 128 output lanes), while S^T = K.Q^T /
     # O^T = V^T.P^T puts sub_q = 128 on the PV lane axis (measured ~1.3x
     # kernel TOPS at 4k/hd64; tools/probe_mxu.py "transposed formulation").
-    # v1 scope (attention_pallas.sage_attention_fused docstring): falls
+    # Scope (attention_pallas.sage_attention_fused docstring): falls
     # back to the normal orientation + free-lane rowsum whenever an
-    # explicit mask / segments / positions / smooth-q bias / per-row K
-    # scales ride in the kernel.
+    # explicit mask / user segments / positions / smooth-q bias /
+    # per-row K scales ride in the kernel.  The internal ragged-KV pad
+    # mask IS vt-supported (r4: per-q-row live ranges), so ragged hd64
+    # shapes — CogVideoX's seq 17776 among them — keep the fast
+    # orientation.
     k_scale_chunked = (
         k_scale is not None
         and k_scale.shape[-1] == -(-sk // chunk_k)
@@ -426,12 +432,39 @@ def _sageattn_hnd(
     use_vt = (
         d_pad <= 64
         and mask_i8 is None
+        # USER segment ids (arbitrary, possibly non-contiguous) keep the
+        # normal orientation; the internal ragged-KV pad mask rides vt
+        # as per-q-row ranges (need_pad_ids below)
         and q_segment_ids is None
         and q_positions is None
         and score_col_bias is None
         and not k_inkernel
         and k_scale_chunked
     )
+    kv_live = None
+    if need_pad_ids:
+        if not is_causal and block_k >= sk:
+            # single-KV-step grids: the pad mask is a STATIC bound — one
+            # straddling chunk pays a compare, q-pad rows attend live
+            # keys (their garbage rows are cropped below).  No id/range
+            # arrays at all.
+            kv_live = sk
+        elif use_vt:
+            # range form: real q rows see kv [0, sk); q pad rows see the
+            # kv pad region [sk, sk_pad) so their softmax is
+            # well-defined garbage that gets cropped below
+            rows = jnp.arange(sq_pad, dtype=jnp.int32)[None, :]
+            real = rows < sq
+            q_segment_ids = jnp.broadcast_to(
+                jnp.where(real, 0, sk), (b, sq_pad))          # kv lo
+            kv_segment_ids = jnp.broadcast_to(
+                jnp.where(real, sk, sk_pad), (b, sq_pad))     # kv hi
+        else:
+            # id form: real rows id 2, pads id 0 (pads attend pads)
+            q_segment_ids = _pad_axis(
+                jnp.full((b, sq), 2, jnp.int32), 1, sq_pad)
+            kv_segment_ids = _pad_axis(
+                jnp.full((b, sk), 2, jnp.int32), 1, sk_pad)
     if not use_vt and d_pad <= 64:
         # the configs above may have been tuned for the vt path (core
         # _entry's vt_hint mispredicts only on rare ragged-KV edge
@@ -492,6 +525,7 @@ def _sageattn_hnd(
         mask_i8,
         km_pad,
         vt=use_vt,
+        kv_live=kv_live,
         k_inkernel=k_inkernel,
         is_causal=is_causal,
         pv_dtype=pv_dtype,
@@ -569,9 +603,8 @@ def _entry(
         and not smooth_q
         and qk_quant_gran == "auto"
         and impl in ("auto", "pallas")
-        # ragged KV lengths inject pad segment ids inside _sageattn_hnd,
-        # which fall back to the normal orientation
-        and k.shape[2] % 128 == 0
+        # ragged-KV padding is vt-supported since r4 (per-q-row live
+        # ranges) — no 128-alignment condition
     )
     bq_auto, bk_auto, sub_q, chunk_k = attention_pallas.default_config(
         q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked,
@@ -816,6 +849,8 @@ def sageattn_varlen(
     elif smooth_k_mode not in ("global", "per_segment"):
         raise ValueError(f"unknown smooth_k_mode {smooth_k_mode!r}")
 
+    # varlen rides USER segment ids -> the normal orientation (vt takes
+    # only contiguous-range masks), so normal-orientation configs apply
     bq_auto, bk_auto, _, _ = attention_pallas.default_config(
         total_q, total_k, d, is_causal
     )

@@ -278,24 +278,42 @@ def default_config(
         # per-item, and the causal fold grid wants narrow diagonal
         # chunks (default_diag_chunk below)
         sq_p, sk_p = _pad128(sq), _pad128(sk)
+
+        def sub_of(bq, want):
+            # the sub-tile must divide the q block; padded odd lengths
+            # (e.g. bq 384) step down to the largest dividing width
+            for cand in (want, 512, 256, 128):
+                if cand <= want and bq % cand == 0:
+                    return cand
+            return 128
+
         if is_causal:
             # small grids prefer 1024-blocks (76.8 vs 63.8 TOPS at 2k:
             # the fold grid needs >= 2 rows to fill the pipeline)
             sp = max(sq_p, sk_p)
             blk = min(1024 if sp <= 2048 else 2048, sp)
             bq = min(blk, sq_p)
-            return bq, blk, min(256, bq), blk
+            return bq, blk, sub_of(bq, 256), blk
         if sk_p <= 2048:
             # single KV step; half-size Q blocks keep >= 2 grid steps
             bq = min(sq_p, max(256, sk_p // 2))
-            return bq, sk_p, min(256, bq), sk_p
+            return bq, sk_p, sub_of(bq, 256), sk_p
         if sk_p <= 4096:
             # 4k: one whole-slab step, widest sub-tile (129.8 TOPS vs
             # 116 at sub256)
             bq = min(sq_p, 4096)
-            return bq, sk_p, min(1024, bq), sk_p
+            return bq, sk_p, sub_of(bq, 1024), sk_p
         bk = min(16384, sk_p)  # 32k single-step fails to compile
-        return min(1024, sq_p), bk, 512, min(4096, bk)
+        if sk_p % bk:
+            # ragged long rows (e.g. CogVideoX's 17776): a non-dividing
+            # bk would pad KV to the next bk multiple (+84% dead
+            # compute); one whole-row step takes a ragged last chunk
+            bk = sk_p
+        bq = min(1024, sq_p)
+        # sub 256 (not 512): the r4 autotune sweep measured it +5% at
+        # 16k, and segment-masked ragged rows need the smaller score
+        # tiles to fit scoped VMEM (125 MB at sub 512 + range masks)
+        return bq, bk, sub_of(bq, 256), min(4096, bk)
     if is_causal:
         cap = 2048 if d <= 128 else 1024
         blk = min(cap, _pad128(max(sq, sk)))
@@ -375,6 +393,7 @@ def _compute_parts(
     scale_group: int | None = None,
     ml_scr=None,
     vt: bool = False,
+    kv_live: int | None = None,
 ):
     """One KV block: the pipelined (sub-tile x chunk) split-softmax.
 
@@ -514,15 +533,42 @@ def _compute_parts(
                          cb[c][0]:cb[c][1]] != 0
             )
         if has_segments:
-            qseg = qseg_ref[0, qi * sub_q:(qi + 1) * sub_q, :]
-            kseg = kseg_ref[0, :, cb[c][0]:cb[c][1]]
-            sm = qseg == kseg
+            if vt:
+                # transposed score tile [chunk, sub]: segments arrive as
+                # per-q-row LIVE KV RANGES (lo/hi lane vectors, valid for
+                # contiguous segment layouts — pad masking and varlen
+                # packing) and the kv side is a free sublane iota.  A
+                # [sk, 1] kv-id column would lane-pad 128x (9 MB VMEM at
+                # 17k); the range form costs two compares like causal.
+                lo = qseg_ref[0, :, qi * sub_q:(qi + 1) * sub_q]  # [1,sub]
+                hi = kseg_ref[0, :, qi * sub_q:(qi + 1) * sub_q]  # [1,sub]
+                kvi = jax.lax.broadcasted_iota(
+                    jnp.int32, s_i32.shape, kv_ax
+                ) + kv_idx * block_k + cb[c][0]
+                sm = jnp.logical_and(kvi >= lo, kvi < hi)
+            else:
+                qseg = qseg_ref[0, qi * sub_q:(qi + 1) * sub_q, :]
+                kseg = kseg_ref[0, :, cb[c][0]:cb[c][1]]
+                sm = qseg == kseg
             mask = sm if mask is None else jnp.logical_and(mask, sm)
         if has_positions:
             qpos = qpos_ref[0, qi * sub_q:(qi + 1) * sub_q, :]
             kpos = kpos_ref[0, :, cb[c][0]:cb[c][1]]
             pmask = kpos <= qpos
             mask = pmask if mask is None else jnp.logical_and(mask, pmask)
+        if kv_live is not None and cb[c][1] > kv_live:
+            # STATIC ragged-KV pad mask (single-KV-block grids): only the
+            # chunk straddling ``kv_live`` pays any mask work — every
+            # earlier chunk is statically all-live, and q-pad rows need
+            # no masking at all (they attend live keys; garbage rows are
+            # cropped by the caller).  Replaces the per-q-row range
+            # arrays, whose per-item masks blew scoped VMEM to 125 MB on
+            # 17k-seq whole-row steps.
+            kvi = jax.lax.broadcasted_iota(
+                jnp.int32, s_i32.shape, kv_ax
+            ) + cb[c][0]
+            lm = kvi < kv_live
+            mask = lm if mask is None else jnp.logical_and(mask, lm)
         if diag_static:
             # static relative offsets: the block's global row/col offsets
             # cancel (kv_idx * block_k == q_idx * block_q on the diagonal)
@@ -1114,6 +1160,7 @@ def _kernel_single(
     rowsum_lane: int | None,
     out_dtype,
     vt: bool = False,
+    kv_live: int | None = None,
 ):
     """Single-KV-step specialization (the whole KV row fits one grid step):
     no scratch round-trips, no pl.when regions — the fastest configuration
@@ -1192,6 +1239,7 @@ def _kernel_single(
         window=window,
         rowsum_lane=rowsum_lane,
         vt=vt,
+        kv_live=kv_live,
     )
     if vt:
         d_out = o_ref.shape[-2]
@@ -1257,6 +1305,7 @@ def _kernel_single(
         "chunk_k",
         "diag_chunk_k",
         "rowsum_lane",
+        "kv_live",
         "out_dtype",
         "interpret",
     ),
@@ -1292,10 +1341,14 @@ def sage_attention_fused(
     chunk_k: int = 2048,
     diag_chunk_k: int | None = None,
     rowsum_lane: int | None = None,
+    kv_live: int | None = None,
     out_dtype=jnp.bfloat16,
     interpret: bool = False,
 ):
-    """Launch the fused kernel.
+    """Launch the fused kernel.  ``kv_live`` (static): columns >= it are
+    ragged-KV pads — masked by a STATIC straddling-chunk-only compare
+    (single-KV-step grids only; cheaper than segment ids by O(n_items)
+    mask passes).
 
     Shapes (HND): q_i8 [b,hq,sq,d] int8; q_scale [b,hq,sq] f32 (sm_scale*
     log2e folded); k_i8 [b,hkv,sk,d] int8; k_scale either per-row
@@ -1323,9 +1376,13 @@ def sage_attention_fused(
     k_i8/k_scale/q_scale keep their normal layouts (k_scale must be the
     per-chunk fast path).  The return value is UNCHANGED —
     [b,hq,sq,d] — via one XLA transpose of the kernel's O^T output
-    (fused into the consumer in real models).  v1 scope: explicit
-    attn_mask / segments / positions / smooth-q bias / per-row K scales /
-    p_int8 / k_inkernel fall back to the normal orientation in core.py.
+    (fused into the consumer in real models).  Contiguous segment
+    masks are supported (r4): under vt the ``q_segment_ids`` /
+    ``kv_segment_ids`` args carry the per-q-row live-KV RANGE (lo / hi,
+    both [b, sq]) instead of ids — ragged-pad hd64 shapes keep this
+    orientation.  Explicit attn_mask / arbitrary segment ids /
+    positions / smooth-q bias / per-row K scales / p_int8 / k_inkernel
+    fall back to the normal orientation in core.py.
 
     Returns o [b,hq,sq,d] (and base-2 LSE [b,hq,sq] fp32 if return_lse).
     """
@@ -1335,7 +1392,6 @@ def sage_attention_fused(
         unsupported = [
             name for name, val in (
                 ("attn_mask_i8", attn_mask_i8),
-                ("q_segment_ids", q_segment_ids),
                 ("q_positions", q_positions),
                 ("score_col_bias", score_col_bias),
             ) if val is not None
@@ -1419,6 +1475,9 @@ def sage_attention_fused(
     # pl.when regions, and the 4th grid dimension all drop away (measured
     # ~10% on the headline shape).
     single_step = n_kv == 1
+    if kv_live is not None:
+        assert single_step, "kv_live needs the whole KV row in one step"
+        assert kv_live > 0 and sk - kv_live < chunk_k, (kv_live, sk)
     if k_inkernel:
         assert single_step, (
             "k_inkernel requires the whole-KV single-step grid (the K "
@@ -1606,12 +1665,28 @@ def sage_attention_fused(
             in_specs.append(vchan_spec)
             inputs.append(v_mean.astype(jnp.float32)[:, :, None, :])
     if has_segments:
-        in_specs.append(
-            mk((1, block_q, 1), lambda ib, ih, iq, ik: (ib, iq, 0))
-        )
-        in_specs.append(mk((1, 1, block_k), kvsegm))
-        inputs.append(q_segment_ids.astype(jnp.int32)[..., None])   # [b,sq,1]
-        inputs.append(kv_segment_ids.astype(jnp.int32)[:, None, :])  # [b,1,sk]
+        if vt:
+            # transposed orientation: q_segment_ids/kv_segment_ids carry
+            # the per-q-row live-KV RANGE (lo / hi, both [b, sq]) — see
+            # the vt branch in _compute_parts.  Both ride lane-major
+            # [b, 1, sq] blocks (a [sk, 1] kv-id column would lane-pad
+            # 128x: 9 MB VMEM at 17k seq).
+            qrow_spec = mk(
+                (1, 1, block_q), lambda ib, ih, iq, ik: (ib, 0, iq)
+            )
+            in_specs.append(qrow_spec)
+            in_specs.append(qrow_spec)
+            inputs.append(q_segment_ids.astype(jnp.int32)[:, None, :])
+            inputs.append(kv_segment_ids.astype(jnp.int32)[:, None, :])
+        else:
+            in_specs.append(
+                mk((1, block_q, 1), lambda ib, ih, iq, ik: (ib, iq, 0))
+            )
+            in_specs.append(mk((1, 1, block_k), kvsegm))
+            inputs.append(
+                q_segment_ids.astype(jnp.int32)[..., None])   # [b,sq,1]
+            inputs.append(
+                kv_segment_ids.astype(jnp.int32)[:, None, :])  # [b,1,sk]
     if has_positions:
         in_specs.append(
             mk((1, block_q, 1), lambda ib, ih, iq, ik: (ib, iq, 0))
@@ -1657,7 +1732,23 @@ def sage_attention_fused(
                 attn_mask_i8.reshape(b, hm, n_q, block_q, n_kv, block_k),
                 axis=(3, 5),
             ) > 0  # [b, hm, n_q, n_kv]
-        if has_segments:
+        if has_segments and vt:
+            # range form (lo/hi per q row): a (q, kv) block is live iff
+            # some q row's [lo, hi) intersects the kv block's span
+            lob = q_segment_ids.astype(jnp.int32).reshape(b, n_q, block_q)
+            hib = kv_segment_ids.astype(jnp.int32).reshape(
+                b, n_q, block_q
+            )
+            lo_min, hi_max = lob.min(-1), hib.max(-1)  # [b, n_q]
+            kv_start = jnp.arange(n_kv, dtype=jnp.int32) * block_k
+            seg_live = jnp.logical_and(
+                lo_min[:, :, None] < (kv_start + block_k)[None, None, :],
+                hi_max[:, :, None] > kv_start[None, None, :],
+            )[:, None]  # [b, 1, n_q, n_kv]
+            live = seg_live if live is None else jnp.logical_and(
+                live, seg_live
+            )
+        elif has_segments:
             qsb = q_segment_ids.astype(jnp.int32).reshape(b, n_q, block_q)
             kvb = kv_segment_ids.astype(jnp.int32).reshape(
                 b, n_kv, block_k
@@ -1731,7 +1822,8 @@ def sage_attention_fused(
     )
     if single_step:
         inner = functools.partial(
-            _kernel_single, k_inkernel=k_inkernel, **statics
+            _kernel_single, k_inkernel=k_inkernel, kv_live=kv_live,
+            **statics
         )
     else:
         inner = functools.partial(

@@ -126,3 +126,126 @@ def test_vt_rejects_unsupported():
             q, qs, k, ks_row, v, vt=True,
             block_q=256, block_k=256, chunk_k=256, interpret=True,
         )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="the CPU backend cannot execute int4 converts (interpret "
+           "mode traces but XLA-CPU rejects E(4) layouts); the on-TPU "
+           "equivalent runs in tools/verify_tpu.py every verify pass",
+)
+def test_vt_int4_matches_normal_orientation():
+    """qk_bits=4 under vt: the in-register s8->s4 narrowing and the int4
+    MXU dot must commute with the transposed formulation (both
+    orientations on identical +-7-quantized inputs)."""
+    b, h, s, d = 1, 2, 512, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+    q_i8, qs = quant.quant_int8(
+        q.astype(jnp.bfloat16), granularity="per_token",
+        scale_fold=d**-0.5 * LOG2E, bits=4)
+    k_i8, ks = quant.quant_int8_block_scales(
+        k.astype(jnp.bfloat16), group=256, bits=4)
+    v_q, vs, _ = quant.per_channel_quant(
+        v.astype(jnp.bfloat16), dtype=jnp.int8)
+    kw = dict(is_causal=True, pv_dtype="int8", block_q=256, block_k=256,
+              sub_q=128, chunk_k=256, qk_int4=True, interpret=True)
+    o_n = sage_attention_fused(q_i8, qs, k_i8, ks, v_q, vs, **kw)
+    o_t = sage_attention_fused(
+        jnp.swapaxes(q_i8, 2, 3), qs, k_i8, ks,
+        jnp.swapaxes(v_q, 2, 3), vs, vt=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(o_n, np.float32), np.asarray(o_t, np.float32),
+        rtol=2e-2, atol=2e-3)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q, k) * d**-0.5
+    ii = jnp.arange(s)
+    sc = jnp.where(ii[:, None] >= ii[None, :], sc, -1e30)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1), v)
+    # int4 QK loses ~1 bit vs int8; 0.99 is the bits=4 acceptance bar
+    assert _cos(o_t, ref) > 0.99
+
+
+@pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="int4 needs real TPU (see above); covered by verify_tpu",
+)
+def test_sageattn_int4_hd64_routes_vt():
+    """Public-API qk_bits=4 at hd64 (now vt-dispatched) stays correct."""
+    import sageattention_tpu as sa
+
+    b, h, s, d = 1, 2, 256, 64
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, h, s, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(4), (b, h, s, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(5), (b, h, s, d), jnp.bfloat16)
+    o = sa.sageattn(q, k, v, is_causal=True, qk_bits=4)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                    k.astype(jnp.float32)) * d**-0.5
+    ii = jnp.arange(s)
+    sc = jnp.where(ii[:, None] >= ii[None, :], sc, -1e30)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1),
+                     v.astype(jnp.float32))
+    assert _cos(o, ref) > 0.99
+
+
+def test_vt_segments_match_normal_orientation():
+    """Contiguous segment masking under vt (r4): the vt kernel takes
+    per-q-row live-KV RANGES (lo/hi); parity vs the normal orientation's
+    id-form segments on a 2-segment varlen-style packing."""
+    b, h, s, d = 1, 2, 768, 64
+    seg = jnp.concatenate([
+        jnp.full((b, 512), 2, jnp.int32), jnp.full((b, 256), 3, jnp.int32)
+    ], axis=1)
+    # range form of the same mask: rows of segment A see kv [0, 512),
+    # rows of segment B see [512, 768)
+    lo = jnp.where(seg == 2, 0, 512)
+    hi = jnp.where(seg == 2, 512, 768)
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, s, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, s, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, s, d), jnp.float32)
+    q_i8, qs = quant.quant_int8(
+        q.astype(jnp.bfloat16), granularity="per_token",
+        scale_fold=d**-0.5 * LOG2E)
+    k_i8, ks = quant.quant_int8_block_scales(
+        k.astype(jnp.bfloat16), group=256)
+    v_q, vs, _ = quant.per_channel_quant(
+        v.astype(jnp.bfloat16), dtype=jnp.int8)
+    for causal in (False, True):
+        kw = dict(is_causal=causal, pv_dtype="int8", block_q=256,
+                  block_k=256, sub_q=128, chunk_k=256, interpret=True)
+        o_n = sage_attention_fused(
+            q_i8, qs, k_i8, ks, v_q, vs,
+            q_segment_ids=seg, kv_segment_ids=seg, **kw)
+        o_t = sage_attention_fused(
+            jnp.swapaxes(q_i8, 2, 3), qs, k_i8, ks,
+            jnp.swapaxes(v_q, 2, 3), vs, vt=True,
+            q_segment_ids=lo, kv_segment_ids=hi, **kw)
+        np.testing.assert_allclose(
+            np.asarray(o_n, np.float32), np.asarray(o_t, np.float32),
+            rtol=2e-2, atol=2e-3)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, k) * d**-0.5
+        m = seg[:, None, :, None] == seg[:, None, None, :]
+        if causal:
+            ii = jnp.arange(s)
+            m = jnp.logical_and(m, (ii[:, None] >= ii[None, :])[None, None])
+        ref = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            jax.nn.softmax(jnp.where(m, sc, -1e30), -1), v)
+        assert _cos(o_t, ref) > 0.999
+
+
+def test_sageattn_ragged_hd64_routes_vt_with_pad_segments():
+    """Public API with a non-128-multiple KV length at hd64: the pad
+    segment ids must ride the vt kernel (r4) and crop correctly."""
+    import sageattention_tpu as sa
+
+    b, h, sq, sk, d = 1, 2, 300, 290, 64
+    q = jax.random.normal(jax.random.PRNGKey(3), (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(4), (b, h, sk, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(5), (b, h, sk, d), jnp.bfloat16)
+    o = sa.sageattn(q, k, v)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                    k.astype(jnp.float32)) * d**-0.5
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1),
+                     v.astype(jnp.float32))
+    assert _cos(o, ref) > 0.999
