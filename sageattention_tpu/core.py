@@ -103,6 +103,8 @@ def _sageattn_hnd(
     kv_positions,
     attn_bias,
     attn_mask,
+    q_kv_lo=None,
+    q_kv_hi=None,
     *,
     is_causal: bool,
     sm_scale: float | None,
@@ -392,6 +394,12 @@ def _sageattn_hnd(
     if q_segment_ids is not None:
         q_segment_ids = _pad_axis(q_segment_ids + 2, 1, sq_pad)
         kv_segment_ids = _pad_axis(kv_segment_ids + 2, 1, sk_pad)
+    if q_kv_lo is not None:
+        # contiguous-range form of the same mask (varlen packing): pad q
+        # rows get the empty range [0, 0) — fully dead, guarded and
+        # cropped like any dead row
+        q_kv_lo = _pad_axis(q_kv_lo.astype(jnp.int32), 1, sq_pad)
+        q_kv_hi = _pad_axis(q_kv_hi.astype(jnp.int32), 1, sq_pad)
         # pads are 0 on kv / 0 on q; q-pad rows attend kv-pad rows (both
         # id 0) so their softmax is well-defined garbage that gets cropped;
         # real rows (ids >= 2) never match pads.
@@ -432,10 +440,11 @@ def _sageattn_hnd(
     use_vt = (
         d_pad <= 64
         and mask_i8 is None
-        # USER segment ids (arbitrary, possibly non-contiguous) keep the
-        # normal orientation; the internal ragged-KV pad mask rides vt
-        # as per-q-row ranges (need_pad_ids below)
-        and q_segment_ids is None
+        # USER segment ids keep the normal orientation UNLESS the
+        # caller also supplied the contiguous-range form (varlen does);
+        # the internal ragged-KV pad mask rides vt as a static bound or
+        # ranges (need_pad_ids below)
+        and (q_segment_ids is None or q_kv_lo is not None)
         and q_positions is None
         and score_col_bias is None
         and not k_inkernel
@@ -465,6 +474,9 @@ def _sageattn_hnd(
                 jnp.full((b, sq), 2, jnp.int32), 1, sq_pad)
             kv_segment_ids = _pad_axis(
                 jnp.full((b, sk), 2, jnp.int32), 1, sk_pad)
+    if use_vt and q_segment_ids is not None:
+        # vt consumes the per-q-row live-KV ranges in the segment slots
+        q_segment_ids, kv_segment_ids = q_kv_lo, q_kv_hi
     if not use_vt and d_pad <= 64:
         # the configs above may have been tuned for the vt path (core
         # _entry's vt_hint mispredicts only on rare ragged-KV edge
@@ -849,10 +861,12 @@ def sageattn_varlen(
     elif smooth_k_mode not in ("global", "per_segment"):
         raise ValueError(f"unknown smooth_k_mode {smooth_k_mode!r}")
 
-    # varlen rides USER segment ids -> the normal orientation (vt takes
-    # only contiguous-range masks), so normal-orientation configs apply
+    # per-q-row live-KV ranges — the contiguous-range mask form that
+    # lets hd64 varlen ride the transposed (vt) kernel
+    kv_lo_rows = cu_seqlens_k[seg_q - 1].astype(jnp.int32)
+    kv_hi_rows = cu_seqlens_k[seg_q].astype(jnp.int32)
     bq_auto, bk_auto, _, _ = attention_pallas.default_config(
-        total_q, total_k, d, is_causal
+        total_q, total_k, d, is_causal, vt=d <= 64
     )
     # max_seqlen hints: align the block grid with the segment granularity
     # so the liveness summary can skip cross-segment blocks
@@ -886,6 +900,8 @@ def sageattn_varlen(
         None,
         None,
         None,
+        q_kv_lo=kv_lo_rows[None],
+        q_kv_hi=kv_hi_rows[None],
         is_causal=is_causal,
         sm_scale=sm_scale,
         smooth_k=smooth_k,
