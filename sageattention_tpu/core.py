@@ -474,8 +474,10 @@ def _sageattn_hnd(
                 jnp.full((b, sq), 2, jnp.int32), 1, sq_pad)
             kv_segment_ids = _pad_axis(
                 jnp.full((b, sk), 2, jnp.int32), 1, sk_pad)
-    if use_vt and q_segment_ids is not None:
-        # vt consumes the per-q-row live-KV ranges in the segment slots
+    if use_vt and q_kv_lo is not None:
+        # vt consumes the caller's per-q-row live-KV ranges (varlen) in
+        # the segment slots; the need_pad_ids branch above already wrote
+        # its own ranges there, which this must NOT clobber with None
         q_segment_ids, kv_segment_ids = q_kv_lo, q_kv_hi
     if not use_vt and d_pad <= 64:
         # the configs above may have been tuned for the vt path (core

@@ -262,7 +262,8 @@ def append_kv(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "window", "return_state", "interpret"),
+    static_argnames=("sm_scale", "chunk", "window", "return_state",
+                     "interpret"),
 )
 def sageattn_decode(
     q: jax.Array,            # [b, hq, t_q, d]

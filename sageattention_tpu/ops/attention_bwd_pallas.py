@@ -313,7 +313,10 @@ def quantized_attention_vjp(
         return None
     chunk_k = _fit_block(
         block_k,
-        [c for c in (2048, 1024, 512) if scale_group % c == 0],
+        # the compute chunk must divide the K-quant group so each
+        # chunk's single SMEM scale is exact; the r4 vt retune runs
+        # 256-wide forward groups at d <= 64, hence the small candidates
+        [c for c in (2048, 1024, 512, 256, 128) if scale_group % c == 0],
     ) or block_k
     if block_k % chunk_k or scale_group % chunk_k:
         return None

@@ -153,6 +153,11 @@ def _parse_table(raw: dict) -> dict:
     for k, v in raw.items():
         if k.startswith("_"):
             continue
+        if k.count(":") == 4:
+            # legacy 5-field key (pre-vt tables, e.g. a user's
+            # $SAGE_TUNED_CONFIGS from an earlier autotune run): those
+            # winners were measured on the normal orientation -> vt=0
+            k = k + ":0"
         try:
             vals = [int(x) for x in v]
         except (TypeError, ValueError):
@@ -287,33 +292,34 @@ def default_config(
                     return cand
             return 128
 
+        # The r4 convergent result (full sweep, sweeps c-f): NARROW
+        # chunks dominate the transposed kernel — ck 256 with sub 256
+        # at every seq, both causalities.  [ck, sub] = [256, 256] score
+        # tiles keep the round-robin pipeline dense (4k nc 185.0 vs
+        # 129.8 at the old ck4096/sub1024; 16k nc 189.7 = 0.95x of the
+        # hd64 mixed MXU ceiling; 16k causal 160.7 vs 104.6).  hd128
+        # measured the OPPOSITE (narrow chunks lose ~7-20%) — its
+        # branches below keep wide chunks.
         if is_causal:
-            # small grids prefer 1024-blocks (76.8 vs 63.8 TOPS at 2k:
-            # the fold grid needs >= 2 rows to fill the pipeline)
+            # small grids prefer 1024-blocks (the fold grid needs >= 2
+            # rows to fill the pipeline: 93.9 vs 67.5 TOPS at 2k)
             sp = max(sq_p, sk_p)
             blk = min(1024 if sp <= 2048 else 2048, sp)
             bq = min(blk, sq_p)
-            return bq, blk, sub_of(bq, 256), blk
-        if sk_p <= 2048:
-            # single KV step; half-size Q blocks keep >= 2 grid steps
-            bq = min(sq_p, max(256, sk_p // 2))
-            return bq, sk_p, sub_of(bq, 256), sk_p
+            ck = 256 if blk % 256 == 0 else blk
+            return bq, blk, sub_of(bq, 256), ck
         if sk_p <= 4096:
-            # 4k: one whole-slab step, widest sub-tile (129.8 TOPS vs
-            # 116 at sub256)
-            bq = min(sq_p, 4096)
-            return bq, sk_p, sub_of(bq, 1024), sk_p
-        bk = min(16384, sk_p)  # 32k single-step fails to compile
+            bq = min(sq_p, 1024 if sk_p <= 2048 else 4096)
+            ck = 256 if sk_p % 256 == 0 else sk_p
+            return bq, sk_p, sub_of(bq, 256), ck
+        bk = min(16384, sk_p)
         if sk_p % bk:
             # ragged long rows (e.g. CogVideoX's 17776): a non-dividing
             # bk would pad KV to the next bk multiple (+84% dead
             # compute); one whole-row step takes a ragged last chunk
             bk = sk_p
         bq = min(1024, sq_p)
-        # sub 256 (not 512): the r4 autotune sweep measured it +5% at
-        # 16k, and segment-masked ragged rows need the smaller score
-        # tiles to fit scoped VMEM (125 MB at sub 512 + range masks)
-        return bq, bk, sub_of(bq, 256), min(4096, bk)
+        return bq, bk, sub_of(bq, 256), 256
     if is_causal:
         cap = 2048 if d <= 128 else 1024
         blk = min(cap, _pad128(max(sq, sk)))
@@ -347,12 +353,10 @@ def default_diag_chunk(
     tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked, vt))
     if tuned is not None and len(tuned) == 5 and tuned[4] != tuned[3]:
         return tuned[4]
-    if tuned is None and vt and d <= 64 and is_causal:
-        # the vt kernel's cheap per-item softmax makes narrow diagonal
-        # chunks a large win (111.3 vs 75.8 TOPS at 4k with dck 256,
-        # measured r4); 512 at the small 1k-2k grids
-        blk = min(2048, max(_pad128(sq), _pad128(sk)))
-        return 256 if blk >= 2048 else min(512, blk)
+    # no heuristic dck since the r4 narrow-chunk retune: the vt configs
+    # run 256-wide chunks outright (default_config), which subsumes the
+    # diagonal-chunk trick (dck == ck); only a tuned-table 5th element
+    # can introduce a narrower diagonal now
     return None
 
 
@@ -1397,8 +1401,12 @@ def sage_attention_fused(
             ) if val is not None
         ]
         if unsupported or pv_compute == "int8" or k_inkernel:
+            why = unsupported or (
+                ["pv_compute='int8'"] if pv_compute == "int8"
+                else ["k_inkernel"]
+            )
             raise ValueError(
-                f"vt=True does not support {unsupported or pv_compute} "
+                f"vt=True does not support {why} "
                 "— core.py routes these to the normal orientation"
             )
         # vt computes l as a cross-sublane VPU sum — CHEAP in this

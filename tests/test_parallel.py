@@ -209,10 +209,15 @@ class TestPositions:
             q, k, v, q_positions=pos, kv_positions=pos, pv_dtype="bf16"
         )
         o_causal = sa.sageattn(q, k, v, is_causal=True, pv_dtype="bf16")
+        # the two dispatches quantize K at different chunk granularities
+        # at hd64 (positions ride the normal orientation's wide chunks;
+        # causal rides the vt kernel's 256-wide chunks since the r4
+        # retune), so agreement is to quantization error, not ULPs
+        # (measured: 0.004% of elements beyond 2e-2, max 0.029)
         np.testing.assert_allclose(
             np.asarray(o_pos, np.float32),
             np.asarray(o_causal, np.float32),
-            atol=2e-2,
+            atol=4e-2,
         )
 
 

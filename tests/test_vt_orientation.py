@@ -249,3 +249,65 @@ def test_sageattn_ragged_hd64_routes_vt_with_pad_segments():
     ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1),
                      v.astype(jnp.float32))
     assert _cos(o, ref) > 0.999
+
+
+def test_sageattn_ragged_causal_cross_length_pads_masked():
+    """r4 regression: the vt range swap used to clobber the internally
+    built ragged-pad ranges with None, so causal hd64 with sq > sk
+    attended the zero-padded KV columns (max err 0.19)."""
+    import sageattention_tpu as sa
+
+    b, h, sq, sk, d = 1, 2, 256, 130, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, sk, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, sk, d), jnp.bfloat16)
+    o = sa.sageattn(q, k, v, is_causal=True)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                    k.astype(jnp.float32)) * d**-0.5
+    # this kernel's cross-length causal convention is TOP-LEFT
+    # aligned: q row i sees kv j iff j <= i (rows past sk see all keys)
+    ii = jnp.arange(sq)[:, None]
+    jj = jnp.arange(sk)[None, :]
+    m = jj <= ii
+    ref = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        jax.nn.softmax(jnp.where(m[None, None], sc, -1e30), -1),
+        v.astype(jnp.float32))
+    live = np.asarray(m.any(-1))  # rows with no visible kv are undefined
+    a = np.asarray(o, np.float64)[:, :, live, :]
+    r = np.asarray(ref, np.float64)[:, :, live, :]
+    assert _cos(a, r) > 0.999
+    assert float(np.max(np.abs(a - r))) < 0.06
+
+
+def test_vt_heuristic_configs_valid_at_odd_lengths():
+    """r4 regression: sk_p//2 could yield a non-128-multiple block_q
+    (e.g. 320 at s=600) that no sub-tile divides."""
+    from sageattention_tpu.ops.attention_pallas import (
+        default_config, default_diag_chunk,
+    )
+
+    for s in (600, 640, 900, 1152, 1800, 2500, 5000, 17776):
+        for causal in (False, True):
+            bq, bk, sub, ck = default_config(s, s, 64, causal, vt=True)
+            assert bq % 128 == 0 and bq % sub == 0, (s, causal, bq, sub)
+            assert bk % ck == 0 or bk >= -(-s // 128) * 128
+            dck = default_diag_chunk(s, s, 64, causal, vt=True)
+            if dck is not None:
+                assert ck % dck == 0, (s, causal, ck, dck)
+
+
+def test_sageattn_cross_length_sq_gt_sk_interpret():
+    """Public-API ragged cross-length (sq > sk) non-causal at hd64."""
+    import sageattention_tpu as sa
+
+    b, h, sq, sk, d = 1, 2, 600, 200, 64
+    q = jax.random.normal(jax.random.PRNGKey(6), (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(7), (b, h, sk, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(8), (b, h, sk, d), jnp.bfloat16)
+    o = sa.sageattn(q, k, v)
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                    k.astype(jnp.float32)) * d**-0.5
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1),
+                     v.astype(jnp.float32))
+    assert _cos(o, ref) > 0.999

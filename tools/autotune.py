@@ -74,26 +74,23 @@ def candidates(s: int, d: int, causal: bool):
          dck=default_diag_chunk(s, s, d, causal, vt=vt))
     heuristic_valid = bool(yield_list)
     if vt and causal:
-        # fold-grid diagonal chunking is the load-bearing vt knob; the
-        # sub-tile width second
+        # r4 retune: narrow chunks dominate the transposed kernel; the
+        # chunk width is the load-bearing knob, sub-tile width second
         for blk in (1024, 2048):
             for sub in (128, 256):
-                for dck in (blk, 512, 256):
-                    emit(blk, blk, sub, blk, dck)
+                for ck in (256, 512, blk):
+                    emit(blk, blk, sub, ck)
     elif vt:
         if sp <= 4096:
-            for bq in (sp // 2, sp):
-                for sub in (256, 512, 1024):
-                    if sub <= bq:
-                        emit(bq, sp, sub, sp)
+            for bq in (1024, 4096):
+                for sub in (128, 256):
+                    for ck in (256, 512):
+                        emit(min(bq, sp), sp, sub, ck)
         else:
-            for bk in (16384, 8192):
-                if bk > sp:
-                    continue
-                for ck in (4096, 8192):
-                    if ck <= bk:
-                        for sub in (256, 512):
-                            emit(1024, bk, sub, ck)
+            for bk in (16384,):
+                for ck in (256, 512, 1024):
+                    for sub in (128, 256):
+                        emit(1024, min(bk, sp), sub, ck)
     elif causal:
         # equal Q/KV blocks ride the diagonal-split (and fold) scheduling;
         # 4096 explodes Mosaic compile time (measured >9 min) — never try.
