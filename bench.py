@@ -115,7 +115,7 @@ def sage_kernel_time(b, h, s, d, causal, n=10, reps=5):
         default_config, default_diag_chunk,
     )
 
-    vt = d <= 64  # mirrors core.py's dispatch (and bench_one's default)
+    vt = d <= 128  # mirrors core.py's dispatch (and bench_one's default)
     bq, bk, sub, ck = default_config(s, s, d, causal, vt=vt)
     tops, t = bench_one(
         b, h, s, d, causal=causal, pv_dtype="int8", quant_gran="auto",

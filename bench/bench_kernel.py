@@ -57,10 +57,10 @@ def bench_one(b, h, s, d, *, causal, pv_dtype, quant_gran, block_q,
     # (vt) kernel when eligible; pass vt=False to force the normal
     # orientation + free-lane rowsum for comparison
     if vt is None:
-        # core.py's gate: always transposed when eligible at d <= 64
-        # (measured better at EVERY swept hd64 shape, 1k-32k, r4)
+        # core.py's gate: always transposed when eligible at d <= 128
+        # (measured better at EVERY swept hd64 AND hd128 shape, r4)
         vt = (
-            d <= 64 and quant_gran == "auto"
+            d <= 128 and quant_gran == "auto"
             and not fused_kwargs.get("k_inkernel")
         )
     rowsum_lane = None
@@ -136,7 +136,7 @@ def main():
     for s in (int(x) for x in args.seqs.split(",")):
         bq_t, bk_t, sub_t, ck_t = default_config(
             s, s, args.head_dim, args.causal,
-            vt=args.head_dim <= 64 and args.quant_gran == "auto",
+            vt=args.head_dim <= 128 and args.quant_gran == "auto",
         )
         tops, t = bench_one(
             args.batch, args.heads, s, args.head_dim,

@@ -438,7 +438,7 @@ def _sageattn_hnd(
         and k_scale.shape[-1] != sk
     )
     use_vt = (
-        d_pad <= 64
+        d_pad <= 128
         and mask_i8 is None
         # USER segment ids keep the normal orientation UNLESS the
         # caller also supplied the contiguous-range form (varlen does);
@@ -609,7 +609,7 @@ def _entry(
     # gate: a vt-tuned config on the normal kernel risks VMEM blowups
     # (sub_q 1024), so _sageattn_hnd clamps sub_q if it falls back.
     vt_hint = (
-        _pad_head_dim(q.shape[-1]) <= 64
+        _pad_head_dim(q.shape[-1]) <= 128
         and attn_mask is None
         and q_segment_ids is None
         and q_positions is None
@@ -868,7 +868,7 @@ def sageattn_varlen(
     kv_lo_rows = cu_seqlens_k[seg_q - 1].astype(jnp.int32)
     kv_hi_rows = cu_seqlens_k[seg_q].astype(jnp.int32)
     bq_auto, bk_auto, _, _ = attention_pallas.default_config(
-        total_q, total_k, d, is_causal, vt=d <= 64
+        total_q, total_k, d, is_causal, vt=d <= 128
     )
     # max_seqlen hints: align the block grid with the segment granularity
     # so the liveness summary can skip cross-segment blocks

@@ -292,7 +292,7 @@ def quantized_attention_vjp(
     # vt mirrors core._entry's dispatch: the fused-bwd region has no
     # masks/segments and 128-aligned shapes, so eligibility is d <= 64
     scale_group = attention_pallas.default_config(
-        sq, sk, d, is_causal, vt=d <= 64
+        sq, sk, d, is_causal, vt=d <= 128
     )[3]
     if sk % scale_group and sk > scale_group:
         # the forward's quantizer fell back to a ragged-group layout the

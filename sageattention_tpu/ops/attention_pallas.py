@@ -276,7 +276,7 @@ def default_config(
     tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked, vt))
     if tuned is not None:
         return tuned[:4]
-    if vt and d <= 64:
+    if vt and d <= 128:
         # transposed-formulation winners (measured r4, v5e, b4 h32; see
         # BASELINE.md "hd64"): much wider sub-tiles pay off because the
         # PV matmul runs at full MXU rate and the VPU passes are
@@ -292,14 +292,14 @@ def default_config(
                     return cand
             return 128
 
-        # The r4 convergent result (full sweep, sweeps c-f): NARROW
-        # chunks dominate the transposed kernel — ck 256 with sub 256
-        # at every seq, both causalities.  [ck, sub] = [256, 256] score
-        # tiles keep the round-robin pipeline dense (4k nc 185.0 vs
-        # 129.8 at the old ck4096/sub1024; 16k nc 189.7 = 0.95x of the
-        # hd64 mixed MXU ceiling; 16k causal 160.7 vs 104.6).  hd128
-        # measured the OPPOSITE (narrow chunks lose ~7-20%) — its
-        # branches below keep wide chunks.
+        # The r4 convergent result (full sweeps c-f + the hd128 vt
+        # sweep): the TRANSPOSED formulation with NARROW chunks —
+        # [ck, sub] = [256, 256] score tiles — dominates at every
+        # d <= 128 shape and both causalities (hd64: 16k nc 189.7 =
+        # 0.95x of its mixed MXU ceiling, 16k causal 160.7 vs 104.6;
+        # hd128: 4k nc 249.4 vs 199 normal = 0.99x of ITS ceiling,
+        # 4k causal 193.5 vs 110.8).  The same configs win at both
+        # head dims; d > 128 keeps the normal orientation below.
         if is_causal:
             # small grids prefer 1024-blocks (the fold grid needs >= 2
             # rows to fill the pipeline: 93.9 vs 67.5 TOPS at 2k)

@@ -164,7 +164,7 @@ def test_candidates_are_valid_and_include_default():
                 # d <= 64, mirroring bench_one/core dispatch), with
                 # dck == ck unless the heuristic itself chunks the
                 # diagonal (vt causal)
-                vt = d <= 64
+                vt = d <= 128
                 assert cands[0][:4] == ap.default_config(
                     s, s, d, causal, vt=vt)
                 dck0 = ap.default_diag_chunk(s, s, d, causal, vt=vt)

@@ -45,10 +45,10 @@ def candidates(s: int, d: int, causal: bool):
     ``(configs, heuristic_valid)``: a list of (block_q, block_k, sub_q,
     chunk_k) tuples — the heuristic default first when it is itself a
     valid dividing config (so ties keep the current behavior) — and
-    whether it was.  d <= 64 sweeps the transposed-formulation (vt)
+    whether it was.  d <= 128 sweeps the transposed-formulation (vt)
     knobs, matching bench_one's dispatch."""
     sp = _pad128(s)
-    vt = d <= 64
+    vt = d <= 128
     seen = set()
 
     def emit(bq, bk, sub, ck, dck=None):
@@ -212,7 +212,7 @@ def main():
                         best, best_t = cfg, t
                 if best is None:
                     continue
-                key = config_key(s, s, d, causal, vt=d <= 64)
+                key = config_key(s, s, d, causal, vt=d <= 128)
                 def _trim(cfg):
                     # drop a redundant 5th element (dck == ck) so plain
                     # 4-element entries stay the common case
