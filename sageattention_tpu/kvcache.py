@@ -110,14 +110,15 @@ def init_kv_cache(
 ) -> QuantKVCache:
     """``bits=4`` stores the cache nibble-packed (2 TOKENS per int8
     byte, ``pack_token_pairs``): half the HBM footprint, at ±7
-    quantization levels.  Decode latency: MEASURED 1.06-1.3x faster
-    than the int8 cache at 32k (not the naive 2x — the halved bytes
-    stream at a lower effective rate: the dual int4 dots + shift/merge
-    and the [t/2, d] packed-row DMA shape cost real time; numbers in
-    BASELINE.md).  The footprint halving itself is the serving win
-    (2x contexts per HBM byte).  See bench_decode --bits 4 for the
-    accuracy/latency trade.  ``max_len`` must be even for the 4-bit
-    cache."""
+    quantization levels.  Decode latency vs the int8 cache: MEASURED
+    0.8-1.3x at 32k, load-dependent and NOT a reliable latency win —
+    the halved bytes do not stream at the int8 GB/s (the dual int4
+    dots + shift/merge and the [t/2, d] packed-row DMA shape cost real
+    time, and the shared-chip runs reorder between sessions; r4
+    observations in BASELINE.md).  The FOOTPRINT halving is the honest
+    serving win (2x contexts per HBM byte).  See bench_decode --bits 4
+    for the accuracy/latency trade.  ``max_len`` must be even for the
+    4-bit cache."""
     assert bits in (8, 4), bits
     assert bits == 8 or max_len % 2 == 0, max_len
     return QuantKVCache(
