@@ -6,10 +6,10 @@ GPU SM arch to one of four compiled backends, here there is a single Pallas
 kernel family plus an XLA fallback:
 
 * ``impl="pallas"`` — the fused TPU kernel (ops/attention_pallas.py).
+  Bool masks AND additive float biases both ride in-kernel.
 * ``impl="xla"``    — unfused jnp ops (materializes scores); used for CPU
-  execution, additive attention-bias support, and as a cross-check.
-* ``impl="auto"``   — pallas on TPU (interpret-mode pallas on CPU), xla when
-  an additive bias is present.
+  execution and as a cross-check.
+* ``impl="auto"``   — pallas on TPU (interpret-mode pallas on CPU).
 
 All entry points accept HND ([b, h, s, d]) or NHD ([b, s, h, d]) layouts
 (reference: core.py tensor_layout), GQA (h_q a multiple of h_kv), causal
@@ -35,6 +35,14 @@ LOG2E = 1.4426950408889634
 # the kernel's q_idx==0 critical path instead of overlapping) and pushes
 # 16k past the VMEM budget — the K prologue stays the production default.
 _K_INKERNEL = False
+
+# vt consumes NORMAL-layout Q/V by default (transposes ride the MXU
+# dimension_numbers, killing the XLA Q^T/V^T relayout passes — the r4
+# hd64 op-total gap); $SAGE_VT_NATIVE=0 restores the pre-transposed
+# input form for A/B measurement.
+import os as _os
+
+_VT_NATIVE = _os.environ.get("SAGE_VT_NATIVE", "1") != "0"
 
 Layout = Literal["HND", "NHD"]
 
@@ -178,12 +186,41 @@ def _sageattn_hnd(
                     f"attn_mask trailing dims {attn_mask.shape[-2:]} must "
                     f"be ({sq}, {sk}) or broadcastable (size 1)"
                 )
+    if attn_bias is not None:
+        # normalize additive biases to [b, hb, sq, sk] exactly like bool
+        # masks (the reference broadcast-expands both forms the same way,
+        # reference: core.py:306-316)
+        if attn_bias.ndim == 2:
+            attn_bias = attn_bias[None, None]
+        elif attn_bias.ndim == 3:
+            attn_bias = attn_bias[:, None]
+        if attn_bias.shape[0] == 1 and b > 1:
+            attn_bias = jnp.broadcast_to(
+                attn_bias, (b,) + attn_bias.shape[1:]
+            )
+        if attn_bias.shape[1] not in (1, hq):
+            raise ValueError(
+                f"attn_bias head dim {attn_bias.shape[1]} must be 1 or {hq}"
+            )
+        if attn_bias.shape[-2:] != (sq, sk):
+            if all(
+                ms in (1, full) for ms, full in
+                zip(attn_bias.shape[-2:], (sq, sk))
+            ):
+                attn_bias = jnp.broadcast_to(
+                    attn_bias, attn_bias.shape[:-2] + (sq, sk)
+                )
+            else:
+                raise ValueError(
+                    f"attn_bias trailing dims {attn_bias.shape[-2:]} must "
+                    f"be ({sq}, {sk}) or broadcastable (size 1)"
+                )
     if impl == "auto":
-        # bool masks run in-kernel on the Pallas path; only additive
-        # biases need the score-materializing XLA fallback
-        impl = "xla" if attn_bias is not None else "pallas"
-    if attn_bias is not None and impl != "xla":
-        raise NotImplementedError("attn_bias requires impl='xla'")
+        # bool masks AND additive float biases both run in-kernel on the
+        # Pallas path (the bias joins the dequantized base-2 logits
+        # before the max, like the reference's fused triton mask add,
+        # attn_qk_int8_per_thread.py:49-56)
+        impl = "pallas"
 
     # --- Q/K quantization (+ K smoothing) ------------------------------
     # "auto" is the TPU-recommended config: per-token Q scales + one K
@@ -302,10 +339,13 @@ def _sageattn_hnd(
         _quant_v = quant_mod.per_channel_quant
     if pv_dtype == "int8":
         v_q, v_scale, v_mean = _quant_v(v, dtype=jnp.int8, smooth=smooth_v)
-    elif pv_dtype == "fp8":
-        v_q, v_scale, v_mean = _quant_v(
-            v, dtype=jnp.float8_e4m3fn, smooth=smooth_v
-        )
+    elif pv_dtype in ("fp8", "fp8_e5m2"):
+        # both reference fp8 coding variants (numeric_conversion.cuh:
+        # 80-113 converts e4m3 AND e5m2); storage-only on this TPU
+        # generation either way (no native fp8 MXU — see
+        # sageattn_qk_int8_pv_fp8)
+        fdt = jnp.float8_e4m3fn if pv_dtype == "fp8" else jnp.float8_e5m2
+        v_q, v_scale, v_mean = _quant_v(v, dtype=fdt, smooth=smooth_v)
     elif pv_dtype == "bf16":
         if smooth_v:
             v_c, v_mean = quant_mod.sub_mean(v)
@@ -385,6 +425,12 @@ def _sageattn_hnd(
         mask_i8 = _pad_axis(
             _pad_axis(attn_mask.astype(jnp.int8), 3, sk_pad), 2, sq_pad
         )
+    bias_pad = None
+    if attn_bias is not None:
+        # zero-filled pads: pad KV columns are killed by the pad segment
+        # ids / mask below (need_pad_ids fires whenever no mask covers
+        # them), pad q rows are cropped
+        bias_pad = _pad_axis(_pad_axis(attn_bias, 3, sk_pad), 2, sq_pad)
     # ragged-KV pad masking is deferred past the vt decision below: the
     # vt kernel takes it as per-q-row live ranges, the normal kernel as
     # matching pad segment ids
@@ -440,6 +486,7 @@ def _sageattn_hnd(
     use_vt = (
         d_pad <= 128
         and mask_i8 is None
+        and attn_bias is None
         # USER segment ids keep the normal orientation UNLESS the
         # caller also supplied the contiguous-range form (varlen does);
         # the internal ragged-KV pad mask rides vt as a static bound or
@@ -452,7 +499,14 @@ def _sageattn_hnd(
     )
     kv_live = None
     if need_pad_ids:
-        if not is_causal and block_k >= sk:
+        if (
+            not is_causal and block_k >= sk
+            # the kernel's own precondition (attention_pallas: the pad
+            # region must fit inside ONE straddling chunk); a user
+            # block_k override far above sk would otherwise trip the
+            # kernel's assert — fall through to the id/range pad mask
+            and sk_pad - sk < min(chunk_k, sk_pad)
+        ):
             # single-KV-step grids: the pad mask is a STATIC bound — one
             # straddling chunk pays a compare, q-pad rows attend live
             # keys (their garbage rows are cropped below).  No id/range
@@ -512,14 +566,19 @@ def _sageattn_hnd(
         v_mean = _pad_axis(v_mean, 2, d_v)
     if score_col_bias is not None:
         score_col_bias = _pad_axis(score_col_bias, 2, sk_pad)
-    if use_vt:
-        # the kernel consumes Q and V transposed ([d, s] minor) — one XLA
-        # relayout each, fused into the quant prologue's output writes.
-        # No ones-row rowsum here: in the transposed orientation l is a
-        # cross-SUBLANE reduction (cheap on the VPU, unlike the normal
-        # orientation's cross-lane sum), and the +8 V^T pad rows break
-        # the int8 32-sublane tile — measured 105.2 -> 77.3 TOPS on
-        # 4k-causal hd64 when tried (r4).
+    vt_native = use_vt and _VT_NATIVE
+    if use_vt and not vt_native:
+        # legacy vt input form: Q and V transposed ([d, s] minor) via one
+        # XLA relayout each.  The default (vt_native) instead feeds the
+        # kernel NORMAL-layout Q/V and lets the MXU dimension_numbers
+        # absorb the transposes — no relayout passes (the r4 hd64
+        # op-total gap, ~335 us at 4k).  $SAGE_VT_NATIVE=0 restores this
+        # form for A/B measurement.
+        # No ones-row rowsum in either form: in the transposed
+        # orientation l is a cross-SUBLANE reduction (cheap on the VPU,
+        # unlike the normal orientation's cross-lane sum), and the +8
+        # V^T pad rows break the int8 32-sublane tile — measured
+        # 105.2 -> 77.3 TOPS on 4k-causal hd64 when tried (r4).
         q_i8 = jnp.swapaxes(q_i8, 2, 3)
         v_q = jnp.swapaxes(v_q, 2, 3)
 
@@ -538,7 +597,9 @@ def _sageattn_hnd(
         score_col_bias,
         mask_i8,
         km_pad,
+        attn_bias=bias_pad,
         vt=use_vt,
+        vt_native=vt_native,
         kv_live=kv_live,
         k_inkernel=k_inkernel,
         is_causal=is_causal,
@@ -600,16 +661,16 @@ def _entry(
     q = _to_hnd(q, tensor_layout)
     k = _to_hnd(k, tensor_layout)
     v = _to_hnd(v, tensor_layout)
-    masked = attn_mask is not None and (
-        not hasattr(attn_mask, "dtype") or attn_mask.dtype == jnp.bool_
-    )
+    # any explicit mask form (bool OR additive float) rides in-kernel as
+    # a [block_q, block_k] block — cap the KV block (default_config)
+    masked = attn_mask is not None or attn_bias is not None
     # Predict whether _sageattn_hnd will take the transposed (vt) path —
     # its block-size winners differ a lot from the normal orientation's
     # (see default_config).  The prediction must be a SUBSET of the real
     # gate: a vt-tuned config on the normal kernel risks VMEM blowups
     # (sub_q 1024), so _sageattn_hnd clamps sub_q if it falls back.
     vt_hint = (
-        _pad_head_dim(q.shape[-1]) <= 128
+        attention_pallas.vt_eligible_head_dim(q.shape[-1])
         and attn_mask is None
         and q_segment_ids is None
         and q_positions is None
@@ -622,11 +683,11 @@ def _entry(
     )
     bq_auto, bk_auto, sub_q, chunk_k = attention_pallas.default_config(
         q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked,
-        vt=vt_hint,
+        vt=vt_hint, window=window,
     )
     diag_chunk_k = attention_pallas.default_diag_chunk(
         q.shape[2], k.shape[2], q.shape[-1], is_causal, masked=masked,
-        vt=vt_hint,
+        vt=vt_hint, window=window,
     )
     if block_q is None:
         block_q = bq_auto
@@ -754,7 +815,12 @@ def sageattn_qk_int8_pv_fp8(q, k, v, tensor_layout="HND", is_causal=False,
     fp8 MXU path), so V is stored e4m3 (halved HBM/VMEM traffic, same
     per-channel scale machinery) and upcast in-register for the P.V
     matmul.  Generations with a native fp8 MXU would pick it up through
-    the same ``dot_general`` without API changes."""
+    the same ``dot_general`` without API changes.
+
+    Pass ``pv_dtype="fp8_e5m2"`` for the e5m2 coding (the reference
+    converts both, csrc/numeric_conversion.cuh:80-113); e4m3's extra
+    mantissa bit is the better trade under per-channel scaling, e5m2 is
+    kept for format parity."""
     kw.setdefault("pv_dtype", "fp8")
     return _entry(q, k, v, tensor_layout, is_causal, sm_scale, return_lse, **kw)
 

@@ -108,6 +108,17 @@ def _pad128(n: int) -> int:
     return max(128, -(-n // 128) * 128)
 
 
+def vt_eligible_head_dim(d: int) -> bool:
+    """True when head_dim (after core.py's 64/128-multiple padding) fits
+    the transposed (vt) formulation.  core._entry's ``vt_hint`` and the
+    fused backward's K-quant-group derivation (attention_bwd_pallas) both
+    gate on THIS helper so the forward quantizer's chunk width and the
+    backward's ``scale_group`` can never silently desynchronize (the two
+    hand-duplicated gates were the r4 advisor's finding)."""
+    d_pad = 64 if d <= 64 else -(-d // 128) * 128
+    return d_pad <= 128
+
+
 # --- tuned-config table (autotuner override) -------------------------------
 #
 # ``tools/autotune.py`` sweeps kernel configs on the real chip and persists
@@ -133,16 +144,22 @@ _tuned_loaded_from: str | None = None
 
 def config_key(
     sq: int, sk: int, d: int, is_causal: bool, masked: bool = False,
-    vt: bool = False,
+    vt: bool = False, window: int | None = None,
 ) -> str:
     """The tuned-table key for a shape (padded-seq granularity).  ``vt``
-    keys the transposed-formulation dispatch (d <= 64, core.py): its
+    keys the transposed-formulation dispatch (d <= 128, core.py): its
     block-size winners differ from the normal orientation's, and a shape
-    can run either depending on runtime features (masks disable vt)."""
-    return (
+    can run either depending on runtime features (masks disable vt).
+    ``window`` (sliding-window width) appends a ``:w<N>`` suffix — band
+    grids have their own block/chunk winners (r4 measured the window
+    metric 1.64x low because it ran full-causal configs)."""
+    base = (
         f"{_pad128(sq)}:{_pad128(sk)}:{d}:"
         f"{int(bool(is_causal))}:{int(bool(masked))}:{int(bool(vt))}"
     )
+    if window:
+        base += f":w{int(window)}"
+    return base
 
 
 def _parse_table(raw: dict) -> dict:
@@ -158,6 +175,8 @@ def _parse_table(raw: dict) -> dict:
             # $SAGE_TUNED_CONFIGS from an earlier autotune run): those
             # winners were measured on the normal orientation -> vt=0
             k = k + ":0"
+        elif k.count(":") not in (5, 6):  # 6 = window-suffixed keys
+            continue
         try:
             vals = [int(x) for x in v]
         except (TypeError, ValueError):
@@ -247,7 +266,7 @@ def _load_tuned() -> dict:
 
 def default_config(
     sq: int, sk: int, d: int, is_causal: bool, masked: bool = False,
-    vt: bool = False,
+    vt: bool = False, window: int | None = None,
 ) -> tuple[int, int, int, int]:
     """Tuned (block_q, block_k, sub_q, chunk_k) for a shape (measured on
     TPU v5e; the single recommended-config table that replaces the
@@ -273,7 +292,13 @@ def default_config(
     An autotuned table (see :func:`set_tuned_configs`) overrides the
     heuristic per exact (padded) shape.
     """
-    tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked, vt))
+    tuned_tbl = _load_tuned()
+    tuned = tuned_tbl.get(
+        config_key(sq, sk, d, is_causal, masked, vt, window)
+    )
+    if tuned is None and window:
+        # no window-specific entry: fall back to the plain-shape entry
+        tuned = tuned_tbl.get(config_key(sq, sk, d, is_causal, masked, vt))
     if tuned is not None:
         return tuned[:4]
     if vt and d <= 128:
@@ -342,7 +367,7 @@ def default_config(
 
 def default_diag_chunk(
     sq: int, sk: int, d: int, is_causal: bool, masked: bool = False,
-    vt: bool = False,
+    vt: bool = False, window: int | None = None,
 ) -> int | None:
     """The causal diagonal region's chunk width for a shape, when the
     tuned table records one (the optional 5th entry element); None means
@@ -350,7 +375,12 @@ def default_diag_chunk(
     trade VPU efficiency for trace-time skipping of above-diagonal work
     items inside the diagonal block — a measured win at small causal
     grids where diagonal blocks dominate (see tools/autotune.py)."""
-    tuned = _load_tuned().get(config_key(sq, sk, d, is_causal, masked, vt))
+    tuned_tbl = _load_tuned()
+    tuned = tuned_tbl.get(
+        config_key(sq, sk, d, is_causal, masked, vt, window)
+    )
+    if tuned is None and window:
+        tuned = tuned_tbl.get(config_key(sq, sk, d, is_causal, masked, vt))
     if tuned is not None and len(tuned) == 5 and tuned[4] != tuned[3]:
         return tuned[4]
     # no heuristic dck since the r4 narrow-chunk retune: the vt configs
@@ -375,6 +405,7 @@ def _compute_parts(
     kpos_ref,
     cbias_ref,
     mask_ref=None,
+    bias_ref=None,
     causal: bool,
     k_scale_blocked: bool,
     has_segments: bool,
@@ -397,6 +428,7 @@ def _compute_parts(
     scale_group: int | None = None,
     ml_scr=None,
     vt: bool = False,
+    vt_native: bool = False,
     kv_live: int | None = None,
 ):
     """One KV block: the pipelined (sub-tile x chunk) split-softmax.
@@ -451,24 +483,32 @@ def _compute_parts(
         q_qmax = 7.0 if qk_int4 else 127.0
         subs, qs_subs = [], []
         for i in range(n_sub):
-            if vt:
+            if vt and not vt_native:
                 # transposed Q block [d, block_q]: q rows are COLUMNS, so
                 # the per-row amax reduces over sublanes
                 qb = q_ref[0, 0, :, i * sub_q:(i + 1) * sub_q].astype(
                     jnp.float32
                 )
+                hd_ax = 0
             else:
                 qb = q_ref[0, 0, i * sub_q:(i + 1) * sub_q, :].astype(
                     jnp.float32
                 )
-            # the head-dim axis of the Q tile (0 when transposed, 1
-            # normally — coincides with ``red``'s value)
-            amax = jnp.max(jnp.abs(qb), axis=red, keepdims=True)
+                hd_ax = 1
+            # amax over the head-dim axis of the Q tile
+            amax = jnp.max(jnp.abs(qb), axis=hd_ax, keepdims=True)
             scale, r = inv_scale(amax, q_qmax)
             # no clip: r = qmax/amax of this tile, |qb*r| <= qmax+2ulp
             qi8 = round_half_away(qb * r).astype(jnp.int8)
             subs.append(qi8)
-            qs_subs.append(scale * q_fold)
+            if vt and vt_native:
+                # vt_native reads NORMAL-layout Q (the MXU's
+                # dimension_numbers absorb the transpose; no XLA Q^T
+                # relayout pass) — only the tiny per-row scale column
+                # [sub, 1] reorients to the vt row form [1, sub]
+                qs_subs.append(jnp.swapaxes(scale, 0, 1) * q_fold)
+            else:
+                qs_subs.append(scale * q_fold)
     elif vt:
         subs = [
             q_ref[0, 0, :, i * sub_q:(i + 1) * sub_q] for i in range(n_sub)
@@ -506,11 +546,15 @@ def _compute_parts(
             k = k.astype(jnp.int4)
         if vt:
             # S^T = K . Q^T: K [chunk, d] streams through the MXU while
-            # the small Q^T [d, sub_q] is the stationary operand
+            # the small Q^T is the stationary operand.  vt_native keeps Q
+            # in its NORMAL [sub_q, d] tile and contracts d-vs-d — the
+            # operand transpose happens inside the MXU feed, not as an
+            # XLA relayout pass.
+            qdims = (((1,), (1,)) if vt_native else ((1,), (0,)))
             return jax.lax.dot_general(
                 k,
                 qq,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                dimension_numbers=(qdims, ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [chunk_k, sub_q] int32
         return jax.lax.dot_general(
@@ -612,8 +656,9 @@ def _compute_parts(
         # dead — masked items take the exact per-chunk max instead (they
         # are the small minority: diagonal straddles, window edges,
         # segment boundaries).  The merge handles mixed lazy/exact
-        # partials exactly.
-        lazy = not p_int8 and mask is None
+        # partials exactly.  An additive bias shifts maxima arbitrarily,
+        # so biased items always take the exact per-chunk max too.
+        lazy = not p_int8 and mask is None and bias_ref is None
         if k_scale_blocked and cbias_ref is None:
             # FAST PATH: one K scale per chunk from SMEM; dequantization
             # is one fused multiply feeding exp2.
@@ -641,6 +686,23 @@ def _compute_parts(
             sf = s_i32.astype(jnp.float32) * qs * ks
             if cbias_ref is not None:
                 sf = sf + cbias_ref[0, 0, :, cb[c][0]:cb[c][1]]
+        if bias_ref is not None:
+            # In-kernel ADDITIVE attention bias (torch-sdpa float-mask
+            # semantics: softmax(q.k^T*sm_scale + bias); the reference
+            # applies it fused the same way on its triton path,
+            # attn_qk_int8_per_thread.py:49-56).  The bias joins the
+            # dequantized base-2 logits (x log2e); -inf entries clamp to
+            # the finite MASK_VALUE sentinel so the max/exp2 chain stays
+            # NaN-free, and rows whose max IS the sentinel are fully dead
+            # (all -inf) — flagged via ``dead`` below like a bool mask.
+            bias_tile = bias_ref[
+                0, 0, qi * sub_q:(qi + 1) * sub_q, cb[c][0]:cb[c][1]
+            ].astype(jnp.float32) * LOG2E
+            if sf is None:
+                sf = s_i32.astype(jnp.float32) * rowscale + bias_tile
+            else:
+                sf = sf + bias_tile
+            sf = jnp.maximum(sf, MASK_VALUE)
 
         if lazy:
             # LAZY SOFTMAX REFERENCE: the per-chunk row-max pass — one of
@@ -699,16 +761,22 @@ def _compute_parts(
                 if mask is not None:
                     sf = jnp.where(mask, sf, MASK_VALUE)
                 m_c = jnp.max(sf, axis=red, keepdims=True)
-                if mask is not None:
+                if mask is not None or bias_ref is not None:
+                    # all-masked OR all-(-inf)-bias rows sit exactly at
+                    # the sentinel
                     dead = m_c == MASK_VALUE
                 p = jnp.exp2(sf - m_c)
             if mask is not None:
                 # A fully-masked chunk yields p == 1 everywhere
                 # (s - m == 0); zero it and flag the rows dead via m_c.
                 p = jnp.where(mask, p, 0.0)
+            if dead is not None:
+                # dead rows (incl. live-mask rows whose bias is all -inf)
+                # would otherwise carry p == 1 uniformly
+                p = jnp.where(dead, 0.0, p)
                 m_c = jnp.where(dead, NEG_INIT, m_c)
 
-        if vt:
+        if vt and not vt_native:
             v = v_ref[0, 0, :, cb[c][0]:cb[c][1]]  # [d_v, chunk] (V^T)
         else:
             v = v_ref[0, 0, cb[c][0]:cb[c][1], :]
@@ -732,13 +800,16 @@ def _compute_parts(
             # O^T = V^T . P^T: stationary operand P^T [chunk, sub_q] has
             # a FULL 128-deep contraction and FULL 128 lanes — the d=64
             # MXU rescue (the normal orientation wastes half the array
-            # on d_v = 64 output lanes)
+            # on d_v = 64 output lanes).  vt_native streams V in its
+            # NORMAL [chunk, d_v] tile and contracts chunk-vs-chunk (the
+            # transpose rides the MXU feed; no XLA V^T relayout pass).
             if v_needs_cast:
                 v = v.astype(jnp.bfloat16)
+            vdims = (((0,), (0,)) if vt_native else ((1,), (0,)))
             pv = jax.lax.dot_general(
                 v,
                 p.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                dimension_numbers=(vdims, ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [d_v, sub_q] f32
         else:
@@ -858,6 +929,7 @@ def _kernel(
     kpos_ref,
     cbias_ref,
     mask_ref,
+    bias_ref,
     msum_ref,
     o_ref,
     lse_ref,
@@ -887,6 +959,7 @@ def _kernel(
     kv_shift: int | None = None,
     fold: int | None = None,
     vt: bool = False,
+    vt_native: bool = False,
 ):
     q_idx = pl.program_id(2)
     g_idx = pl.program_id(3)
@@ -943,6 +1016,7 @@ def _kernel(
         kpos_ref=kpos_ref,
         cbias_ref=cbias_ref,
         mask_ref=mask_ref,
+        bias_ref=bias_ref,
         k_scale_blocked=k_scale_blocked,
         has_segments=has_segments,
         has_positions=has_positions,
@@ -960,6 +1034,7 @@ def _kernel(
         rowsum_lane=rowsum_lane,
         ml_scr=ml_scr,
         vt=vt,
+        vt_native=vt_native,
     )
 
     if causal and block_q == block_k:
@@ -1137,6 +1212,7 @@ def _kernel_single(
     kpos_ref,
     cbias_ref,
     mask_ref,
+    bias_ref,
     msum_ref,
     km_ref,
     o_ref,
@@ -1164,6 +1240,7 @@ def _kernel_single(
     rowsum_lane: int | None,
     out_dtype,
     vt: bool = False,
+    vt_native: bool = False,
     kv_live: int | None = None,
 ):
     """Single-KV-step specialization (the whole KV row fits one grid step):
@@ -1174,6 +1251,7 @@ def _kernel_single(
     n_sub = block_q // sub_q
     masked = (
         has_segments or has_positions or causal or mask_ref is not None
+        or bias_ref is not None  # -inf bias rows can be fully dead
     )
 
     if k_inkernel:
@@ -1226,6 +1304,7 @@ def _kernel_single(
         kpos_ref=kpos_ref,
         cbias_ref=cbias_ref,
         mask_ref=mask_ref,
+        bias_ref=bias_ref,
         causal=causal,
         k_scale_blocked=k_scale_blocked,
         has_segments=has_segments,
@@ -1243,6 +1322,7 @@ def _kernel_single(
         window=window,
         rowsum_lane=rowsum_lane,
         vt=vt,
+        vt_native=vt_native,
         kv_live=kv_live,
     )
     if vt:
@@ -1295,6 +1375,7 @@ def _kernel_single(
     jax.jit,
     static_argnames=(
         "vt",
+        "vt_native",
         "is_causal",
         "pv_dtype",
         "pv_compute",
@@ -1330,7 +1411,9 @@ def sage_attention_fused(
     attn_mask_i8: jax.Array | None = None,
     k_mean: jax.Array | None = None,
     *,
+    attn_bias: jax.Array | None = None,
     vt: bool = False,
+    vt_native: bool = False,
     k_inkernel: bool = False,
     is_causal: bool = False,
     pv_dtype: str = "int8",
@@ -1374,6 +1457,13 @@ def sage_attention_fused(
     Multi-KV-step grids also get a per-(q block, kv block) liveness
     summary in SMEM so fully-masked KV blocks skip all compute.
 
+    ``attn_bias``: ADDITIVE float bias [b, hb, sq, sk] (torch-sdpa
+    float-mask semantics: softmax(q.k^T*sm_scale + bias)), applied to the
+    dequantized logits inside the fused loop — the reference's triton
+    non-bool mask add (attn_qk_int8_per_thread.py:49-56).  -inf entries
+    act as masks; fully -inf rows produce 0 output / -inf LSE.  Biased
+    work items take the exact per-chunk max (lazy softmax off).
+
     ``vt`` (transposed formulation — the d<=64 MXU rescue, see
     :func:`_compute_parts`): q_i8 arrives TRANSPOSED [b,hq,d,sq] (int8,
     or bf16 with ``q_fold``), v_q arrives transposed [b,hkv,d_v,sk];
@@ -1390,12 +1480,23 @@ def sage_attention_fused(
 
     Returns o [b,hq,sq,d] (and base-2 LSE [b,hq,sq] fp32 if return_lse).
     """
-    if vt:
+    if vt and vt_native:
+        # NORMAL-layout Q/V consumed by the transposed kernel: the
+        # operand transposes ride the MXU dimension_numbers instead of
+        # XLA relayout passes (the r4 hd64 op-total gap was exactly
+        # those Q^T/V^T passes, ~335 us at 4k).  Requires the in-kernel
+        # Q quant (q_fold) — pre-quantized q keeps the transposed form.
+        assert q_fold is not None, "vt_native requires in-kernel Q quant"
+        b, hq, sq, d = q_i8.shape
+        d_v = v_q.shape[-1]
+    elif vt:
         b, hq, d, sq = q_i8.shape
         d_v = v_q.shape[-2]
+    if vt:
         unsupported = [
             name for name, val in (
                 ("attn_mask_i8", attn_mask_i8),
+                ("attn_bias", attn_bias),
                 ("q_positions", q_positions),
                 ("score_col_bias", score_col_bias),
             ) if val is not None
@@ -1466,6 +1567,7 @@ def sage_attention_fused(
     has_positions = q_positions is not None
     has_col_bias = score_col_bias is not None
     has_mask = attn_mask_i8 is not None
+    has_bias = attn_bias is not None
     v_needs_cast = v_q.dtype != jnp.bfloat16
     p_int8 = pv_compute == "int8"
     if p_int8 and v_q.dtype != jnp.int8:
@@ -1477,6 +1579,10 @@ def sage_attention_fused(
         assert hm in (1, hq), (hm, hq)
         assert attn_mask_i8.shape == (b, hm, sq, sk), attn_mask_i8.shape
         attn_mask_i8 = attn_mask_i8.astype(jnp.int8)
+    if has_bias:
+        hb = attn_bias.shape[1]
+        assert hb in (1, hq), (hb, hq)
+        assert attn_bias.shape == (b, hb, sq, sk), attn_bias.shape
 
     # Single-KV-step specialization: when the whole KV row is one grid step
     # there is no online state to carry, so the scratch round-trips, the
@@ -1624,7 +1730,13 @@ def sage_attention_fused(
         return (ib, ih, 0, iq)
 
     if vt:
-        in_specs = [mk((1, 1, d, block_q), qm_t)]
+        if vt_native:
+            # normal-layout Q (in-kernel quant reads bf16 rows; no
+            # q_scale input in this mode)
+            assert not has_q_scale, "vt_native quantizes Q in-kernel"
+            in_specs = [mk((1, 1, block_q, d), qm)]
+        else:
+            in_specs = [mk((1, 1, d, block_q), qm_t)]
         inputs = [q_i8]
         if has_q_scale:
             in_specs.append(mk((1, 1, 1, block_q), qm_t))
@@ -1635,9 +1747,13 @@ def sage_attention_fused(
         inputs.append(k_i8)
         in_specs.append(ks_spec)
         inputs.append(ks_in)
-        # V^T blocks [d_v, block_k] share the K-scale index map (head
-        # divided by the GQA group, kv block possibly causal-clamped)
-        in_specs.append(mk((1, 1, d_v, block_k), ksm))
+        if vt_native:
+            # normal-layout V blocks [block_k, d_v] (same map as K)
+            in_specs.append(mk((1, 1, block_k, d_v), km))
+        else:
+            # V^T blocks [d_v, block_k] share the K-scale index map (head
+            # divided by the GQA group, kv block possibly causal-clamped)
+            in_specs.append(mk((1, 1, d_v, block_k), ksm))
         inputs.append(v_q)
         vchan_spec = mk(
             (1, 1, d_v, 1), lambda ib, ih, iq, ik: (ib, ih // group, 0, 0)
@@ -1722,6 +1838,16 @@ def sage_attention_fused(
                 return (ib, mh(ih), iq, ik)
         in_specs.append(mk((1, 1, block_q, block_k), mskm))
         inputs.append(attn_mask_i8)
+    if has_bias:
+        bh_ = (lambda ih: ih) if hb > 1 else (lambda ih: 0)
+        if is_causal:
+            def biasm(ib, ih, iq, ik):
+                return (ib, bh_(ih), iq, _clamp(iq, ik))
+        else:
+            def biasm(ib, ih, iq, ik):
+                return (ib, bh_(ih), iq, ik)
+        in_specs.append(mk((1, 1, block_q, block_k), biasm))
+        inputs.append(attn_bias)
 
     # per-(q block, kv block) any-live summary -> SMEM scalars for
     # whole-block compute skip in the multi-step kernel.  Built from the
@@ -1827,6 +1953,7 @@ def sage_attention_fused(
         rowsum_lane=rowsum_lane,
         out_dtype=out_dtype,
         vt=vt,
+        vt_native=vt_native,
     )
     if single_step:
         inner = functools.partial(
@@ -1863,6 +1990,8 @@ def sage_attention_fused(
         pos += has_col_bias
         mask_ref = refs[pos] if has_mask else None
         pos += has_mask
+        bias_ref = refs[pos] if has_bias else None
+        pos += has_bias
         msum_ref = refs[pos] if has_summary else None
         pos += has_summary
         km_ref = refs[pos] if has_km else None
@@ -1872,7 +2001,7 @@ def sage_attention_fused(
         args = (
             q_ref, qs_ref, k_ref, ks_ref, v_ref, vs_ref, vm_ref,
             qseg_ref, kseg_ref, qpos_ref, kpos_ref, cbias_ref,
-            mask_ref, msum_ref,
+            mask_ref, bias_ref, msum_ref,
         )
         if single_step:
             scr = refs[-2:] if k_inkernel else ()
