@@ -44,11 +44,47 @@ from jax.experimental.pallas import tpu as pltpu
 LOG2E = 1.4426950408889634
 
 
+def _dequant_l2(s_i32, ks_ref, col0, chunk_k, scale_group, axis):
+    """Dequantize one int32 score tile to base-2 logits (K-scale side
+    only; the caller multiplies the per-row Q scale in afterwards).
+
+    One SMEM K scale covers ``scale_group`` global KV columns; ``col0``
+    is the tile's first global KV column (a multiple of ``chunk_k``).
+    When the forward quantized K with groups NARROWER than the compute
+    chunk (the r4 vt retune runs 256-wide groups at d <= 128), the tile
+    spans ``chunk_k // scale_group`` groups and dequantizes per segment —
+    this is what lets the backward keep its measured-wide MXU/VPU tiles
+    while staying bit-consistent with the forward's quantization (the r4
+    regression: deriving chunk_k from the narrowed group collapsed the
+    backward to 256-wide tiles, 12.9 ms vs 7.9 ms at the tracked shape).
+    ``axis`` is the KV axis of the tile (1 for [rows_q, chunk] scores,
+    0 for the transposed [chunk, rows_q] of the dkv kernel)."""
+    sf = s_i32.astype(jnp.float32)
+    base = col0 // scale_group
+    if chunk_k <= scale_group:
+        return sf * ks_ref[0, 0, 0, base]
+    n_sg = chunk_k // scale_group
+    if axis == 1:
+        segs = [
+            sf[:, g * scale_group:(g + 1) * scale_group]
+            * ks_ref[0, 0, 0, base + g]
+            for g in range(n_sg)
+        ]
+    else:
+        segs = [
+            sf[g * scale_group:(g + 1) * scale_group, :]
+            * ks_ref[0, 0, 0, base + g]
+            for g in range(n_sg)
+        ]
+    return jnp.concatenate(segs, axis=axis)
+
+
 def _dq_kernel(
     qi8_ref, qs_ref, ki8_ref, ks_ref, kbf_ref, v_ref, do_ref, lse_ref,
     dvec_ref, dq_ref, acc,
     *, causal, n_kv, block_q, block_k, sm_scale, n_chunks, chunk_k,
     scale_group, window, fold_r=None, n_q=None, band_kv_grid=False,
+    vt_out=False,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -110,10 +146,10 @@ def _dq_kernel(
                 qi8_ref[0, 0], k_i8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            ksc = ks_ref[
-                0, 0, 0, (kv_idx * block_k + c * chunk_k) // scale_group
-            ]
-            l2 = s_i32.astype(jnp.float32) * (qs * ksc)
+            l2 = _dequant_l2(
+                s_i32, ks_ref, kv_idx * block_k + c * chunk_k,
+                chunk_k, scale_group, axis=1,
+            ) * qs
             if causal:
                 row = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 0)
                 col = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 1)
@@ -130,10 +166,20 @@ def _dq_kernel(
                 preferred_element_type=jnp.float32,
             )  # [bq, ck]
             ds = (p * (dp - dvec)).astype(jnp.bfloat16)
-            acc[...] += jax.lax.dot_general(
-                ds, kbf_ref[0, 0, cols, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if vt_out:
+                # transposed accumulation (d <= 64): dQ^T = K^T . dS^T
+                # puts block_q on the output lane axis — the dS.K form's
+                # 64 output lanes waste half the MXU (the forward's vt
+                # rescue, applied to the gradient's accumulation matmul)
+                acc[...] += jax.lax.dot_general(
+                    kbf_ref[0, 0, cols, :], ds, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [d, bq]
+            else:
+                acc[...] += jax.lax.dot_general(
+                    ds, kbf_ref[0, 0, cols, :], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
     if causal:
         last_kv = jnp.minimum(
@@ -144,14 +190,19 @@ def _dq_kernel(
 
     @pl.when(kv_idx == last_kv)
     def _epi():
-        dq_ref[0, 0] = acc[...] * sm_scale
+        if vt_out:
+            # one in-kernel transpose per Q block (amortized over the
+            # whole KV row) restores the public [bq, d] layout
+            dq_ref[0, 0] = jnp.swapaxes(acc[...], 0, 1) * sm_scale
+        else:
+            dq_ref[0, 0] = acc[...] * sm_scale
 
 
 def _dkv_kernel(
     ki8_ref, ks_ref, qi8_ref, qs_ref, qbf_ref, v_ref, do_ref, lse_ref,
     dvec_ref, dk_ref, dv_ref, dk_acc, dv_acc,
     *, causal, n_q, block_q, block_k, sm_scale, n_chunks, chunk_k,
-    scale_group, rep, window, band_q=None,
+    scale_group, rep, window, band_q=None, vt_out=False,
 ):
     """Grid (b, hkv, n_kv, rep * n_q): the GQA group rides the 4th axis
     (t -> q head ih*rep + t // n_q, q block t % n_q) so dK/dV accumulate
@@ -205,10 +256,10 @@ def _dkv_kernel(
                 k_i8, qi8_ref[0, 0], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            ksc = ks_ref[
-                0, 0, 0, (kv_idx * block_k + c * chunk_k) // scale_group
-            ]
-            l2t = st_i32.astype(jnp.float32) * (qs[:, 0][None, :] * ksc)
+            l2t = _dequant_l2(
+                st_i32, ks_ref, kv_idx * block_k + c * chunk_k,
+                chunk_k, scale_group, axis=0,
+            ) * qs[:, 0][None, :]
             if causal:
                 krow = jax.lax.broadcasted_iota(jnp.int32, l2t.shape, 0)
                 qcol = jax.lax.broadcasted_iota(jnp.int32, l2t.shape, 1)
@@ -220,24 +271,44 @@ def _dkv_kernel(
                 pt = jnp.where(keep, jnp.exp2(l2t - lse[:, 0][None, :]), 0.0)
             else:
                 pt = jnp.exp2(l2t - lse[:, 0][None, :])
-            dv_acc[rows, :] += jax.lax.dot_general(
-                pt.astype(jnp.bfloat16), do, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if vt_out:
+                # transposed accumulation (d <= 64): dV^T = dO^T . P and
+                # dK^T = Q^T . dS^T put the chunk on the output lanes
+                # (full MXU width) instead of d = 64
+                dv_acc[:, rows] += jax.lax.dot_general(
+                    do, pt.astype(jnp.bfloat16), (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [d, ck]
+            else:
+                dv_acc[rows, :] += jax.lax.dot_general(
+                    pt.astype(jnp.bfloat16), do, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             dpt = jax.lax.dot_general(
                 v_ref[0, 0, rows, :], do, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [ck, bq]
             dst = (pt * (dpt - dvec[:, 0][None, :])).astype(jnp.bfloat16)
-            dk_acc[rows, :] += jax.lax.dot_general(
-                dst, qbf_ref[0, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if vt_out:
+                dk_acc[:, rows] += jax.lax.dot_general(
+                    qbf_ref[0, 0], dst, (((0,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [d, ck]
+            else:
+                dk_acc[rows, :] += jax.lax.dot_general(
+                    dst, qbf_ref[0, 0], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
     @pl.when(t_idx == n_steps - 1)
     def _epi():
-        dk_ref[0, 0] = dk_acc[...] * sm_scale
-        dv_ref[0, 0] = dv_acc[...]
+        if vt_out:
+            # one transpose per KV block, amortized over rep * n_q steps
+            dk_ref[0, 0] = jnp.swapaxes(dk_acc[...], 0, 1) * sm_scale
+            dv_ref[0, 0] = jnp.swapaxes(dv_acc[...], 0, 1)
+        else:
+            dk_ref[0, 0] = dk_acc[...] * sm_scale
+            dv_ref[0, 0] = dv_acc[...]
 
 
 def _fit_block(s: int, candidates) -> int | None:
@@ -286,13 +357,16 @@ def quantized_attention_vjp(
     # exp2(l2 - lse2) only row-normalizes when the recomputed l2 matches.
     # The fused backward is only reachable when the forward ran with the
     # default config (autodiff gates on _FUSED_BWD_KWARGS), so recompute
-    # it.  The kernels' own compute chunk is independent (the SMEM scale
-    # index is derived from the chunk's global column); it only has to be
-    # group- and block-aligned.
-    # vt mirrors core._entry's dispatch: the fused-bwd region has no
-    # masks/segments and 128-aligned shapes, so eligibility is d <= 64
+    # it.  The kernels' own compute chunk is independent — the SMEM scale
+    # index derives from the chunk's global column, and a chunk WIDER
+    # than the group dequantizes per group segment (_dequant_l2) — so
+    # the group only pins the quantizer, never the tile sizes.
+    # vt mirrors core._entry's vt_hint: the fused-bwd region has no
+    # masks/segments/bias, so the gate reduces to the shared head-dim
+    # eligibility (one helper for both sides — r4 advisor finding).
+    use_vt = attention_pallas.vt_eligible_head_dim(d)
     scale_group = attention_pallas.default_config(
-        sq, sk, d, is_causal, vt=d <= 128
+        sq, sk, d, is_causal, vt=use_vt
     )[3]
     if sk % scale_group and sk > scale_group:
         # the forward's quantizer fell back to a ragged-group layout the
@@ -313,12 +387,18 @@ def quantized_attention_vjp(
         return None
     chunk_k = _fit_block(
         block_k,
-        # the compute chunk must divide the K-quant group so each
-        # chunk's single SMEM scale is exact; the r4 vt retune runs
-        # 256-wide forward groups at d <= 64, hence the small candidates
-        [c for c in (2048, 1024, 512, 256, 128) if scale_group % c == 0],
+        # wide chunks are the backward's measured preference (narrow
+        # score tiles are VPU-inefficient in the normal orientation:
+        # 12.9 -> 7.9 ms at b4h16s4096hd128 causal).  The chunk must
+        # either divide the K-quant group (one scale per chunk) or be a
+        # multiple of it (per-segment dequant in _dequant_l2) — the r4
+        # narrow vt groups take the second branch.
+        [c for c in (2048, 1024, 512, 256, 128)
+         if c % scale_group == 0 or scale_group % c == 0],
     ) or block_k
-    if block_k % chunk_k or scale_group % chunk_k:
+    if block_k % chunk_k:
+        return None
+    if chunk_k % scale_group and scale_group % chunk_k:
         return None
 
     rep = hq // hkv  # GQA handled natively by the dkv kernel grid
@@ -328,8 +408,12 @@ def quantized_attention_vjp(
     # feeding raw V into the kernels' dP matmul would break the softmax
     # gradient identity sum_j dS_ij = 0 by the V-quantization error.
     # Straight-through dV is P^T.dO either way (scales are constants).
-    if pv_dtype in ("int8", "fp8"):
-        vdt = jnp.int8 if pv_dtype == "int8" else jnp.float8_e4m3fn
+    if pv_dtype in ("int8", "fp8", "fp8_e5m2"):
+        vdt = {
+            "int8": jnp.int8,
+            "fp8": jnp.float8_e4m3fn,
+            "fp8_e5m2": jnp.float8_e5m2,
+        }[pv_dtype]
         v_q, v_scale, v_mean = quant_mod.per_channel_quant(
             v, dtype=vdt, smooth=smooth_v
         )
@@ -378,25 +462,36 @@ def quantized_attention_vjp(
         else:
             lse2 = lse_nat * LOG2E
     else:
-        # recompute (o, lse2) in the NORMAL orientation with its own
-        # block sizes, but the forward's K-quant group as the chunk
-        # width so the per-group K-scale layout matches the kernel's
-        # chunk arithmetic (at d <= 64 the forward ran the vt configs,
-        # whose sub-tile widths would blow VMEM here)
+        # recompute (o, lse2) with the SAME orientation and configs the
+        # real forward dispatches (core._entry): at d <= 128 that is the
+        # transposed (vt) kernel — the normal-orientation recompute at
+        # the vt path's narrow 256-wide quant groups was the other half
+        # of the r4 training regression.  chunk width == the K-quant
+        # group, exactly as the forward ran, so lse2 is bit-consistent
+        # with the kernels' recomputed l2.
         fbq, fbk, fsub, _ = attention_pallas.default_config(
-            sq, sk, d, is_causal
+            sq, sk, d, is_causal, vt=use_vt
         )
         fck = scale_group
         if sq % fbq or sk % fbk or (fbk % fck and sk > fbk):
             # the unpadded shape doesn't tile the forward config; decline
             # gracefully (the caller falls back) instead of assert-crashing
             return None
-        o, lse2 = attention_pallas.sage_attention_fused(
-            q_i8, q_scale, k_i8, k_scale, v_eff,
-            is_causal=is_causal, pv_dtype="bf16", return_lse=True,
-            block_q=fbq, block_k=fbk, sub_q=fsub, chunk_k=fck,
-            window=window, interpret=interpret,
-        )
+        if use_vt:
+            o, lse2 = attention_pallas.sage_attention_fused(
+                jnp.swapaxes(q_i8, 2, 3), q_scale, k_i8, k_scale,
+                jnp.swapaxes(v_eff, 2, 3),
+                vt=True, is_causal=is_causal, pv_dtype="bf16",
+                return_lse=True, block_q=fbq, block_k=fbk, sub_q=fsub,
+                chunk_k=fck, window=window, interpret=interpret,
+            )
+        else:
+            o, lse2 = attention_pallas.sage_attention_fused(
+                q_i8, q_scale, k_i8, k_scale, v_eff,
+                is_causal=is_causal, pv_dtype="bf16", return_lse=True,
+                block_q=fbq, block_k=fbk, sub_q=fsub, chunk_k=fck,
+                window=window, interpret=interpret,
+            )
     dq, dk, dv = sage_attention_bwd(
         q_i8, q_scale, k_i8, k_scale,
         k_sm, q.astype(jnp.bfloat16),
@@ -467,7 +562,11 @@ def sage_attention_bwd(
     n_chunks = block_k // chunk_k
     if scale_group is None:
         scale_group = chunk_k
-    assert scale_group % chunk_k == 0, (scale_group, chunk_k)
+    # one scale per chunk (group % chunk == 0) or per-segment dequant
+    # inside the chunk (chunk % group == 0) — see _dequant_l2
+    assert (
+        scale_group % chunk_k == 0 or chunk_k % scale_group == 0
+    ), (scale_group, chunk_k)
     n_groups_total = -(-sk // scale_group)
     assert k_scale.shape[-1] == n_groups_total, (
         k_scale.shape, n_groups_total
@@ -484,6 +583,15 @@ def sage_attention_bwd(
     qs_in = q_scale.astype(jnp.float32)[..., None]
     ks_in = k_scale.astype(jnp.float32)[:, :, None, :]
     do_bf = do.astype(jnp.bfloat16)
+
+    # transposed accumulation at d <= 64 (the forward's vt rescue applied
+    # to the backward): the dQ/dK/dV accumulation matmuls' 64 output
+    # lanes waste half the MXU; accumulating dQ^T/dK^T/dV^T puts the
+    # block axis on the lanes and one in-kernel transpose per block
+    # epilogue restores the public layout.  $SAGE_BWD_VT=0 for A/B.
+    import os as _os
+
+    vt_out = d <= 64 and _os.environ.get("SAGE_BWD_VT", "1") != "0"
 
     # dq fold grid (the forward's causal triangle packing): q rows f and
     # n_q-1-f share one grid row of n_kv+1 all-live steps.  Needs the
@@ -585,6 +693,7 @@ def sage_attention_bwd(
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
             chunk_k=chunk_k, scale_group=scale_group, window=window,
             fold_r=fold_r, n_q=n_q, band_kv_grid=band_dq is not None,
+            vt_out=vt_out,
         ),
         grid=dq_grid,
         in_specs=[
@@ -602,7 +711,11 @@ def sage_attention_bwd(
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), dqmap(qm)),
         out_shape=jax.ShapeDtypeStruct((b, h, sq, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM(
+                (d, block_q) if vt_out else (block_q, d), jnp.float32
+            )
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3 + ("arbitrary",),
             vmem_limit_bytes=64 * 2**20,
@@ -632,7 +745,7 @@ def sage_attention_bwd(
             _dkv_kernel, causal=is_causal, n_q=n_q, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
             chunk_k=chunk_k, scale_group=scale_group, rep=rep,
-            window=window, band_q=band_kv,
+            window=window, band_q=band_kv, vt_out=vt_out,
         ),
         grid=(b, hkv, n_kv, rep * (band_kv or n_q)),
         in_specs=[
@@ -657,8 +770,12 @@ def sage_attention_bwd(
             jax.ShapeDtypeStruct((b, hkv, sk, d), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM(
+                (d, block_k) if vt_out else (block_k, d), jnp.float32
+            ),
+            pltpu.VMEM(
+                (d, block_k) if vt_out else (block_k, d), jnp.float32
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",) * 3 + ("arbitrary",),
