@@ -45,13 +45,14 @@ from sageattention_tpu.ops.decode_pallas import (
 def _paged_kernel(
     pt_ref,     # [b, max_pages] int32 scalar-prefetch page table
     len_ref,    # [b] int32 scalar-prefetch live lengths
-    *rest,      # [owned_ref,] q/k/ks/v/vs refs, o_ref, [ml_ref,]
-                # ml_scr, acc_scr
+    *rest,      # [owned_ref,] q, then PAIR x (k/ks/v/vs) refs, o_ref,
+                # [ml_ref,] ml_scr, acc_scr
     page: int,
     n_pages: int,
     t_q: int,
     sm_fold: float,
     out_dtype,
+    pair: int = 1,
     has_owned: bool = False,
     return_state: bool = False,
     packed: bool = False,
@@ -62,6 +63,12 @@ def _paged_kernel(
     from the physical page the index maps selected via scalar prefetch
     and the length read from the prefetched scalar array.
 
+    ``pair``: logical pages processed per grid step (the pool operands
+    ride ``pair`` times with offset index maps).  The indirection's cost
+    is per-STEP, not per-byte — pairing pages halves the grid depth so
+    the paged walk amortizes its step overheads like the dense kernel's
+    wider chunks do (the r4 0.82x-of-dense gap was exactly this).
+
     ``has_owned``: a [b, max_pages] int32 scalar-prefetch mask marks
     which logical pages THIS shard of a sequence-sharded page pool
     owns; unowned steps skip compute (their index maps repeat the
@@ -69,32 +76,39 @@ def _paged_kernel(
     ``return_state``: emit the raw (m, l) merge buffer for the exact
     cross-shard LSE merge (parallel/decode.py)."""
     owned_ref, rest = (rest[0], rest[1:]) if has_owned else (None, rest)
-    q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref = rest[:6]
+    q_ref = rest[0]
+    kv_refs = rest[1:1 + 4 * pair]
+    o_ref = rest[1 + 4 * pair]
+    tail = rest[2 + 4 * pair:]
     if return_state:
-        ml_ref, ml_scr, acc_scr = rest[6:]
+        ml_ref, ml_scr, acc_scr = tail
     else:
-        (ml_scr, acc_scr), ml_ref = rest[6:], None
+        (ml_scr, acc_scr), ml_ref = tail, None
     b_idx = pl.program_id(0)
-    p_idx = pl.program_id(2)
+    g_idx = pl.program_id(2)
     length = len_ref[b_idx]
 
-    @pl.when(p_idx == 0)
+    @pl.when(g_idx == 0)
     def _init():
         decode_init_scratch(ml_scr, acc_scr)
 
-    live = p_idx * page < length
-    if owned_ref is not None:
-        live = jnp.logical_and(live, owned_ref[b_idx, p_idx] != 0)
+    for h in range(pair):
+        p_idx = g_idx * pair + h
+        k_ref, ks_ref, v_ref, vs_ref = kv_refs[4 * h:4 * h + 4]
+        live = p_idx * page < length
+        if owned_ref is not None:
+            live = jnp.logical_and(live, owned_ref[b_idx, p_idx] != 0)
 
-    @pl.when(live)
-    def _body():
-        decode_step_body(
-            q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
-            base_col=p_idx * page, length=length, t_q=t_q,
-            sm_fold=sm_fold, packed=packed, interpret=interpret,
-        )
+        @pl.when(live)
+        def _body(k_ref=k_ref, ks_ref=ks_ref, v_ref=v_ref,
+                  vs_ref=vs_ref, p_idx=p_idx):
+            decode_step_body(
+                q_ref, k_ref, ks_ref, v_ref, vs_ref, ml_scr, acc_scr,
+                base_col=p_idx * page, length=length, t_q=t_q,
+                sm_fold=sm_fold, packed=packed, interpret=interpret,
+            )
 
-    @pl.when(p_idx == n_pages - 1)
+    @pl.when(g_idx == n_pages // pair - 1)
     def _epilogue():
         decode_epilogue(o_ref, ml_scr, acc_scr, out_dtype, ml_ref)
 
@@ -315,12 +329,25 @@ def sage_paged_decode_attention(
         )(*prefetch, *pool_operands)
         return finish(res)
 
-    # index maps receive (grid indices..., scalar-prefetch refs...)
-    def page_map(ib, ih, ip, pt, lens, *own):
-        return (pt[ib, ip], ih, 0, 0)
+    # PAIRED page walk: the per-grid-step overhead (not the scrambled
+    # DMA itself) is what cost the r4 paged path its 18% vs dense — two
+    # pages per step halves the grid depth, matching the dense kernel's
+    # wider chunks.  The pool operands ride once per pair member with
+    # offset index maps.
+    pair = 2 if (max_pages % 2 == 0 and max_pages >= 4) else 1
 
     def q_map(ib, ih, ip, pt, lens, *own):
         return (ib, ih, 0, 0)
+
+    def page_map_h(h):
+        def m(ib, ih, ip, pt, lens, *own):
+            lp = ip * pair + h
+            # clamp dead logical pages to the last LIVE one: repeated
+            # physical indices elide their DMAs in the pipeline (their
+            # compute is already skipped by the kernel's live gate)
+            last = jnp.maximum((lens[ib] - 1) // page, 0)
+            return (pt[ib, jnp.minimum(lp, last)], ih, 0, 0)
+        return m
 
     out_specs = [pl.BlockSpec((1, 1, rows8, d), q_map)]
     out_shape = [jax.ShapeDtypeStruct((b, hkv, rows8, d), out_dtype)]
@@ -329,16 +356,21 @@ def sage_paged_decode_attention(
         out_shape.append(
             jax.ShapeDtypeStruct((b, hkv, rows8, 128), jnp.float32)
         )
+    in_specs = [pl.BlockSpec((1, 1, rows8, d), q_map)]
+    pool_in = [q_pack]
+    for h in range(pair):
+        pm = page_map_h(h)
+        in_specs += [
+            pl.BlockSpec((1, 1, kblk, d), pm),
+            pl.BlockSpec((1, 1, 1, page), pm),
+            pl.BlockSpec((1, 1, kblk, d), pm),
+            pl.BlockSpec((1, 1, 1, page), pm),
+        ]
+        pool_in += list(pool_operands[1:])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 + has_owned,
-        grid=(b, hkv, max_pages),
-        in_specs=[
-            pl.BlockSpec((1, 1, rows8, d), q_map),
-            pl.BlockSpec((1, 1, kblk, d), page_map),
-            pl.BlockSpec((1, 1, 1, page), page_map),
-            pl.BlockSpec((1, 1, kblk, d), page_map),
-            pl.BlockSpec((1, 1, 1, page), page_map),
-        ],
+        grid=(b, hkv, max_pages // pair),
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
@@ -348,7 +380,7 @@ def sage_paged_decode_attention(
     res = pl.pallas_call(
         functools.partial(
             _paged_kernel, page=page, n_pages=max_pages, t_q=t_q,
-            sm_fold=sm_scale * LOG2E, out_dtype=out_dtype,
+            sm_fold=sm_scale * LOG2E, out_dtype=out_dtype, pair=pair,
             has_owned=has_owned, return_state=return_state,
             packed=packed, interpret=interpret,
         ),
@@ -356,5 +388,5 @@ def sage_paged_decode_attention(
         out_shape=out_shape,
         compiler_params=compiler_params,
         interpret=interpret,
-    )(*prefetch, *pool_operands)
+    )(*prefetch, *pool_in)
     return finish(res)
