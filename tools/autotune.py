@@ -40,7 +40,7 @@ from sageattention_tpu.ops.attention_pallas import (  # noqa: E402
 )
 
 
-def candidates(s: int, d: int, causal: bool):
+def candidates(s: int, d: int, causal: bool, window: int | None = None):
     """Valid configs to try for a square (s, s, d) shape.  Returns
     ``(configs, heuristic_valid)``: a list of (block_q, block_k, sub_q,
     chunk_k) tuples — the heuristic default first when it is itself a
@@ -70,10 +70,20 @@ def candidates(s: int, d: int, causal: bool):
         yield_list.append(cfg)
 
     yield_list: list[tuple[int, int, int, int, int]] = []
-    emit(*default_config(s, s, d, causal, vt=vt),
-         dck=default_diag_chunk(s, s, d, causal, vt=vt))
+    emit(*default_config(s, s, d, causal, vt=vt, window=window),
+         dck=default_diag_chunk(s, s, d, causal, vt=vt, window=window))
     heuristic_valid = bool(yield_list)
-    if vt and causal:
+    if window is not None:
+        # sliding-window band shapes (causal only): the band grid wants
+        # block == window-dividing tiles (block-aligned static edges) and
+        # the vt narrow chunks; sweep the block/chunk pair around them
+        for blk in (1024, 2048):
+            if window % blk:
+                continue
+            for sub in (128, 256):
+                for ck in (256, 512, blk):
+                    emit(blk, blk, sub, ck)
+    elif vt and causal:
         # r4 retune: narrow chunks dominate the transposed kernel; the
         # chunk width is the load-bearing knob, sub-tile width second
         for blk in (1024, 2048):
@@ -147,7 +157,14 @@ def main():
     ap.add_argument("--min_gain", type=float, default=0.02,
                     help="only record a non-default winner if it beats the "
                          "heuristic default by this fraction")
+    ap.add_argument("--window", type=int, default=0,
+                    help="sweep sliding-window (causal band) shapes with "
+                         "this window width instead of full attention; "
+                         "winners get window-suffixed keys")
     args = ap.parse_args()
+    window = args.window or None
+    if window:
+        args.causal = "true"  # windows require causal
 
     # imported late: jax initializes the backend on import of bench utils
     from bench.bench_kernel import bench_one
@@ -171,19 +188,26 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "sageattention_tpu", "data", "tuned_configs.json",
     )
+    prior_confirmed: set[str] = set()
     for prior in (args.out, pkg_path if args.apply else ""):
         if prior and os.path.exists(prior):
             with open(prior) as f:
-                table.update({
-                    k: v for k, v in json.load(f).items()
-                    if not k.startswith("_")
-                })
+                raw_prior = json.load(f)
+            table.update({
+                k: v for k, v in raw_prior.items()
+                if not k.startswith("_")
+            })
+            # carry confirmed-optimal records for shapes OUTSIDE this
+            # sweep (an hd128-only re-sweep must not erase the hd64
+            # confirmations — the r4 table lost exactly those)
+            meta_prior = raw_prior.get("_meta") or {}
+            prior_confirmed = set(meta_prior.get("confirmed_optimal", []))
             break
     report = []
     for d in (int(x) for x in args.head_dims.split(",")):
         for s in (int(x) for x in args.seqs.split(",")):
             for causal in causals:
-                cands, heuristic_valid = candidates(s, d, causal)
+                cands, heuristic_valid = candidates(s, d, causal, window)
                 default = cands[0] if heuristic_valid else None
                 best, best_t, default_t = None, float("inf"), None
                 for cfg in cands:
@@ -195,7 +219,7 @@ def main():
                             causal=causal, pv_dtype=args.pv_dtype,
                             quant_gran="auto",
                             block_q=bq, block_k=bk, chunk_k=ck, sub_q=sub,
-                            diag_chunk_k=dck,
+                            diag_chunk_k=dck, window=window,
                         )
                     except Exception as e:  # OOM / Mosaic reject: skip
                         print(f"  s={s} d={d} causal={causal} {cfg}: "
@@ -212,7 +236,8 @@ def main():
                         best, best_t = cfg, t
                 if best is None:
                     continue
-                key = config_key(s, s, d, causal, vt=d <= 128)
+                key = config_key(s, s, d, causal, vt=d <= 128,
+                                 window=window)
                 def _trim(cfg):
                     # drop a redundant 5th element (dck == ck) so plain
                     # 4-element entries stay the common case
@@ -260,9 +285,12 @@ def main():
         "min_gain": args.min_gain,
         # shapes where the heuristic default beat (or tied, within
         # min_gain) every swept candidate — the sweep's record that the
-        # built-in config is confirmed optimal there, not merely untested
+        # built-in config is confirmed optimal there, not merely
+        # untested.  Prior confirmations for shapes outside this sweep
+        # carry forward (re-decided when re-swept).
         "confirmed_optimal": sorted(
-            key for key, _, gain in report if gain == 0.0
+            (prior_confirmed - {key for key, _, _ in report})
+            | {key for key, _, gain in report if gain == 0.0}
         ),
     }
     text = json.dumps(out, indent=1, sort_keys=True)

@@ -188,5 +188,46 @@ ok &= check("paged decode scrambled table", op, jnp.concatenate(refs))
 opw = sa.sageattn_paged_decode(qd, pc, lens, window=W)
 ok &= check("paged decode window=256", opw, jnp.concatenate(refs_w))
 
+# 14. PROBE: lazy softmax x vt orientation ON HARDWARE (VERDICT r4 #9):
+# a planted ~100-base-2-unit logit spread with the spike in the LAST KV
+# chunk.  The vt kernel's m_ref reference comes from the first chunk, so
+# later-chunk p values reach exp2(~100) before the merge renormalizes —
+# interpret-mode certifies the math (tests/test_lazy_softmax.py), this
+# certifies the REAL Mosaic lowering of the vt m_ref scratch orientation
+# (attention_pallas.py _compute_parts lazy branch).
+sl, dl = 1024, 64
+ql = jax.random.normal(jax.random.PRNGKey(40), (1, 2, sl, dl),
+                       jnp.bfloat16) * 0.1
+kl = jax.random.normal(jax.random.PRNGKey(41), (1, 2, sl, dl),
+                       jnp.bfloat16) * 0.1
+vl = jax.random.normal(jax.random.PRNGKey(42), (1, 2, sl, dl),
+                       jnp.bfloat16)
+w = jnp.full((dl,), 8.0**0.5 / dl**0.5, jnp.float32)  # |w|^2 = 8
+spread_nat = 100.0 / 1.4426950408889634  # ~100 base-2 units
+# logit(row 3, col sl-7) = spread_nat after the 1/sqrt(64) sm_scale
+ql = ql.at[0, :, 3, :].set((w * spread_nat).astype(jnp.bfloat16))
+kl = kl.at[0, :, sl - 7, :].set(w.astype(jnp.bfloat16))
+o = sa.sageattn(ql, kl, vl)
+ok &= check("lazy-softmax 100-unit spread (vt hd64)", o,
+            oracle(ql, kl, vl))
+ok &= not bool(jnp.any(jnp.isnan(o)))
+
+# 15. PROBE: in-kernel additive bias (r5: bias rides the fused kernel,
+# reference: triton/attn_qk_int8_per_thread.py:49-56) with -inf rows
+bshape = (1, 1, 2048, 2048)
+bias = jax.random.normal(jax.random.PRNGKey(43), bshape) * 2.0
+bias = bias.at[:, :, 11, :].set(-jnp.inf)  # one fully-dead q row
+qb, kb, vb = q[:1, :4, :2048], k[:1, :4, :2048], v[:1, :4, :2048]
+o = sa.sageattn(qb, kb, vb, attn_bias=bias)
+s_ = jnp.einsum("bhqd,bhkd->bhqk", qb.astype(jnp.float32),
+                kb.astype(jnp.float32)) * 128**-0.5 + bias
+p_ = jax.nn.softmax(s_, axis=-1)
+ref_b = jnp.einsum("bhqk,bhkd->bhqd", p_, vb.astype(jnp.float32))
+live_rows = np.ones(2048, bool); live_rows[11] = False
+ok &= check("in-kernel additive bias 2k/hd128",
+            o[:, :, live_rows], ref_b[:, :, live_rows])
+ok &= float(jnp.max(jnp.abs(o[:, :, 11]))) == 0.0
+ok &= not bool(jnp.any(jnp.isnan(o)))
+
 print("ALL OK" if ok else "SOME FAILED", file=sys.stderr)
 sys.exit(0 if ok else 1)
