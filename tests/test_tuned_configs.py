@@ -36,6 +36,30 @@ def test_override_applies_and_clears():
     assert ap.default_config(4096, 4096, 128, False) == BASE_4K
 
 
+def test_window_key_lookup_and_fallback():
+    """Window-suffixed entries override for that window only; windowed
+    lookups without a window entry fall back to the plain-shape entry."""
+    wkey = ap.config_key(16384, 16384, 128, True, vt=True, window=4096)
+    pkey = ap.config_key(16384, 16384, 128, True, vt=True)
+    assert wkey == pkey + ":w4096"
+    ap.set_tuned_configs({wkey: [1024, 1024, 256, 256]})
+    assert ap.default_config(
+        16384, 16384, 128, True, vt=True, window=4096
+    ) == (1024, 1024, 256, 256)
+    # a different window does NOT hit the w4096 entry (falls back to
+    # the heuristic since no plain entry exists either)
+    heur = ap.default_config(16384, 16384, 128, True, vt=True)
+    assert ap.default_config(
+        16384, 16384, 128, True, vt=True, window=2048
+    ) == heur
+    # plain-shape entry serves windowed lookups when no window entry
+    ap.set_tuned_configs({pkey: [2048, 2048, 256, 512]})
+    assert ap.default_config(
+        16384, 16384, 128, True, vt=True, window=4096
+    ) == (2048, 2048, 256, 512)
+    ap.set_tuned_configs(None)
+
+
 def test_key_is_padded_and_flag_sensitive():
     # 4000 pads to 4096 -> same key as 4096
     assert ap.config_key(4000, 4000, 128, False) == ap.config_key(
