@@ -43,6 +43,10 @@ _K_INKERNEL = False
 import os as _os
 
 _VT_NATIVE = _os.environ.get("SAGE_VT_NATIVE", "1") != "0"
+# vt output in normal layout via in-kernel epilogue transposes (kills
+# the XLA O^T relayout pass too); default off until measured on chip —
+# $SAGE_VT_O=1 enables.
+_VT_O_NORMAL = _os.environ.get("SAGE_VT_O", "0") == "1"
 
 Layout = Literal["HND", "NHD"]
 
@@ -600,6 +604,7 @@ def _sageattn_hnd(
         attn_bias=bias_pad,
         vt=use_vt,
         vt_native=vt_native,
+        vt_o_normal=use_vt and _VT_O_NORMAL,
         kv_live=kv_live,
         k_inkernel=k_inkernel,
         is_causal=is_causal,

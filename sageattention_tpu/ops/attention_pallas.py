@@ -960,6 +960,7 @@ def _kernel(
     fold: int | None = None,
     vt: bool = False,
     vt_native: bool = False,
+    vt_o_normal: bool = False,
 ):
     q_idx = pl.program_id(2)
     g_idx = pl.program_id(3)
@@ -1162,7 +1163,7 @@ def _kernel(
             # mean broadcast as COLUMNS
             l = ml_scr[1:2, :]
             l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-            d_out = o_ref.shape[-2]
+            d_out = o_ref.shape[-1] if vt_o_normal else o_ref.shape[-2]
             o = acc_scr[:d_out, :] * l_inv
             if has_v_scale:
                 o = o * vs_ref[0, 0, :d_out, :]  # [d, 1] per-channel
@@ -1170,7 +1171,12 @@ def _kernel(
                 o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[
                     0, 0, :d_out, :
                 ]
-            o_ref[0, 0] = o.astype(out_dtype)
+            if vt_o_normal:
+                # VMEM-local transpose once per Q block replaces the
+                # XLA O^T relayout pass
+                o_ref[0, 0] = jnp.swapaxes(o, 0, 1).astype(out_dtype)
+            else:
+                o_ref[0, 0] = o.astype(out_dtype)
             if return_lse:
                 lse_ref[0, 0] = (
                     jnp.where(l == 0.0, -jnp.inf,
@@ -1241,6 +1247,7 @@ def _kernel_single(
     out_dtype,
     vt: bool = False,
     vt_native: bool = False,
+    vt_o_normal: bool = False,
     kv_live: int | None = None,
 ):
     """Single-KV-step specialization (the whole KV row fits one grid step):
@@ -1326,7 +1333,7 @@ def _kernel_single(
         kv_live=kv_live,
     )
     if vt:
-        d_out = o_ref.shape[-2]
+        d_out = o_ref.shape[-1] if vt_o_normal else o_ref.shape[-2]
         for qi in range(n_sub):
             rows = slice(qi * sub_q, (qi + 1) * sub_q)
             m, l, acc = _merge_parts(parts[qi])
@@ -1341,7 +1348,13 @@ def _kernel_single(
                 o = o + jnp.where(l == 0.0, 0.0, 1.0) * vm_ref[
                     0, 0, :d_out, :
                 ]
-            o_ref[0, 0, :, rows] = o.astype(out_dtype)
+            if vt_o_normal:
+                # per-sub VMEM-local transpose; replaces the XLA O^T pass
+                o_ref[0, 0, rows, :] = jnp.swapaxes(o, 0, 1).astype(
+                    out_dtype
+                )
+            else:
+                o_ref[0, 0, :, rows] = o.astype(out_dtype)
             if return_lse:
                 lse_ref[0, 0, :, rows] = (
                     jnp.where(l == 0.0, -jnp.inf,
@@ -1376,6 +1389,7 @@ def _kernel_single(
     static_argnames=(
         "vt",
         "vt_native",
+        "vt_o_normal",
         "is_causal",
         "pv_dtype",
         "pv_compute",
@@ -1414,6 +1428,7 @@ def sage_attention_fused(
     attn_bias: jax.Array | None = None,
     vt: bool = False,
     vt_native: bool = False,
+    vt_o_normal: bool = False,
     k_inkernel: bool = False,
     is_causal: bool = False,
     pv_dtype: str = "int8",
@@ -1914,7 +1929,19 @@ def sage_attention_fused(
         )
         inputs.append(k_mean.astype(jnp.float32)[:, :, None, :])
 
-    if vt:
+    if vt and vt_o_normal:
+        # the kernel transposes its O^T accumulator in the epilogue
+        # (VMEM-local, amortized per block) and writes the public
+        # [b,hq,sq,d] layout directly — no XLA O^T relayout pass.
+        # LSE stays in its transposed [b,hq,1,sq] row form (tiny).
+        out_shape = [jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype)]
+        out_specs = [mk((1, 1, block_q, d), qm)]
+        if return_lse:
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, hq, 1, sq), jnp.float32)
+            )
+            out_specs.append(mk((1, 1, 1, block_q), qm_t))
+    elif vt:
         # the kernel writes O^T; one XLA swapaxes below restores the
         # public [b,hq,sq,d] layout (fused into the consumer in models)
         out_shape = [jax.ShapeDtypeStruct((b, hq, d, sq), out_dtype)]
@@ -1954,6 +1981,7 @@ def sage_attention_fused(
         out_dtype=out_dtype,
         vt=vt,
         vt_native=vt_native,
+        vt_o_normal=vt_o_normal,
     )
     if single_step:
         inner = functools.partial(
@@ -2064,6 +2092,10 @@ def sage_attention_fused(
         ),
         interpret=interpret,
     )(*inputs)
+    if vt and vt_o_normal:
+        if return_lse:
+            return outs[0], outs[1][:, :, 0, :]
+        return outs[0]
     if vt:
         o = jnp.swapaxes(outs[0], 2, 3)
         if return_lse:
