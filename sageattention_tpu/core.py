@@ -781,6 +781,37 @@ def sageattn(
         if return_lse:
             return _from_hnd(out[0], tensor_layout), out[1]
         return _from_hnd(out, tensor_layout)
+    if (
+        kwargs.get("attn_bias") is not None
+        and all(kwargs.get(a) is None for a in tensor_args
+                if a != "attn_bias")
+        and (not hasattr(kwargs["attn_bias"], "dtype")
+             or kwargs["attn_bias"].dtype != jnp.bool_)
+    ):
+        # bias-only: differentiable w.r.t. q/k/v AND the bias (trainable
+        # relative-position biases; the reference is forward-only).
+        # Backward is the exact reference VJP — O(s^2) memory, inherent
+        # to a [b,h,sq,sk] bias cotangent.
+        from sageattention_tpu.ops import autodiff
+
+        bias = kwargs.pop("attn_bias")
+        kwargs = {k_: v_ for k_, v_ in kwargs.items() if v_ is not None}
+        qh = _to_hnd(q, tensor_layout)
+        kh = _to_hnd(k, tensor_layout)
+        vh = _to_hnd(v, tensor_layout)
+        out = autodiff.differentiable_sageattn_bias(
+            qh,
+            kh,
+            vh,
+            bias,
+            is_causal=is_causal,
+            sm_scale=sm_scale,
+            return_lse=return_lse,
+            **kwargs,
+        )
+        if return_lse:
+            return _from_hnd(out[0], tensor_layout), out[1]
+        return _from_hnd(out, tensor_layout)
     return _entry(
         q,
         k,

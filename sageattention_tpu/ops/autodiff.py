@@ -181,6 +181,57 @@ def _cached(fwd_statics, bwd_statics):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _cached_bias(fwd_statics, bwd_statics):
+    """custom_vjp over (q, k, v, attn_bias): quantized Pallas forward,
+    exact recomputed backward (reference VJP — materializes scores,
+    O(s^2) memory; a bias cotangent is itself [b, h, sq, sk], so the
+    footprint is inherent to asking for dBias).  Beyond the reference
+    (forward-only): trainable relative-position / ALiBi-style biases."""
+    fwd_kwargs = dict(fwd_statics)
+    is_causal, sm_scale, return_lse = bwd_statics
+
+    from sageattention_tpu import core
+
+    @jax.custom_vjp
+    def f(q, k, v, bias):
+        return core._entry(q, k, v, attn_bias=bias, **fwd_kwargs)
+
+    def fwd(q, k, v, bias):
+        return f(q, k, v, bias), (q, k, v, bias)
+
+    def bwd(res, ct):
+        q, k, v, bias = res
+        if return_lse:
+            do, dlse = ct
+        else:
+            do, dlse = ct, None
+
+        def exact(q, k, v, bias):
+            return reference.attention_reference(
+                q, k, v, is_causal=is_causal, sm_scale=sm_scale,
+                attn_bias=bias, return_lse=dlse is not None,
+            )
+
+        _, vjp = jax.vjp(exact, q, k, v, bias)
+        return vjp((do, dlse) if dlse is not None else do)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def differentiable_sageattn_bias(q, k, v, bias, **kwargs):
+    """sageattn with an additive bias, differentiable w.r.t. q, k, v AND
+    the bias.  HND layout; kwargs must be hashable statics."""
+    is_causal = kwargs.get("is_causal", False)
+    sm_scale = kwargs.get("sm_scale", None)
+    return_lse = kwargs.get("return_lse", False)
+    fwd_statics = tuple(sorted(kwargs.items()))
+    return _cached_bias(
+        fwd_statics, (is_causal, sm_scale, return_lse)
+    )(q, k, v, bias)
+
+
 def differentiable_sageattn(q, k, v, **kwargs):
     """sageattn with gradients (w.r.t. q, k, v).
 

@@ -434,3 +434,24 @@ class TestWindowedBackward:
             c = float(jnp.sum(g * r)
                       / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
             assert c > 0.999
+
+
+class TestBiasGradients:
+    def test_bias_path_differentiable_all_args(self):
+        """sageattn(attn_bias=...) is differentiable w.r.t. q/k/v AND
+        the bias (beyond the forward-only reference); gradients match
+        the exact reference VJP."""
+        q, k, v = (rand(i + 90, (1, 2, 128, 64)) for i in range(3))
+        bias = rand(93, (1, 2, 128, 128)) * 0.5
+        do = rand(94, (1, 2, 128, 64))
+
+        f = lambda q, k, v, b: jnp.vdot(
+            sa.sageattn(q, k, v, attn_bias=b), do)
+        g = jax.grad(f, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        fe = lambda q, k, v, b: jnp.vdot(
+            reference.attention_reference(q, k, v, attn_bias=b), do)
+        ge = jax.grad(fe, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, r in zip(g, ge):
+            c = float(jnp.sum(a * r)
+                      / (jnp.linalg.norm(a) * jnp.linalg.norm(r) + 1e-30))
+            assert c > 0.999, c
