@@ -81,11 +81,21 @@ def _dequant_l2(s_i32, ks_ref, col0, chunk_k, scale_group, axis):
 
 def _dq_kernel(
     qi8_ref, qs_ref, ki8_ref, ks_ref, kbf_ref, v_ref, do_ref, lse_ref,
-    dvec_ref, dq_ref, acc,
-    *, causal, n_kv, block_q, block_k, sm_scale, n_chunks, chunk_k,
+    dvec_ref, *rest,
+    causal, n_kv, block_q, block_k, sm_scale, n_chunks, chunk_k,
     scale_group, window, fold_r=None, n_q=None, band_kv_grid=False,
-    vt_out=False,
+    vt_out=False, has_bias=False, emit_dbias=False,
 ):
+    # optional additive-bias operand and dS (== dBias) output ride at
+    # the end of the ref list (bias training through the fused kernels;
+    # the reference is forward-only and the bias grad would otherwise
+    # need the score-materializing exact VJP)
+    pos = 0
+    bias_ref = rest[pos] if has_bias else None
+    pos += has_bias
+    dq_ref = rest[pos]
+    dbias_ref = rest[pos + 1] if emit_dbias else None
+    acc = rest[-1]
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     init = kv_idx == 0
@@ -133,12 +143,24 @@ def _dq_kernel(
     else:
         should_run = True
 
+    if emit_dbias and causal:
+        # grid steps above the diagonal never run the body; their dS
+        # output blocks must still be zero (the launcher disables the
+        # fold/band grids when emitting dS so every block has a step)
+        @pl.when(jnp.logical_not(should_run))
+        def _zero_dbias():
+            dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
     @pl.when(should_run)
     def _body():
         qs = qs_ref[0, 0]          # [bq, 1] f32 (sm_scale*log2e folded)
         lse = lse_ref[0, 0]        # [bq, 1] f32 (base 2)
         dvec = dvec_ref[0, 0]      # [bq, 1] f32
         do = do_ref[0, 0]          # [bq, d] bf16
+        if has_bias:
+            # fully -inf-bias rows have lse == -inf; sanitize so their
+            # p comes out 0 (zero grads) instead of exp2(-inf + inf)=NaN
+            lse = jnp.where(lse == -jnp.inf, 0.0, lse)
         for c in range(n_chunks):
             cols = slice(c * chunk_k, (c + 1) * chunk_k)
             k_i8 = ki8_ref[0, 0, cols, :]
@@ -150,6 +172,15 @@ def _dq_kernel(
                 s_i32, ks_ref, kv_idx * block_k + c * chunk_k,
                 chunk_k, scale_group, axis=1,
             ) * qs
+            if has_bias:
+                # the forward's lse2 includes the bias — P only
+                # normalizes when the recomputed logits do too; -inf
+                # entries clamp finite (exp2 underflows to exactly 0)
+                l2 = jnp.maximum(
+                    l2 + bias_ref[0, 0, :, cols].astype(jnp.float32)
+                    * LOG2E,
+                    -1e30,
+                )
             if causal:
                 row = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 0)
                 col = jax.lax.broadcasted_iota(jnp.int32, l2.shape, 1)
@@ -165,7 +196,13 @@ def _dq_kernel(
                 do, v_ref[0, 0, cols, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [bq, ck]
-            ds = (p * (dp - dvec)).astype(jnp.bfloat16)
+            ds_f = p * (dp - dvec)
+            if emit_dbias:
+                # dL/dBias == dL/dS (the bias adds to the logits
+                # post-scale), written blockwise — no score-sized
+                # temporaries beyond the dS output itself
+                dbias_ref[0, 0, :, cols] = ds_f.astype(dbias_ref.dtype)
+            ds = ds_f.astype(jnp.bfloat16)
             if vt_out:
                 # transposed accumulation (d <= 64): dQ^T = K^T . dS^T
                 # puts block_q on the output lane axis — the dS.K form's
@@ -200,10 +237,18 @@ def _dq_kernel(
 
 def _dkv_kernel(
     ki8_ref, ks_ref, qi8_ref, qs_ref, qbf_ref, v_ref, do_ref, lse_ref,
-    dvec_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-    *, causal, n_q, block_q, block_k, sm_scale, n_chunks, chunk_k,
+    dvec_ref, *rest,
+    causal, n_q, block_q, block_k, sm_scale, n_chunks, chunk_k,
     scale_group, rep, window, band_q=None, vt_out=False,
+    has_bias=False,
 ):
+    # optional PRE-TRANSPOSED bias operand [sk, sq] blocks at the end of
+    # the inputs (the score tile here is [ck, bq]; an in-kernel per-chunk
+    # transpose of a [bq, ck] bias tile would cost more than the one
+    # XLA bias.T pass the launcher does)
+    biast_ref = rest[0] if has_bias else None
+    dk_ref, dv_ref = rest[has_bias:has_bias + 2]
+    dk_acc, dv_acc = rest[has_bias + 2:has_bias + 4]
     """Grid (b, hkv, n_kv, rep * n_q): the GQA group rides the 4th axis
     (t -> q head ih*rep + t // n_q, q block t % n_q) so dK/dV accumulate
     over the whole group IN scratch — O(hkv) memory, no jnp.repeat
@@ -248,6 +293,9 @@ def _dkv_kernel(
         lse = lse_ref[0, 0]   # [bq, 1]
         dvec = dvec_ref[0, 0]
         do = do_ref[0, 0]     # [bq, d]
+        if has_bias:
+            # see _dq_kernel: dead (-inf lse) rows get p = 0, not NaN
+            lse = jnp.where(lse == -jnp.inf, 0.0, lse)
         for c in range(n_chunks):
             rows = slice(c * chunk_k, (c + 1) * chunk_k)
             k_i8 = ki8_ref[0, 0, rows, :]
@@ -260,6 +308,12 @@ def _dkv_kernel(
                 st_i32, ks_ref, kv_idx * block_k + c * chunk_k,
                 chunk_k, scale_group, axis=0,
             ) * qs[:, 0][None, :]
+            if has_bias:
+                l2t = jnp.maximum(
+                    l2t + biast_ref[0, 0, rows, :].astype(jnp.float32)
+                    * LOG2E,
+                    -1e30,
+                )
             if causal:
                 krow = jax.lax.broadcasted_iota(jnp.int32, l2t.shape, 0)
                 qcol = jax.lax.broadcasted_iota(jnp.int32, l2t.shape, 1)
@@ -322,7 +376,8 @@ def quantized_attention_vjp(
     q, k, v, do, *, is_causal: bool, sm_scale: float | None,
     o=None, lse_nat=None, dlse=None, smooth_k: bool = True,
     window: int | None = None, pv_dtype: str = "bf16",
-    smooth_v: bool = False, interpret: bool = False,
+    smooth_v: bool = False, attn_bias=None, need_dbias: bool = False,
+    interpret: bool = False,
 ):
     """Full recomputed backward through the fused kernels.
 
@@ -352,6 +407,18 @@ def quantized_attention_vjp(
     hkv, sk = k.shape[1], k.shape[2]
     if sm_scale is None:
         sm_scale = d**-0.5
+    if attn_bias is not None:
+        # fused bias backward: per-head full-shape bias, residuals
+        # required (the in-vjp forward recompute doesn't model bias),
+        # no window band.  Anything else -> exact fallback upstream.
+        if (
+            attn_bias.shape != (b, hq, sq, sk)
+            or o is None or lse_nat is None
+            or window is not None
+        ):
+            return None
+    elif need_dbias:
+        return None
     # The K quantization group MUST equal the forward's chunk width: the
     # saved lse2 was computed from those exact int8 products, and P =
     # exp2(l2 - lse2) only row-normalizes when the recomputed l2 matches.
@@ -492,14 +559,21 @@ def quantized_attention_vjp(
                 block_q=fbq, block_k=fbk, sub_q=fsub, chunk_k=fck,
                 window=window, interpret=interpret,
             )
-    dq, dk, dv = sage_attention_bwd(
+    grads = sage_attention_bwd(
         q_i8, q_scale, k_i8, k_scale,
         k_sm, q.astype(jnp.bfloat16),
         v_eff, o, lse2, do, dlse,
+        attn_bias,
         is_causal=is_causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, chunk_k=chunk_k,
-        scale_group=scale_group, window=window, interpret=interpret,
+        scale_group=scale_group, window=window,
+        need_dbias=need_dbias, interpret=interpret,
     )
+    if need_dbias:
+        dq, dk, dv, dbias = grads
+    else:
+        dq, dk, dv = grads
+        dbias = None
     if dlse is not None and smooth_k:
         # the smooth-k LSE correction term (q . km * sm_scale) contributes
         # dQ += dlse * km * sm_scale outside the kernels (the km pathway
@@ -508,23 +582,27 @@ def quantized_attention_vjp(
         dq = dq + dlse[..., None].astype(jnp.float32) * (
             km_q[:, :, None, :] * sm_scale
         )
-    return (
+    out = (
         dq.astype(q.dtype),
         dk.astype(k.dtype),
         dv.astype(v.dtype),
     )
+    if need_dbias:
+        return out + (dbias.astype(attn_bias.dtype),)
+    return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "is_causal", "sm_scale", "block_q", "block_k", "chunk_k",
-        "scale_group", "window", "interpret",
+        "scale_group", "window", "need_dbias", "interpret",
     ),
 )
 def sage_attention_bwd(
     q_i8, q_scale, k_i8, k_scale, k_bf, q_bf, v_bf, o, lse2, do,
     dlse=None,
+    attn_bias=None,
     *,
     is_causal: bool,
     sm_scale: float,
@@ -533,6 +611,7 @@ def sage_attention_bwd(
     chunk_k: int | None = None,
     scale_group: int | None = None,
     window: int | None = None,
+    need_dbias: bool = False,
     interpret: bool = False,
 ):
     """Fused backward: returns (dq, dk, dv) in f32.
@@ -584,6 +663,16 @@ def sage_attention_bwd(
     ks_in = k_scale.astype(jnp.float32)[:, :, None, :]
     do_bf = do.astype(jnp.bfloat16)
 
+    has_bias = attn_bias is not None
+    if has_bias:
+        assert attn_bias.shape == (b, h, sq, sk), (
+            "fused bias backward requires a per-head full-shape bias "
+            f"(got {attn_bias.shape}); broadcast forms fall back"
+        )
+        assert window is None, "bias + window falls back upstream"
+    if need_dbias:
+        assert has_bias
+
     # transposed accumulation at d <= 64 (the forward's vt rescue applied
     # to the backward): the dQ/dK/dV accumulation matmuls' 64 output
     # lanes waste half the MXU; accumulating dQ^T/dK^T/dV^T puts the
@@ -600,6 +689,7 @@ def sage_attention_bwd(
     fold_r = None
     if (
         is_causal and window is None and n_q >= 2 and n_q % 2 == 0
+        and not need_dbias  # dS output needs a step for EVERY block
         and block_k % block_q == 0
         and n_q % (block_k // block_q) == 0
         # the step-count identity f//r + (n_q-1-f)//r == n_kv - 1 holds
@@ -687,30 +777,55 @@ def sage_attention_bwd(
         dq_grid = (b, h, n_q, band_dq)
     else:
         dq_grid = (b, h, n_q, n_kv)
-    dq = pl.pallas_call(
+    dq_in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), dqmap(qm)),
+        pl.BlockSpec((1, 1, block_q, 1), dqmap(qm)),
+        pl.BlockSpec((1, 1, block_k, d), dqmap(km_dq)),
+        pl.BlockSpec((1, 1, 1, n_groups_total),
+                     lambda ib, ih, iq, ik: (ib, ih // rep, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, block_k, d), dqmap(km_dq)),
+        pl.BlockSpec((1, 1, block_k, d), dqmap(km_dq)),
+        pl.BlockSpec((1, 1, block_q, d), dqmap(qm)),
+        pl.BlockSpec((1, 1, block_q, 1), dqmap(qm)),
+        pl.BlockSpec((1, 1, block_q, 1), dqmap(qm)),
+    ]
+    dq_inputs = [q_i8, qs_in, k_i8, ks_in, k_bf, v_bf, do_bf, lse_in,
+                 dvec]
+    if has_bias:
+        # full-shape per-head bias block; kv index clamps with K's map
+        # so above-diagonal steps repeat the previous DMA
+        def biasm_dq(ib, ih, iq, ik):
+            kk = km_dq(ib, ih, iq, ik)
+            return (ib, ih, iq, kk[2])
+        dq_in_specs.append(
+            pl.BlockSpec((1, 1, block_q, block_k), dqmap(biasm_dq))
+        )
+        dq_inputs.append(attn_bias)
+    dq_out_specs = [pl.BlockSpec((1, 1, block_q, d), dqmap(qm))]
+    dq_out_shape = [jax.ShapeDtypeStruct((b, h, sq, d), jnp.float32)]
+    if need_dbias:
+        # plain rectangular grid (fold/band disabled above): every
+        # (q, kv) block gets exactly one step and one write
+        dq_out_specs.append(
+            pl.BlockSpec((1, 1, block_q, block_k),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, ik))
+        )
+        dq_out_shape.append(
+            jax.ShapeDtypeStruct((b, h, sq, sk), attn_bias.dtype)
+        )
+    dq_res = pl.pallas_call(
         functools.partial(
             _dq_kernel, causal=is_causal, n_kv=n_kv, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
             chunk_k=chunk_k, scale_group=scale_group, window=window,
             fold_r=fold_r, n_q=n_q, band_kv_grid=band_dq is not None,
-            vt_out=vt_out,
+            vt_out=vt_out, has_bias=has_bias, emit_dbias=need_dbias,
         ),
         grid=dq_grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), dqmap(qm)),
-            pl.BlockSpec((1, 1, block_q, 1), dqmap(qm)),
-            pl.BlockSpec((1, 1, block_k, d), dqmap(km_dq)),
-            pl.BlockSpec((1, 1, 1, n_groups_total),
-                         lambda ib, ih, iq, ik: (ib, ih // rep, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_k, d), dqmap(km_dq)),
-            pl.BlockSpec((1, 1, block_k, d), dqmap(km_dq)),
-            pl.BlockSpec((1, 1, block_q, d), dqmap(qm)),
-            pl.BlockSpec((1, 1, block_q, 1), dqmap(qm)),
-            pl.BlockSpec((1, 1, block_q, 1), dqmap(qm)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), dqmap(qm)),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), jnp.float32),
+        in_specs=dq_in_specs,
+        out_specs=dq_out_specs if need_dbias else dq_out_specs[0],
+        out_shape=dq_out_shape if need_dbias else dq_out_shape[0],
         scratch_shapes=[
             pltpu.VMEM(
                 (d, block_q) if vt_out else (block_q, d), jnp.float32
@@ -721,7 +836,11 @@ def sage_attention_bwd(
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
-    )(q_i8, qs_in, k_i8, ks_in, k_bf, v_bf, do_bf, lse_in, dvec)
+    )(*dq_inputs)
+    if need_dbias:
+        dq, dbias = dq_res
+    else:
+        dq, dbias = dq_res, None
 
     # ---- dk, dv ----
     kvm = lambda ib, ih, ik, iq: (ib, ih, ik, 0)
@@ -740,27 +859,41 @@ def sage_attention_bwd(
                       member * n_q + jnp.minimum(qe, n_q - 1))
         return g
 
+    dkv_in_specs = [
+        pl.BlockSpec((1, 1, block_k, d), kvm),
+        pl.BlockSpec((1, 1, 1, n_groups_total),
+                     lambda ib, ih, ik, t: (ib, ih, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, block_q, d), dkvmap(qm_dkv)),
+        pl.BlockSpec((1, 1, block_q, 1), dkvmap(qm_dkv)),
+        pl.BlockSpec((1, 1, block_q, d), dkvmap(qm_dkv)),
+        pl.BlockSpec((1, 1, block_k, d), kvm),
+        pl.BlockSpec((1, 1, block_q, d), dkvmap(qm_dkv)),
+        pl.BlockSpec((1, 1, block_q, 1), dkvmap(qm_dkv)),
+        pl.BlockSpec((1, 1, block_q, 1), dkvmap(qm_dkv)),
+    ]
+    dkv_inputs = [k_i8, ks_in, q_i8, qs_in, q_bf, v_bf, do_bf, lse_in,
+                  dvec]
+    if has_bias:
+        # PRE-TRANSPOSED bias [b, h, sk, sq] (one XLA pass); the q-head
+        # and clamped q-block come from qm_dkv's own map
+        def biasm_dkv(ib, ih, ik, t):
+            qq = qm_dkv(ib, ih, ik, t)
+            return (ib, qq[1], ik, qq[2])
+        dkv_in_specs.append(
+            pl.BlockSpec((1, 1, block_k, block_q), dkvmap(biasm_dkv))
+        )
+        dkv_inputs.append(jnp.swapaxes(attn_bias, 2, 3))
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel, causal=is_causal, n_q=n_q, block_q=block_q,
             block_k=block_k, sm_scale=sm_scale, n_chunks=n_chunks,
             chunk_k=chunk_k, scale_group=scale_group, rep=rep,
             window=window, band_q=band_kv, vt_out=vt_out,
+            has_bias=has_bias,
         ),
         grid=(b, hkv, n_kv, rep * (band_kv or n_q)),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_k, d), kvm),
-            pl.BlockSpec((1, 1, 1, n_groups_total),
-                         lambda ib, ih, ik, t: (ib, ih, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q, d), dkvmap(qm_dkv)),
-            pl.BlockSpec((1, 1, block_q, 1), dkvmap(qm_dkv)),
-            pl.BlockSpec((1, 1, block_q, d), dkvmap(qm_dkv)),
-            pl.BlockSpec((1, 1, block_k, d), kvm),
-            pl.BlockSpec((1, 1, block_q, d), dkvmap(qm_dkv)),
-            pl.BlockSpec((1, 1, block_q, 1), dkvmap(qm_dkv)),
-            pl.BlockSpec((1, 1, block_q, 1), dkvmap(qm_dkv)),
-        ],
+        in_specs=dkv_in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d), kvm),
             pl.BlockSpec((1, 1, block_k, d), kvm),
@@ -782,5 +915,7 @@ def sage_attention_bwd(
             vmem_limit_bytes=64 * 2**20,
         ),
         interpret=interpret,
-    )(k_i8, ks_in, q_i8, qs_in, q_bf, v_bf, do_bf, lse_in, dvec)
+    )(*dkv_inputs)
+    if need_dbias:
+        return dq, dk, dv, dbias
     return dq, dk, dv

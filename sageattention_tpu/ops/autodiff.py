@@ -190,6 +190,9 @@ def _cached_bias(fwd_statics, bwd_statics):
     (forward-only): trainable relative-position / ALiBi-style biases."""
     fwd_kwargs = dict(fwd_statics)
     is_causal, sm_scale, return_lse = bwd_statics
+    fused_ok = set(fwd_kwargs) <= _FUSED_BWD_KWARGS
+    smooth_k = fwd_kwargs.get("smooth_k", True)
+    window = fwd_kwargs.get("window")
 
     from sageattention_tpu import core
 
@@ -198,19 +201,49 @@ def _cached_bias(fwd_statics, bwd_statics):
         return core._entry(q, k, v, attn_bias=bias, **fwd_kwargs)
 
     def fwd(q, k, v, bias):
-        return f(q, k, v, bias), (q, k, v, bias)
+        kw = dict(fwd_kwargs)
+        kw["return_lse"] = True
+        o, lse = core._entry(q, k, v, attn_bias=bias, **kw)
+        out = (o, lse) if return_lse else o
+        return out, (q, k, v, bias, o, lse)
 
     def bwd(res, ct):
-        q, k, v, bias = res
+        q, k, v, bias, o_saved, lse_saved = res
         if return_lse:
             do, dlse = ct
         else:
             do, dlse = ct, None
+        # first choice: the fused Pallas backward with the blockwise dS
+        # output — no score-sized temporaries beyond the dBias cotangent
+        # itself (per-head full-shape biases; broadcast forms fall back)
+        from sageattention_tpu.ops import attention_bwd_pallas
+
+        grads = (
+            attention_bwd_pallas.quantized_attention_vjp(
+                q, k, v, do, is_causal=is_causal, sm_scale=sm_scale,
+                o=o_saved, lse_nat=lse_saved, dlse=dlse,
+                smooth_k=smooth_k, window=window,
+                pv_dtype=fwd_kwargs.get("pv_dtype", "int8"),
+                smooth_v=fwd_kwargs.get("smooth_v", False),
+                attn_bias=bias, need_dbias=True,
+                interpret=jax.default_backend() == "cpu",
+            )
+            if fused_ok
+            else None
+        )
+        if grads is not None:
+            return grads
 
         def exact(q, k, v, bias):
+            mask = None
+            if window is not None:
+                mask = reference.window_band_mask(
+                    q.shape[2], k.shape[2], window
+                )
             return reference.attention_reference(
                 q, k, v, is_causal=is_causal, sm_scale=sm_scale,
-                attn_bias=bias, return_lse=dlse is not None,
+                attn_bias=bias, attn_mask=mask,
+                return_lse=dlse is not None,
             )
 
         _, vjp = jax.vjp(exact, q, k, v, bias)

@@ -455,3 +455,42 @@ class TestBiasGradients:
             c = float(jnp.sum(a * r)
                       / (jnp.linalg.norm(a) * jnp.linalg.norm(r) + 1e-30))
             assert c > 0.999, c
+
+    def test_fused_bias_backward_blockwise(self):
+        """Per-head full-shape biases ride the FUSED backward with a
+        blockwise dS (== dBias) output — no score-sized temporaries
+        beyond the bias cotangent; parity vs the exact VJP across
+        causal / non-causal / GQA."""
+        from sageattention_tpu import core
+        from sageattention_tpu.ops import attention_bwd_pallas
+
+        for causal, hkv in [(False, 2), (True, 2), (False, 1)]:
+            b, h, s, d = 1, 2, 256, 64
+            q = rand(100, (b, h, s, d))
+            k = rand(101, (b, hkv, s, d))
+            v = rand(102, (b, hkv, s, d))
+            bias = rand(103, (b, h, s, s)) * 0.5
+            do = rand(104, (b, h, s, d))
+            o, lse = core._entry(
+                q, k, v, is_causal=causal, return_lse=True,
+                attn_bias=bias, pv_dtype="bf16",
+            )
+            got = attention_bwd_pallas.quantized_attention_vjp(
+                q, k, v, do, is_causal=causal, sm_scale=None,
+                o=o, lse_nat=lse, attn_bias=bias, need_dbias=True,
+                pv_dtype="bf16", interpret=True,
+            )
+            assert got is not None, (causal, hkv)
+
+            def exact(q, k, v, bias):
+                return reference.attention_reference(
+                    q, k, v, is_causal=causal, attn_bias=bias
+                )
+
+            _, vjp = jax.vjp(exact, q, k, v, bias)
+            ref = vjp(do)
+            for g, r in zip(got, ref):
+                c = float(jnp.sum(g * r)
+                          / (jnp.linalg.norm(g) * jnp.linalg.norm(r)
+                             + 1e-30))
+                assert c > 0.999, (causal, hkv, c)
