@@ -35,11 +35,15 @@ def _case(seed):
     sk = sq if is_causal else int(r.randint(3, 400))
     b = int(r.choice([1, 2]))
     kw = {}
-    kind = r.choice(["plain", "window", "mask", "bf16pv", "smoothv"])
+    kind = r.choice(
+        ["plain", "window", "mask", "bf16pv", "smoothv", "bias"]
+    )
     if kind == "window" and is_causal:
         kw["window"] = int(r.randint(1, sq + 1))
     elif kind == "mask" and not is_causal:
         kw["attn_mask"] = None  # filled below with shapes known
+    elif kind == "bias":
+        kw["attn_bias"] = None  # filled below (rides the fused kernel)
     elif kind == "bf16pv":
         kw["pv_dtype"] = "bf16"
     elif kind == "smoothv":
@@ -62,6 +66,11 @@ def test_random_case_matches_oracle(seed):
         mask = jax.random.bernoulli(km_, 0.6, (b, 1, sq, sk))
         mask = mask.at[..., 0].set(True)
         kw["attn_mask"] = mask
+    bias = None
+    if kind == "bias":
+        hb = int(np.random.RandomState(seed + 1).choice([1, hq]))
+        bias = jax.random.normal(km_, (b, hb, sq, sk)) * 2.0
+        kw["attn_bias"] = bias
 
     o = sa.sageattn(q, k, v, is_causal=is_causal, **kw)
 
@@ -81,6 +90,8 @@ def test_random_case_matches_oracle(seed):
         s = jnp.where(cm, s, neg)
     if mask is not None:
         s = jnp.where(mask, s, neg)
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
     o_ref = jnp.einsum(
         "bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), vr.astype(jnp.float32)
     )
