@@ -5,8 +5,9 @@ quantized kernels (the straight-through VJP, ops/attention_bwd_pallas).
 
 The reference is inference-only; training is this framework's
 beyond-reference axis: `jax.grad` through `sageattn` runs the fused
-Pallas backward (1.36x jax's tuned flash fwd+bwd at the headline
-shape).  This loop demonstrates the whole story: optax AdamW, jitted
+Pallas backward (faster than jax's tuned flash fwd+bwd at the headline
+shape — the tracked number is `sage_fwdbwd_ms_*` in the bench
+artifact).  This loop demonstrates the whole story: optax AdamW, jitted
 train step, loss going down, optional multi-device data parallelism.
 
 Checkpoint/resume (the reference has no persistence at all — SURVEY §5):
