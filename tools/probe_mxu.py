@@ -177,6 +177,29 @@ def main():
     # marginal M cost the expected ~12%?
     x, y = mk((72, S), jnp.bfloat16), mk((S, M), jnp.bfloat16)
     probe("bf16 pv^T M=72 (rowsum row)", x, y, dot_nn, 2 * 72 * S * M)
+
+    print("== vt_native: same products with NORMAL-layout operands, "
+          "transpose inside dot_general dimension_numbers ==")
+    # S^T = K.Q^T with Q in its normal [sub, d] tile: contract d-vs-d
+    # (dims (1,1)) — if Mosaic feeds this at the same rate as the
+    # pre-transposed [64, 128] stationary operand, the XLA Q^T relayout
+    # pass is free to delete (core.py vt_native).
+    x, y = mk((S, 64), jnp.int8), mk((M, 64), jnp.int8)
+    probe("int8 qk^T native [2048,64]x[128,64]@(1,1)", x, y, dot_nt,
+          2 * S * 64 * M)
+    # O^T = V^T.P^T with V in its normal [chunk, d_v] tile: contract
+    # chunk-vs-chunk (dims (0,0)) -> [d_v, sub]
+    x, y = mk((S, 64), jnp.bfloat16), mk((S, M), jnp.bfloat16)
+    probe("bf16 pv^T native [2048,64]x[2048,128]@(0,0)", x, y,
+          lambda a, b: jax.lax.dot_general(
+              a, b, (((0,), (0,)), ((), ())),
+              preferred_element_type=jnp.float32),
+          2 * 64 * S * M)
+    # epilogue transpose cost (vt_o_normal): [64, block] f32 -> bf16^T
+    xo, yo = mk((64, 512), jnp.float32), mk((64, 512), jnp.float32)
+    probe("swapaxes [64,512] f32->bf16 (vt_o epilogue)", xo, yo,
+          lambda a, b: jnp.swapaxes(a, 0, 1).astype(jnp.bfloat16),
+          64 * 512, pure_vpu=True)
     print("== VPU: passes on a TALL [2048, 128] f32 tile (vt "
           "orientation: reductions over SUBLANES) ==")
     xt, yt = mk((S, M), jnp.float32), mk((S, M), jnp.float32)
