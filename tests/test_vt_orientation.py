@@ -311,3 +311,45 @@ def test_sageattn_cross_length_sq_gt_sk_interpret():
     ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1),
                      v.astype(jnp.float32))
     assert _cos(o, ref) > 0.999
+
+
+def test_vt_native_multistep_noncausal_and_vt_o():
+    """vt_native (normal-layout Q/V, MXU-side transposes) and
+    vt_o_normal (in-kernel epilogue O transpose) on a MULTI-KV-STEP
+    non-causal grid — production only reaches this at 32k, so pin it
+    here with small blocks."""
+    b, h, s, d = 1, 2, 512, 64
+    q = jax.random.normal(jax.random.PRNGKey(10), (b, h, s, d),
+                          jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(11), (b, h, s, d),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(12), (b, h, s, d),
+                          jnp.bfloat16)
+    k_i8, ks = quant.quant_int8_block_scales(k, group=128)
+    kw = dict(
+        k_i8=k_i8, k_scale=ks, v_q=v, q_scale=None,
+        q_fold=d**-0.5 * LOG2E, is_causal=False, pv_dtype="bf16",
+        block_q=256, block_k=256, sub_q=128, chunk_k=128,
+        interpret=True,
+    )
+    o_native = sage_attention_fused(
+        q_i8=q, vt=True, vt_native=True, **kw)
+    o_nat_o, lse_o = sage_attention_fused(
+        q_i8=q, vt=True, vt_native=True, vt_o_normal=True,
+        return_lse=True, **kw)
+    o_legacy = sage_attention_fused(
+        q_i8=jnp.swapaxes(q, 2, 3), vt=True,
+        **{**kw, "v_q": jnp.swapaxes(v, 2, 3)})
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                    k.astype(jnp.float32)) * d**-0.5
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sc, -1),
+                     v.astype(jnp.float32))
+    for o in (o_native, o_nat_o, o_legacy):
+        assert _cos(o, ref) > 0.999
+    # identical quantization in all three modes -> tight agreement
+    np.testing.assert_allclose(
+        np.asarray(o_native, np.float32),
+        np.asarray(o_legacy, np.float32), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(o_nat_o, np.float32),
+        np.asarray(o_native, np.float32), atol=2e-2)
