@@ -469,9 +469,16 @@ def sec_e2e():
 
 
 def sec_train():
-    # training step (fused quantized forward + fused Pallas backward) vs
-    # jax's flash fwd+bwd at the same shape
-    from sageattention_tpu.ops import attention_bwd_pallas
+    # training step: fwd+bwd through each library's PUBLIC differentiable
+    # attention (jax.vjp over sageattn vs jax.vjp over jax's flash) —
+    # residual handling is each side's own (sage saves o/lse and skips
+    # the forward recompute; flash recomputes from its saved lse).
+    # r5 protocol fixes vs the r4 metric: (a) the public API, not the
+    # internal recompute-everything vjp helper; (b) the returned element
+    # depends on ALL THREE grads — the timing harness consumes only
+    # r.ravel()[0], and the r4 protocol let XLA dead-code-eliminate the
+    # dkv pallas_call on BOTH sides (flash included), undertiming both.
+    from sageattention_tpu import sageattn
 
     tb, th, ts, td = 4, 16, 4096, 128
     qt = jax.random.normal(jax.random.PRNGKey(8), (tb, th, ts, td))
@@ -482,9 +489,10 @@ def sec_train():
     from bench.utils import device_time_carry
 
     def train_one(q, k, v, do):
-        dq, dk, dv = attention_bwd_pallas.quantized_attention_vjp(
-            q, k, v, do, is_causal=True, sm_scale=None)
-        return dq
+        f = lambda q, k, v: sageattn(q, k, v, is_causal=True)
+        _, vjp = jax.vjp(f, q, k, v)
+        dq, dk, dv = vjp(do)
+        return dq[:1, 0, 0, 0] + dk[:1, 0, 0, 0] + dv[:1, 0, 0, 0]
 
     t_train = device_time_carry(train_one, qt, (kt, vt, dot), n=5)
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -497,7 +505,8 @@ def sec_train():
             q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             v.astype(jnp.bfloat16), causal=True, block_sizes=bs)
         _, vjp = jax.vjp(f, q, k, v)
-        return vjp(do.astype(jnp.bfloat16))[0]
+        dq, dk, dv = vjp(do.astype(jnp.bfloat16))
+        return dq[:1, 0, 0, 0] + dk[:1, 0, 0, 0] + dv[:1, 0, 0, 0]
 
     try:
         t_ftrain = device_time_carry(flash_train, qt, (kt, vt, dot), n=5)
@@ -516,9 +525,10 @@ def sec_train():
         q64, k64, v64, do64 = (x[..., :td64] for x in (qt, kt, vt, dot))
 
         def train64(q, k, v, do):
-            dq, dk, dv = attention_bwd_pallas.quantized_attention_vjp(
-                q, k, v, do, is_causal=True, sm_scale=None)
-            return dq
+            f = lambda q, k, v: sageattn(q, k, v, is_causal=True)
+            _, vjp = jax.vjp(f, q, k, v)
+            dq, dk, dv = vjp(do)
+            return dq[:1, 0, 0, 0] + dk[:1, 0, 0, 0] + dv[:1, 0, 0, 0]
 
         t_t64 = device_time_carry(train64, q64, (k64, v64, do64), n=5)
 
@@ -527,7 +537,8 @@ def sec_train():
                 q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
                 v.astype(jnp.bfloat16), causal=True, block_sizes=bs)
             _, vjp = jax.vjp(f, q, k, v)
-            return vjp(do.astype(jnp.bfloat16))[0]
+            dq, dk, dv = vjp(do.astype(jnp.bfloat16))
+            return dq[:1, 0, 0, 0] + dk[:1, 0, 0, 0] + dv[:1, 0, 0, 0]
 
         t_f64 = device_time_carry(
             flash_train64, q64, (k64, v64, do64), n=5)
@@ -663,6 +674,10 @@ def main():
         ("window", sec_window),
         ("matrix", sec_matrix),
     ]
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        want = set(only.split(","))
+        sections = [s for s in sections if s[0] in want]
     for name, fn in sections:
         log(f"--- section {name}")
         try:

@@ -445,11 +445,21 @@ def quantized_attention_vjp(
         # unaligned user shapes go to the padded flash/exact fallback
         # (the fused kernels expect the forward's padded tile discipline)
         return None
-    block_q = _fit_block(sq, (512, 256, 128))
-    if sk <= 4096:
-        block_k = sk
+    if is_causal and window is None:
+        # FINE KV blocking on the causal triangle: the dkv grid skips
+        # dead (above-diagonal) q steps per KV block, so block_k == sk
+        # makes every step live and pays the full rectangle.  On-chip
+        # sweep at b4h16s4096hd128 (r5, all-grads protocol): bk=4096
+        # 10.07 ms -> bk=1024 7.91 -> bq=bk=1024 7.52 ms.  bq=1024
+        # also halves the dq fold-grid step count.
+        block_q = _fit_block(sq, (1024, 512, 256, 128))
+        block_k = _fit_block(sk, (1024, 512, 256, 128))
     else:
-        block_k = _fit_block(sk, (4096, 2048, 1024, 512, 256, 128))
+        block_q = _fit_block(sq, (512, 256, 128))
+        if sk <= 4096:
+            block_k = sk
+        else:
+            block_k = _fit_block(sk, (4096, 2048, 1024, 512, 256, 128))
     if block_q is None or block_k is None or d % 64 or d > 256:
         return None
     chunk_k = _fit_block(

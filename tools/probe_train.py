@@ -32,7 +32,9 @@ def main():
     def train_one(q, k, v, do):
         dq, dk, dv = attention_bwd_pallas.quantized_attention_vjp(
             q, k, v, do, is_causal=True, sm_scale=None)
-        return dq
+        # element 0 must depend on ALL grads — the harness uses only
+        # r.ravel()[0] and XLA DCEs unused pallas_calls
+        return dq[:1, 0, 0, 0] + dk[:1, 0, 0, 0] + dv[:1, 0, 0, 0]
 
     t_train = device_time_carry(train_one, qt, (kt, vt, dot), n=5)
     print(f"sage fwd+bwd s{ts} hd{td}: {t_train*1e3:.2f} ms")
@@ -63,7 +65,8 @@ def main():
                 q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
                 v.astype(jnp.bfloat16), causal=True, block_sizes=bs)
             _, vjp = jax.vjp(f, q, k, v)
-            return vjp(do.astype(jnp.bfloat16))[0]
+            dq, dk, dv = vjp(do.astype(jnp.bfloat16))
+            return dq[:1, 0, 0, 0] + dk[:1, 0, 0, 0] + dv[:1, 0, 0, 0]
 
         t_f = device_time_carry(flash_train, qt, (kt, vt, dot), n=5)
         print(f"flash fwd+bwd: {t_f*1e3:.2f} ms, ratio {t_f/t_train:.3f}")
