@@ -103,6 +103,7 @@ def _pad_axis(x: jax.Array, axis: int, to: int) -> jax.Array:
         "impl",
         "qk_bits",
         "window",
+        "want_residuals",
     ),
 )
 def _sageattn_hnd(
@@ -134,9 +135,23 @@ def _sageattn_hnd(
     chunk_k: int | None = None,
     diag_chunk_k: int | None = None,
     window: int | None = None,
+    want_residuals: bool = False,
 ):
     """Quantize-then-attend pipeline on HND tensors (the call sequence of
-    reference core.py:655-905, collapsed to quant(Q,K,V) + one fused kernel)."""
+    reference core.py:655-905, collapsed to quant(Q,K,V) + one fused kernel).
+
+    With ``want_residuals`` (static) the return value becomes
+    ``(out, residuals)`` where residuals is a dict of the quantized
+    operands the fused backward can reuse (k_i8/k_scale/km,
+    v_q/v_scale/v_mean, raw lse2) — filled on the pallas int8 path,
+    empty on paths the fused backward declines anyway.  It must be a
+    jit OUTPUT (not a mutated argument): this function is jit-wrapped,
+    so an argument dict would be unflattened into a copy and caller
+    mutations lost."""
+    residual_sink = {} if want_residuals else None
+
+    def _ret(out):
+        return (out, residual_sink) if want_residuals else out
     out_dtype = q.dtype
     b, hq, sq, d_og = q.shape
     hkv, sk = k.shape[1], k.shape[2]
@@ -296,6 +311,15 @@ def _sageattn_hnd(
                 k_i8, k_scale = quant_pallas.quant_k_chunked(
                     k, km, group=chunk_k, bits=qk_bits, interpret=_on_cpu()
                 )
+            if residual_sink is not None and qk_bits == 8 and not smooth_q:
+                # stash the UNPADDED quantized operands for the fused
+                # backward (autodiff.py): the bwd then reuses the
+                # forward's exact K codes/scales (whatever chunk the
+                # tuned config picked) instead of re-quantizing, and the
+                # saved lse2 is consistent with them by construction
+                residual_sink["k_i8"] = k_i8
+                residual_sink["k_scale"] = k_scale
+                residual_sink["km"] = km
         else:
             if smooth_k:
                 k_sm = k.astype(jnp.float32) - km[..., None, :]
@@ -358,6 +382,16 @@ def _sageattn_hnd(
             v_q = v.astype(jnp.bfloat16)
     else:
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
+    if (
+        residual_sink is not None and impl == "pallas"
+        and pv_dtype in ("int8", "fp8", "fp8_e5m2")
+    ):
+        # the fused backward's v_eff MUST be dequant(V_q) (the V the
+        # forward actually multiplied); stashing the codes lets it skip
+        # the re-quantization pass entirely
+        residual_sink["v_q"] = v_q
+        residual_sink["v_scale"] = v_scale
+        residual_sink["v_mean"] = v_mean
 
     if window is not None and not is_causal:
         raise ValueError("window (sliding-window attention) requires "
@@ -389,8 +423,8 @@ def _sageattn_hnd(
                 return_lse=return_lse,
             )
             if return_lse:
-                return out[0], out[1]
-            return out
+                return _ret((out[0], out[1]))
+            return _ret(out)
         out = reference.quantized_attention_reference(
             q_i8,
             q_scale,
@@ -414,8 +448,8 @@ def _sageattn_hnd(
             lse = lse2 / LOG2E
             if lse_corr is not None:
                 lse = lse + lse_corr * sm_scale
-            return o, lse
-        return out
+            return _ret((o, lse))
+        return _ret(out)
 
     # --- padding to kernel tile multiples --------------------------------
     d_pad = _pad_head_dim(d_og)
@@ -630,6 +664,10 @@ def _sageattn_hnd(
         o, lse2 = out, None
     o = o[:, :, :sq, :d_og]
     if return_lse:
+        if residual_sink is not None:
+            # raw base-2 kernel LSE: the fused backward consumes this
+            # form directly, skipping the smooth-k inversion einsum
+            residual_sink["lse2"] = lse2[:, :, :sq]
         lse = lse2[:, :, :sq] / LOG2E
         if lse_corr is not None:
             lse = lse + lse_corr * sm_scale
@@ -662,6 +700,7 @@ def _entry(
     impl: str = "auto",
     qk_bits: int = 8,
     window: int | None = None,
+    residual_sink: dict | None = None,
 ):
     q = _to_hnd(q, tensor_layout)
     k = _to_hnd(k, tensor_layout)
@@ -726,6 +765,7 @@ def _entry(
         chunk_k=chunk_k,
         diag_chunk_k=diag_chunk_k,
         window=window,
+        residual_sink=residual_sink,
     )
     if return_lse:
         o, lse = out

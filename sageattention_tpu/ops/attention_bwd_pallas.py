@@ -377,7 +377,7 @@ def quantized_attention_vjp(
     o=None, lse_nat=None, dlse=None, smooth_k: bool = True,
     window: int | None = None, pv_dtype: str = "bf16",
     smooth_v: bool = False, attn_bias=None, need_dbias: bool = False,
-    interpret: bool = False,
+    fwd_res=None, interpret: bool = False,
 ):
     """Full recomputed backward through the fused kernels.
 
@@ -387,6 +387,14 @@ def quantized_attention_vjp(
     the forward recompute is skipped entirely — the kernel's raw base-2
     LSE is reconstructed by inverting the smooth-k correction.  GQA is
     native: dK/dV group-sum inside the dkv kernel, O(hkv) memory.
+
+    ``fwd_res``: optional dict of quantized-operand residuals captured
+    by the forward (core._sageattn_hnd ``residual_sink``): ``k_i8`` /
+    ``k_scale`` / ``km`` (the forward's exact K codes at ITS chunk
+    width), ``v_q`` / ``v_scale`` / ``v_mean``, and the raw base-2
+    ``lse2``.  Each present key skips the corresponding recompute pass
+    here — and makes the reconstruction exact for whatever chunk_k the
+    forward's (possibly tuned) config actually used.
 
     ``dlse``: optional cotangent of the natural-log LSE output
     [b, hq, sq].  d(lse)/dS_ij = P_ij, so it enters the kernels as
@@ -432,15 +440,30 @@ def quantized_attention_vjp(
     # masks/segments/bias, so the gate reduces to the shared head-dim
     # eligibility (one helper for both sides — r4 advisor finding).
     use_vt = attention_pallas.vt_eligible_head_dim(d)
-    scale_group = attention_pallas.default_config(
-        sq, sk, d, is_causal, vt=use_vt
-    )[3]
-    if sk % scale_group and sk > scale_group:
-        # the forward's quantizer fell back to a ragged-group layout the
-        # kernels' scale indexing does not model
-        return None
-    if sk <= scale_group:
-        scale_group = sk  # single group covers the whole row
+    fwd_res = dict(fwd_res) if fwd_res else {}
+    if fwd_res.get("k_i8") is not None and fwd_res.get(
+            "k_scale") is not None:
+        # the forward's actual K codes: derive the group from the scale
+        # count (shape-static) instead of re-deriving the config — exact
+        # for whatever chunk the forward's tuned config used
+        n_groups = fwd_res["k_scale"].shape[-1]
+        if sk % n_groups:
+            fwd_res.pop("k_i8"), fwd_res.pop("k_scale")
+            scale_group = None
+        else:
+            scale_group = sk // n_groups
+    else:
+        scale_group = None
+    if scale_group is None:
+        scale_group = attention_pallas.default_config(
+            sq, sk, d, is_causal, vt=use_vt
+        )[3]
+        if sk % scale_group and sk > scale_group:
+            # the forward's quantizer fell back to a ragged-group layout
+            # the kernels' scale indexing does not model
+            return None
+        if sk <= scale_group:
+            scale_group = sk  # single group covers the whole row
     if sq % 128 or sk % 128:
         # unaligned user shapes go to the padded flash/exact fallback
         # (the fused kernels expect the forward's padded tile discipline)
@@ -486,14 +509,21 @@ def quantized_attention_vjp(
     # gradient identity sum_j dS_ij = 0 by the V-quantization error.
     # Straight-through dV is P^T.dO either way (scales are constants).
     if pv_dtype in ("int8", "fp8", "fp8_e5m2"):
-        vdt = {
-            "int8": jnp.int8,
-            "fp8": jnp.float8_e4m3fn,
-            "fp8_e5m2": jnp.float8_e5m2,
-        }[pv_dtype]
-        v_q, v_scale, v_mean = quant_mod.per_channel_quant(
-            v, dtype=vdt, smooth=smooth_v
-        )
+        if fwd_res.get("v_q") is not None:
+            # forward-captured codes: dequant only (skips the quantize
+            # pass AND uses the exact V the forward multiplied)
+            v_q = fwd_res["v_q"]
+            v_scale = fwd_res["v_scale"]
+            v_mean = fwd_res.get("v_mean")
+        else:
+            vdt = {
+                "int8": jnp.int8,
+                "fp8": jnp.float8_e4m3fn,
+                "fp8_e5m2": jnp.float8_e5m2,
+            }[pv_dtype]
+            v_q, v_scale, v_mean = quant_mod.per_channel_quant(
+                v, dtype=vdt, smooth=smooth_v
+            )
         v_eff = v_q.astype(jnp.float32) * v_scale[..., None, :]
         if v_mean is not None:
             v_eff = v_eff + v_mean[..., None, :]
@@ -501,9 +531,13 @@ def quantized_attention_vjp(
     else:
         v_eff = v.astype(jnp.bfloat16)
 
-    km = (
-        jnp.mean(k.astype(jnp.float32), axis=-2) if smooth_k else None
-    )
+    if smooth_k:
+        km = fwd_res.get("km")
+        if km is None:
+            km = jnp.mean(k.astype(jnp.float32), axis=-2)
+    else:
+        km = None
+    have_k_res = fwd_res.get("k_i8") is not None
     if interpret:
         k_sm = k.astype(jnp.float32)
         if smooth_k:
@@ -511,23 +545,33 @@ def quantized_attention_vjp(
         q_i8, q_scale = quant_mod.quant_int8(
             q, granularity="per_token", scale_fold=sm_scale * LOG2E
         )
-        k_i8, k_scale = quant_mod.quant_int8_block_scales(
-            k_sm, group=scale_group
-        )
+        if have_k_res:
+            k_i8, k_scale = fwd_res["k_i8"], fwd_res["k_scale"]
+        else:
+            k_i8, k_scale = quant_mod.quant_int8_block_scales(
+                k_sm, group=scale_group
+            )
         k_sm = k_sm.astype(jnp.bfloat16)
     else:
         q_i8, q_scale = quant_pallas.quant_q_per_token(
             q, scale_fold=sm_scale * LOG2E
         )
-        k_i8, k_scale = quant_pallas.quant_k_chunked(
-            k, km, group=scale_group
-        )
+        if have_k_res:
+            k_i8, k_scale = fwd_res["k_i8"], fwd_res["k_scale"]
+        else:
+            k_i8, k_scale = quant_pallas.quant_k_chunked(
+                k, km, group=scale_group
+            )
         k_sm = k.astype(jnp.float32)
         if smooth_k:
             k_sm = k_sm - km[..., None, :]
         k_sm = k_sm.astype(jnp.bfloat16)
 
-    if o is not None and lse_nat is not None:
+    if o is not None and fwd_res.get("lse2") is not None:
+        # the forward's raw base-2 LSE rode the residuals — no
+        # inversion einsum needed
+        lse2 = fwd_res["lse2"]
+    elif o is not None and lse_nat is not None:
         # invert the public LSE back to the kernel's raw base-2 form:
         # lse_nat = lse2/log2e + (q.km)*sm_scale  (core.py smooth_k corr)
         if smooth_k:

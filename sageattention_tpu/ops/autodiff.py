@@ -22,11 +22,22 @@ Backward implementations, in preference order:
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
 
 from sageattention_tpu.ops import reference
+
+# Save the forward's quantized K/V codes + raw lse2 as extra residuals
+# so the fused backward skips every re-quantization pass (~1 ms at the
+# tracked b4h16s4096hd128 shape).  Costs ~0.75x of one bf16 KV tensor of
+# extra activation memory per layer; set SAGE_SAVE_QUANT_RESIDUALS=0 to
+# trade that memory back for the recompute (or wrap the layer in
+# jax.checkpoint, which rebuilds them at bwd time anyway).
+_SAVE_QUANT_RES = (
+    _os.environ.get("SAGE_SAVE_QUANT_RESIDUALS", "1") != "0"
+)
 
 
 def _exact_attention_for_bwd(q, k, v, *, is_causal, sm_scale):
@@ -119,15 +130,21 @@ def _cached(fwd_statics, bwd_statics):
 
     def fwd(q, k, v):
         # run the forward WITH its LSE and keep (o, lse) as residuals so
-        # the fused backward skips the forward recompute
+        # the fused backward skips the forward recompute.  The sink
+        # additionally captures the forward's quantized K/V codes and
+        # raw lse2 (core._sageattn_hnd fills it on the pallas path) so
+        # the backward skips re-quantization too; ~empty when the
+        # forward took a path the fused backward declines anyway.
         kw = dict(fwd_kwargs)
         kw["return_lse"] = True
-        o, lse = core._entry(q, k, v, **kw)
+        save = fused_bwd_ok and _SAVE_QUANT_RES
+        sink = {} if save else None
+        o, lse = core._entry(q, k, v, residual_sink=sink, **kw)
         out = (o, lse) if return_lse else o
-        return out, (q, k, v, o, lse)
+        return out, (q, k, v, o, lse, sink if save else {})
 
     def bwd(res, ct):
-        q, k, v, o_saved, lse_saved = res
+        q, k, v, o_saved, lse_saved, fwd_res = res
         if return_lse:
             do, dlse = ct
         else:
@@ -144,6 +161,7 @@ def _cached(fwd_statics, bwd_statics):
                 smooth_k=smooth_k, window=window,
                 pv_dtype=fwd_kwargs.get("pv_dtype", "int8"),
                 smooth_v=fwd_kwargs.get("smooth_v", False),
+                fwd_res=fwd_res,
                 interpret=jax.default_backend() == "cpu",
             )
             if fused_bwd_ok

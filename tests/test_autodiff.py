@@ -115,6 +115,52 @@ class TestFusedBackward:
                       / (jnp.linalg.norm(g) * jnp.linalg.norm(r)))
             assert c > 0.999
 
+    def test_quant_residual_reuse_matches_requant(self, monkeypatch):
+        """The custom_vjp forward stashes the quantized K/V codes + raw
+        lse2 (core residual_sink) and the backward reuses them instead
+        of re-quantizing.  The reuse path must agree with the
+        re-quantize path (both are straight-through grads of the same
+        quantized forward) and with exact fp32 attention."""
+        from sageattention_tpu import core, sageattn
+        from sageattention_tpu.ops import autodiff, reference
+
+        b, h, s, d = 1, 2, 256, 64
+        q, k, v = (rand(i + 70, (b, h, s, d)) for i in range(3))
+        do = rand(74, (b, h, s, d))
+
+        # the sink fills with the expected keys on the pallas path
+        sink = {}
+        core._entry(q, k, v, is_causal=True, return_lse=True,
+                    residual_sink=sink)
+        assert sink.get("k_i8") is not None
+        assert sink.get("k_scale") is not None
+        assert sink.get("v_q") is not None
+        assert sink.get("lse2") is not None
+
+        f = lambda q, k, v: sageattn(q, k, v, is_causal=True)
+        _, vjp = jax.vjp(f, q, k, v)
+        g_res = vjp(do)
+
+        monkeypatch.setattr(autodiff, "_SAVE_QUANT_RES", False)
+        autodiff._cached.cache_clear()  # closures captured the flag
+        try:
+            _, vjp = jax.vjp(f, q, k, v)
+            g_req = vjp(do)
+        finally:
+            autodiff._cached.cache_clear()
+
+        _, vjpe = jax.vjp(
+            lambda q, k, v: reference.attention_reference(
+                q, k, v, is_causal=True), q, k, v)
+        g_ex = vjpe(do)
+        for gr, gq, ge in zip(g_res, g_req, g_ex):
+            c_rq = float(jnp.sum(gr * gq)
+                         / (jnp.linalg.norm(gr) * jnp.linalg.norm(gq)))
+            c_ex = float(jnp.sum(gr * ge)
+                         / (jnp.linalg.norm(gr) * jnp.linalg.norm(ge)))
+            assert c_rq > 0.999, c_rq
+            assert c_ex > 0.999, c_ex
+
     def test_nhd_layout_gradients(self):
         """Regression: differentiable path must transpose NHD before the
         VJP (gradients previously treated axis 1 as heads)."""
